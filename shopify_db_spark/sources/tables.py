@@ -1,0 +1,76 @@
+"""Parquet table catalog (the engine's storage layer).
+
+The reference stores everything in PostgreSQL heap tables
+(``setup.sql:1-190``) and scans with ``SELECT *`` (``db.py:69-113``).
+Here the storage is columnar Parquet: scans get predicate pushdown,
+column pruning and partition pruning from Catalyst for free — the
+Spark-side analogue of the reference's hand-rolled API field lists
+(``shopify.py:13-93``).
+
+Two table families:
+
+* **benchmark tables** — the driver-generated TPC-H-ish star schema
+  (TESTDATA.md): region nation customer supplier part orders lineitem
+  events documents embeddings.
+* **commerce tables** — the reference's 10-table Shopify schema
+  (see ``shopify_db_spark.schemas``), written by the ingest path.
+
+At 100 TB the fact tables (lineitem / orders / events) would be
+written date-partitioned (``write.partitionBy``) so date predicates
+prune whole directories; the loader below is partition-layout
+agnostic — ``spark.read.parquet`` handles both flat files and
+partitioned directories.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+BENCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor (region/nation are fixed-size; supplier/part/customer grow
+# with SF but remain << lineitem). Used for join-strategy hints.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one benchmark table as a DataFrame."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = BENCH_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = BENCH_TABLES
+) -> None:
+    """Register every benchmark table as a temp view for ``spark.sql``.
+
+    Mirrors the DuckDB oracle's pre-registered views so the same SQL
+    text can run on both engines.
+    """
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

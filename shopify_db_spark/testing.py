@@ -1,0 +1,105 @@
+"""Differential-test utilities: run a catalog query on Spark and its
+oracle SQL on DuckDB, then compare canonicalized results exactly.
+
+This mirrors the driver's correctness gate (column-name-sorted,
+row-order-insensitive, exact value comparison), so a query that
+passes here should hash-match in CORRECTNESS_r{N}.json. Comparison
+is *exact* — no float tolerance — which is why the whole catalog
+computes money in decimals (see ``functions.parity``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from typing import Any
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from shopify_db_spark.sources.tables import BENCH_TABLES, table_path
+
+_MISSING = object()
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """A DuckDB connection with the benchmark tables pre-registered
+    as views (the driver does the same for oracle SQL)."""
+    con = duckdb.connect()
+    for name in BENCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    """Normalize one value to an engine-agnostic comparable form."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.to_pydatetime()
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    """Column-name-sorted, normalized, sorted row tuples."""
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=lambda r: tuple((v is None, str(type(v)), str(v)) for v in r))
+    return rows
+
+
+def compare_frames(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, max_report: int = 5
+) -> list[str]:
+    """Exact differential compare; returns a list of human-readable
+    mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        return [f"column mismatch: spark={s_cols} oracle={o_cols}"]
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s_rows, o_rows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
+    n_bad = 0
+    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+        if sr != orow:
+            n_bad += 1
+            if n_bad <= max_report:
+                problems.append(f"row {i}: spark={sr!r} oracle={orow!r}")
+    if n_bad > max_report:
+        problems.append(f"... {n_bad} mismatched rows total")
+    return problems
+
+
+def run_differential(spark, sf_dir: str, name: str) -> list[str]:
+    """Run catalog query ``name`` on both engines and compare."""
+    from shopify_db_spark.plans import load_all
+
+    spec = load_all()[name]
+    if spec.oracle is None:
+        raise ValueError(f"{name} has no oracle (rows-only check)")
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    with duckdb_con(sf_dir) as con:
+        oracle_pdf = con.execute(spec.oracle).df()
+    return compare_frames(spark_pdf, oracle_pdf)
