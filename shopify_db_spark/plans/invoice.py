@@ -1,0 +1,516 @@
+"""The Tripletex invoice pipeline — the engine's flagship analytical
+plan.
+
+Re-expresses the reference's 200-line ``tripletex_invoice`` Postgres
+view (``setup.sql:192-394``) and the invoice-numbering query
+(``db.py:409-483``) as a composition of DataFrame operators that
+Catalyst plans: window ranking → four branch join-chains → a 4-way
+UNION DISTINCT → rank dedup → decimal rounding → sequence numbering.
+
+Deliberate, documented deviations from the reference (SURVEY.md §7.4
+"determinism" — the reference is nondeterministic at these points,
+which a distributed engine cannot afford):
+
+* transaction ranking ties (two transactions of the same kind) break
+  by ``t.id`` ascending (reference: arbitrary heap order);
+* the one-shipping-line-per-order dedup picks the lowest
+  ``shipping.id`` (reference: arbitrary rank-1 row among equal
+  invoice dates);
+* the vestigial ``discounts`` LEFT JOIN (``setup.sql:280-281,
+  323-324``) is omitted: it selects no columns, and every duplicate
+  row it fans out is collapsed again by the UNION DISTINCT, so the
+  result set is provably identical — while at scale the fan-out
+  join would double-shuffle the largest branch for nothing;
+* global invoice numbering orders by ``(ORDER NO, payment_tag)``
+  (reference: ``ROW_NUMBER() OVER ()`` — whatever order the hash agg
+  emits).
+
+Postgres quirks replicated on purpose:
+
+* the inner ``WHERE rank = 1`` of ``shipping_lines``
+  (``setup.sql:356``) binds to ``product_lines.rank`` (constant 1) —
+  a no-op; the *effective* dedup is the outer ``WHERE rank = 1``
+  (``setup.sql:391``), which is what we implement;
+* ``CONCAT(title, ' - ', variant_title)`` with a NULL
+  ``variant_title`` yields ``'title - '`` in Postgres (CONCAT skips
+  NULLs); Spark's ``concat`` returns NULL, so the refund branch
+  coalesces the variant title to ``''``;
+* UNION is DISTINCT (Spark's ``union`` is ALL — the ``.distinct()``
+  is explicit and load-bearing: identical line items in one order
+  collapse, as they do in the reference).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: invoice-line column order shared by the four branches (the
+#: reference aligns the four CTEs' shapes so UNION works positionally;
+#: we align by name via unionByName).
+_LINE_COLUMNS = [
+    "transaction_id",
+    "order_id",
+    "payment_tag",
+    "CUSTOMER NO",
+    "CUSTOMER NAME",
+    "ORDER NO",
+    "PAID AMOUNT",
+    "ORDER LINE - COUNT",
+    "ORDER LINE - PROD NAME",
+    "ORDER LINE - UNIT PRICE",
+    "ORDER LINE - DISCOUNT",
+    "ORDER LINE - VAT CODE",
+    "ORDER LINE - DESCRIPTION",
+    "ORDER LINE - PROD NO",
+    "PAYMENT TYPE",
+    "INVOICE DATE",
+    "DELIVERY DATE",
+    "ORDER DATE",
+    "DUE DATE",
+    "rank",
+    "priority",
+]
+
+
+def customer_no(customer_id: Column) -> Column:
+    """Tripletex 9-digit customer id: last 9 digits of the Shopify id
+    (reference ``setup.sql:220`` — CHAR(12) cast + RIGHT + INT cast).
+    """
+    return F.right(customer_id.cast("string"), F.lit(9)).cast("int")
+
+
+def success_transaction_payments(transactions: DataFrame) -> DataFrame:
+    """Rank each order's successful non-gift-card payment transactions
+    by significance: sale > capture > authorization > other
+    (reference ``setup.sql:193-213``). Ties break by transaction id
+    (deterministic deviation). One window shuffle on ``order_id``.
+    """
+    kind_rank = (
+        F.when(F.col("kind") == "sale", 1)
+        .when(F.col("kind") == "capture", 2)
+        .when(F.col("kind") == "authorization", 3)
+        .otherwise(10)
+    )
+    w = Window.partitionBy("order_id").orderBy(kind_rank.asc(), F.col("id").asc())
+    return (
+        transactions.filter(
+            (F.col("status") == "success")
+            & F.col("kind").isin("sale", "capture", "authorization")
+            & (F.col("gateway") != "gift_card")
+        )
+        .withColumn("transaction_rank", F.row_number().over(w))
+    )
+
+
+def _customer_cols(c_id: Column, c_name: Column) -> list[Column]:
+    return [
+        customer_no(c_id).alias("CUSTOMER NO"),
+        c_name.alias("CUSTOMER NAME"),
+    ]
+
+
+def product_lines(
+    stp: DataFrame, orders: DataFrame, customers: DataFrame, line_items: DataFrame
+) -> DataFrame:
+    """One invoice line per line item of each order's top-ranked
+    payment (reference ``setup.sql:247-286``). LEFT joins preserve
+    orders with missing customer (guest checkout) or no line items.
+    """
+    t = stp.filter(F.col("transaction_rank") == 1).alias("t")
+    o = orders.alias("o")
+    c = customers.alias("c")
+    lip = line_items.alias("lip")
+    title = F.col("lip.title")
+    variant = F.col("lip.variant_title")
+    prod_name = (
+        F.when(
+            F.nullif(title, F.lit("")).isNotNull()
+            & F.nullif(variant, F.lit("")).isNotNull(),
+            F.concat(title, F.lit(" - "), variant),
+        )
+        .when(title.isNotNull(), title)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    total = F.col("lip.total_price")
+    disc_amt = F.col("lip.total_discount_amount")
+    discount_pct = 100 * (
+        1 - ((total - disc_amt) / F.nullif(total, F.lit(0).cast("decimal(18,2)")))
+    )
+    return (
+        t.join(o, F.col("o.id") == F.col("t.order_id"), "left")
+        .join(c, F.col("c.id") == F.col("o.customer_id"), "left")
+        .join(lip, F.col("lip.order_id") == F.col("o.id"), "left")
+        .select(
+            F.col("t.id").alias("transaction_id"),
+            F.col("o.id").alias("order_id"),
+            F.lit("payment").alias("payment_tag"),
+            *_customer_cols(F.col("c.id"), F.col("c.name")),
+            F.col("o.name").alias("ORDER NO"),
+            F.col("t.amount").alias("PAID AMOUNT"),
+            F.col("lip.quantity").alias("ORDER LINE - COUNT"),
+            prod_name.alias("ORDER LINE - PROD NAME"),
+            F.col("lip.unit_price").alias("ORDER LINE - UNIT PRICE"),
+            discount_pct.alias("ORDER LINE - DISCOUNT"),
+            F.lit(3).alias("ORDER LINE - VAT CODE"),
+            F.lit(None).cast("string").alias("ORDER LINE - DESCRIPTION"),
+            F.col("lip.sku").cast("string").alias("ORDER LINE - PROD NO"),
+            F.col("t.gateway").alias("PAYMENT TYPE"),
+            F.to_date("o.created_at").alias("INVOICE DATE"),
+            F.to_date("t.processed_at").alias("DELIVERY DATE"),
+            F.to_date("o.created_at").alias("ORDER DATE"),
+            F.to_date("t.processed_at").alias("DUE DATE"),
+            F.lit(1).alias("rank"),
+            F.lit(1).alias("priority"),
+        )
+    )
+
+
+def gift_card_lines(
+    transactions: DataFrame, stp: DataFrame, orders: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """One negative line per gift-card redemption, attached to the
+    order's top-ranked real payment (reference ``setup.sql:215-246``).
+    The ``stp.transaction_rank = 1`` predicate lives in WHERE in the
+    reference, giving the LEFT JOIN inner semantics — implemented as
+    an inner join on the pre-filtered rank-1 payments.
+    """
+    t = transactions.filter(F.col("gateway") == "gift_card").alias("t")
+    o = orders.alias("o")
+    c = customers.alias("c")
+    stp1 = stp.filter(F.col("transaction_rank") == 1).alias("stp")
+    return (
+        t.join(o, F.col("o.id") == F.col("t.order_id"), "left")
+        .join(c, F.col("c.id") == F.col("o.customer_id"), "left")
+        .join(stp1, F.col("stp.order_id") == F.col("t.order_id"), "inner")
+        .select(
+            F.col("t.id").alias("transaction_id"),
+            F.col("o.id").alias("order_id"),
+            F.lit("payment").alias("payment_tag"),
+            *_customer_cols(F.col("c.id"), F.col("c.name")),
+            F.col("o.name").alias("ORDER NO"),
+            F.col("stp.amount").alias("PAID AMOUNT"),
+            F.lit(1).alias("ORDER LINE - COUNT"),
+            F.lit("Gift card").alias("ORDER LINE - PROD NAME"),
+            (-F.col("t.amount")).alias("ORDER LINE - UNIT PRICE"),
+            F.lit(0).cast("decimal(18,2)").alias("ORDER LINE - DISCOUNT"),
+            F.lit(3).alias("ORDER LINE - VAT CODE"),
+            F.lit(None).cast("string").alias("ORDER LINE - DESCRIPTION"),
+            F.lit("GIFTCARD").alias("ORDER LINE - PROD NO"),
+            F.col("stp.gateway").alias("PAYMENT TYPE"),
+            F.to_date("o.created_at").alias("INVOICE DATE"),
+            F.to_date("t.processed_at").alias("DELIVERY DATE"),
+            F.to_date("o.created_at").alias("ORDER DATE"),
+            F.to_date("t.processed_at").alias("DUE DATE"),
+            F.lit(1).alias("rank"),
+            F.lit(4).alias("priority"),
+        )
+    )
+
+
+def refund_lines(
+    transactions: DataFrame,
+    refunds: DataFrame,
+    refund_items: DataFrame,
+    orders: DataFrame,
+    customers: DataFrame,
+    line_items: DataFrame,
+) -> DataFrame:
+    """One negative line per refunded line item (or one per refund
+    when no line items were refunded — the COALESCE fallbacks), under
+    a ``'#1001-1'`` pseudo order number (reference
+    ``setup.sql:287-329``). The line-item join is the composite-key
+    join: ``lip.order_id = r.order_id AND lip.id =
+    lipr.line_item_product_id``.
+    """
+    t = transactions.filter(
+        (F.col("status") == "success") & (F.col("kind") == "refund")
+    ).alias("t")
+    r = refunds.alias("r")
+    lipr = refund_items.alias("lipr")
+    o = orders.alias("o")
+    c = customers.alias("c")
+    lip = line_items.alias("lip")
+    title = F.col("lip.title")
+    # Postgres CONCAT skips NULL args: a refunded item with NULL
+    # variant_title renders as 'Title - '. Spark concat is
+    # NULL-propagating, hence the coalesce.
+    prod_name = F.when(
+        title.isNotNull(),
+        F.concat(title, F.lit(" - "), F.coalesce(F.col("lip.variant_title"), F.lit(""))),
+    ).otherwise(F.lit(None).cast("string"))
+    unit_price = F.coalesce(
+        F.round(F.col("lipr.refund_amount") / F.col("lipr.quantity"), 2),
+        F.col("t.amount"),
+    )
+    return (
+        t.join(r, F.col("r.transaction_id") == F.col("t.id"), "inner")
+        .join(lipr, F.col("lipr.refund_id") == F.col("r.id"), "left")
+        .join(o, F.col("o.id") == F.col("t.order_id"), "left")
+        .join(c, F.col("c.id") == F.col("o.customer_id"), "left")
+        .join(
+            lip,
+            (F.col("lip.order_id") == F.col("r.order_id"))
+            & (F.col("lip.id") == F.col("lipr.line_item_product_id")),
+            "left",
+        )
+        .select(
+            F.col("t.id").alias("transaction_id"),
+            F.col("o.id").alias("order_id"),
+            F.lit("refund").alias("payment_tag"),
+            *_customer_cols(F.col("c.id"), F.col("c.name")),
+            F.concat(F.col("o.name"), F.lit("-1")).alias("ORDER NO"),
+            (-F.coalesce(F.col("lipr.refund_amount"), F.col("t.amount"))).alias(
+                "PAID AMOUNT"
+            ),
+            (-F.coalesce(F.col("lipr.quantity"), F.lit(1))).alias(
+                "ORDER LINE - COUNT"
+            ),
+            prod_name.alias("ORDER LINE - PROD NAME"),
+            unit_price.alias("ORDER LINE - UNIT PRICE"),
+            F.lit(0).cast("decimal(18,2)").alias("ORDER LINE - DISCOUNT"),
+            F.lit(3).alias("ORDER LINE - VAT CODE"),
+            F.coalesce(
+                F.nullif(F.col("r.note"), F.lit("")),
+                F.lit("Refund with unspecified reason"),
+            ).alias("ORDER LINE - DESCRIPTION"),
+            F.col("lip.sku").cast("string").alias("ORDER LINE - PROD NO"),
+            F.col("t.gateway").alias("PAYMENT TYPE"),
+            F.to_date("r.created_at").alias("INVOICE DATE"),
+            F.to_date("r.processed_at").alias("DELIVERY DATE"),
+            F.to_date("o.created_at").alias("ORDER DATE"),
+            F.to_date("r.processed_at").alias("DUE DATE"),
+            F.lit(1).alias("rank"),
+            F.lit(2).alias("priority"),
+        )
+    )
+
+
+def shipping_lines(product_lines_df: DataFrame, shipping: DataFrame) -> DataFrame:
+    """One shipping line per shipped order (reference
+    ``setup.sql:330-356``). The reference numbers the
+    product_lines × shipping fan-out and keeps rank 1 via the *outer*
+    filter (the inner ``WHERE rank = 1`` is a Postgres-scoping no-op,
+    ``setup.sql:356`` — see module docstring); every product-line
+    column it projects is order-level constant, so we dedup the
+    order-level header first (cheaper: the distinct runs before the
+    join, not after the fan-out) and rank shipping rows per order by
+    (INVOICE DATE, shipping id) for determinism.
+    """
+    header = product_lines_df.select(
+        "transaction_id",
+        "order_id",
+        "CUSTOMER NO",
+        "CUSTOMER NAME",
+        "ORDER NO",
+        "PAID AMOUNT",
+        "PAYMENT TYPE",
+        "INVOICE DATE",
+        "DELIVERY DATE",
+        "ORDER DATE",
+        "DUE DATE",
+    ).distinct()
+    s = shipping.alias("s")
+    w = Window.partitionBy(F.col("pl.order_id")).orderBy(
+        F.col("pl.INVOICE DATE").asc(), F.col("s.id").asc()
+    )
+    price = F.col("s.price")
+    discount_pct = F.coalesce(
+        100 * (1 - (F.col("s.discounted_price") / F.nullif(price, F.lit(0).cast("decimal(18,2)")))),
+        F.lit(0).cast("decimal(38,15)"),
+    )
+    return (
+        header.alias("pl")
+        .join(s, F.col("s.order_id") == F.col("pl.order_id"), "inner")
+        .select(
+            F.col("pl.transaction_id").alias("transaction_id"),
+            F.col("pl.order_id").alias("order_id"),
+            F.lit("payment").alias("payment_tag"),
+            F.col("pl.CUSTOMER NO").alias("CUSTOMER NO"),
+            F.col("pl.CUSTOMER NAME").alias("CUSTOMER NAME"),
+            F.col("pl.ORDER NO").alias("ORDER NO"),
+            F.col("pl.PAID AMOUNT").alias("PAID AMOUNT"),
+            F.lit(1).alias("ORDER LINE - COUNT"),
+            F.lit(None).cast("string").alias("ORDER LINE - PROD NAME"),
+            price.alias("ORDER LINE - UNIT PRICE"),
+            discount_pct.alias("ORDER LINE - DISCOUNT"),
+            F.lit(3).alias("ORDER LINE - VAT CODE"),
+            F.col("s.title").alias("ORDER LINE - DESCRIPTION"),
+            F.lit("SHIPPING").alias("ORDER LINE - PROD NO"),
+            F.col("pl.PAYMENT TYPE").alias("PAYMENT TYPE"),
+            F.col("pl.INVOICE DATE").alias("INVOICE DATE"),
+            F.col("pl.DELIVERY DATE").alias("DELIVERY DATE"),
+            F.col("pl.ORDER DATE").alias("ORDER DATE"),
+            F.col("pl.DUE DATE").alias("DUE DATE"),
+            F.row_number().over(w).alias("rank"),
+            F.lit(3).alias("priority"),
+        )
+    )
+
+
+def tripletex_invoice(tables: dict[str, DataFrame]) -> DataFrame:
+    """The full invoice view (reference ``setup.sql:192-394``):
+    4-way UNION DISTINCT of the branch line sets, rank-1 dedup,
+    2-dp HALF_UP money rounding, branch-priority sort columns kept
+    for the final cosmetic ordering.
+
+    Returns the view shape *including* ``payment_tag`` (consumed by
+    :func:`assign_invoice_numbers`, dropped from the final output).
+    """
+    stp = success_transaction_payments(tables["transactions"])
+    pl = product_lines(
+        stp, tables["orders"], tables["customers"], tables["line_item_products"]
+    )
+    rl = refund_lines(
+        tables["transactions"],
+        tables["refunds"],
+        tables["line_item_product_refunds"],
+        tables["orders"],
+        tables["customers"],
+        tables["line_item_products"],
+    )
+    sl = shipping_lines(pl, tables["shipping"])
+    gl = gift_card_lines(
+        tables["transactions"], stp, tables["orders"], tables["customers"]
+    )
+
+    def shape(df: DataFrame) -> DataFrame:
+        # Normalize branch column types before the union: money to
+        # DECIMAL(18,2) surviving the per-branch expression types,
+        # counts to INT.
+        return df.select(
+            F.col("transaction_id").cast("long"),
+            F.col("order_id").cast("long"),
+            "payment_tag",
+            F.col("CUSTOMER NO").cast("int"),
+            "CUSTOMER NAME",
+            "ORDER NO",
+            F.col("PAID AMOUNT").cast("decimal(18,2)"),
+            F.col("ORDER LINE - COUNT").cast("int"),
+            "ORDER LINE - PROD NAME",
+            F.col("ORDER LINE - UNIT PRICE").cast("decimal(18,2)"),
+            F.round(F.col("ORDER LINE - DISCOUNT"), 6).cast("decimal(18,6)").alias("ORDER LINE - DISCOUNT"),
+            F.col("ORDER LINE - VAT CODE").cast("int"),
+            "ORDER LINE - DESCRIPTION",
+            "ORDER LINE - PROD NO",
+            "PAYMENT TYPE",
+            "INVOICE DATE",
+            "DELIVERY DATE",
+            "ORDER DATE",
+            "DUE DATE",
+            F.col("rank").cast("int"),
+            F.col("priority").cast("int"),
+        )
+
+    unioned = (
+        shape(pl)
+        .unionByName(shape(rl))
+        .unionByName(shape(sl))
+        .unionByName(shape(gl))
+        .distinct()  # UNION in the reference is UNION DISTINCT (setup.sql:381-389)
+    )
+    return unioned.filter(F.col("rank") == 1).select(
+        "transaction_id",
+        "order_id",
+        "payment_tag",
+        "CUSTOMER NO",
+        "CUSTOMER NAME",
+        "ORDER NO",
+        F.round(F.col("PAID AMOUNT"), 2).cast("decimal(18,2)").alias("PAID AMOUNT"),
+        "ORDER LINE - COUNT",
+        "ORDER LINE - PROD NAME",
+        F.round(F.col("ORDER LINE - UNIT PRICE"), 2)
+        .cast("decimal(18,2)")
+        .alias("ORDER LINE - UNIT PRICE"),
+        F.round(F.col("ORDER LINE - DISCOUNT"), 2)
+        .cast("decimal(18,2)")
+        .alias("ORDER LINE - DISCOUNT"),
+        "ORDER LINE - VAT CODE",
+        "ORDER LINE - DESCRIPTION",
+        "ORDER LINE - PROD NO",
+        "PAYMENT TYPE",
+        "INVOICE DATE",
+        "DELIVERY DATE",
+        "ORDER DATE",
+        "DUE DATE",
+        "priority",
+    )
+
+
+def assign_invoice_numbers(
+    invoice_view: DataFrame,
+    from_date: datetime.date | str,
+    to_date: datetime.date | str,
+    invoice_start_id: int,
+) -> DataFrame:
+    """Date-window the invoice lines and attach one consecutive
+    invoice number per (ORDER NO, payment_tag) group, starting at
+    ``invoice_start_id`` (reference ``db.py:409-483``).
+
+    The reference's ``ROW_NUMBER() OVER ()`` numbers groups in
+    arbitrary hash-agg order; we order by (ORDER NO, payment_tag) —
+    deterministic, still consecutive from the start id. As in the
+    reference, the numbered-group side is date-filtered but the
+    line side is not: a group whose lines span the window boundary
+    keeps *all* its lines (observable for multi-refund orders).
+
+    The global ROW_NUMBER runs on the *grouped* side — one row per
+    invoice, thousands not billions — so the single-partition window
+    is safe at any realistic scale; the fact-sized join that follows
+    is key-partitioned as usual (SURVEY §2.5 W2 scale note).
+    """
+    in_window = invoice_view.filter(
+        F.col("INVOICE DATE").between(F.lit(from_date), F.lit(to_date))
+    )
+    groups = (
+        in_window.select("ORDER NO", "payment_tag")
+        .distinct()
+        .withColumn(
+            "INVOICE NO",
+            F.lit(invoice_start_id)
+            + F.row_number().over(Window.orderBy("ORDER NO", "payment_tag"))
+            - 1,
+        )
+    )
+    return (
+        invoice_view.alias("ti")
+        .join(groups.alias("ind"), ["ORDER NO", "payment_tag"], "right")
+        .select(
+            "ti.transaction_id",
+            "ti.order_id",
+            "ti.CUSTOMER NO",
+            "ti.CUSTOMER NAME",
+            F.col("ORDER NO"),
+            "ti.PAID AMOUNT",
+            "ti.PAYMENT TYPE",
+            "ti.ORDER LINE - COUNT",
+            "ti.ORDER LINE - PROD NAME",
+            "ti.ORDER LINE - UNIT PRICE",
+            "ti.ORDER LINE - DISCOUNT",
+            "ti.ORDER LINE - VAT CODE",
+            "ti.ORDER LINE - DESCRIPTION",
+            "ti.ORDER LINE - PROD NO",
+            "ti.INVOICE DATE",
+            "ti.DELIVERY DATE",
+            "ti.ORDER DATE",
+            "ti.DUE DATE",
+            F.col("ind.INVOICE NO").cast("int").alias("INVOICE NO"),
+        )
+        .orderBy("INVOICE NO", "CUSTOMER NAME")
+    )
+
+
+def build_invoices(
+    tables: dict[str, DataFrame],
+    from_date: datetime.date | str,
+    to_date: datetime.date | str,
+    invoice_start_id: int = 1,
+) -> DataFrame:
+    """End-to-end: view + numbering (the reference's
+    ``tripletex-generate`` path, SURVEY §3.2)."""
+    return assign_invoice_numbers(
+        tripletex_invoice(tables), from_date, to_date, invoice_start_id
+    )

@@ -11,6 +11,7 @@ computes money in decimals (see ``functions.parity``).
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 from typing import Any
 
@@ -51,6 +52,16 @@ def _norm_cell(v: Any) -> Any:
         if ts.tzinfo is not None:
             ts = ts.tz_convert("UTC").tz_localize(None)
         return ts.to_pydatetime()
+    if isinstance(v, datetime.date):
+        # Spark DateType arrives as datetime.date, DuckDB DATE as
+        # midnight datetime64 — normalize to midnight datetime.
+        return datetime.datetime(v.year, v.month, v.day)
+    if isinstance(v, decimal.Decimal):
+        # Engines disagree on decimal result precision propagation
+        # (DuckDB turns decimal division into DOUBLE); catalog queries
+        # therefore emit doubles, and any stray Decimal is compared
+        # through float.
+        return float(v)
     if isinstance(v, np.ndarray):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, (list, tuple)):
