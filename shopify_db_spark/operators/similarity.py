@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, both pure DataFrame plans:
+
+* :func:`cosine_topk` — exact brute-force: query rows × candidate
+  rows with the dot product expressed as ``zip_with`` +
+  ``aggregate`` (JVM-side, codegen'd — no Python per row). The
+  baseline and the verifier for the approximate tier. All float
+  inputs are widened to double *before* any arithmetic and summed
+  sequentially, which makes scores bit-reproducible across engines
+  and partitionings.
+* :func:`lsh_bucket_ann` — approximate: sign-of-projection LSH with
+  deterministic integer-weight hyperplanes (portable: no RNG, no
+  float seed drift), bucket equi-join, exact cosine re-rank inside
+  the bucket. At 100 TB the bucket join replaces the cross join —
+  candidates per query drop from N to bucket size; recall is tuned
+  by ``n_planes`` (fewer planes → bigger buckets → higher recall).
+
+An IVF variant (k-means coarse quantizer) would slot in the same
+shape — train centroids with ``pyspark.ml.clustering.KMeans``,
+assign ``bucket = argmin centroid distance``, same bucket-join —
+noted as the model-based alternative; the LSH path needs no trained
+state, which keeps the catalog query deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query row (excluding self).
+    Returns (query_id, neighbor_id, cosine, rank). Brute force: one
+    broadcast of the (small) query side against the candidate scan.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def lsh_plane_weight(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random hyperplane weight in [-6, 6]:
+    ``((dim*31 + plane*17 + 7) % 13) - 6``. Integer weights make the
+    projection exact in double arithmetic on any engine."""
+    return ((dim * 31 + plane * 17 + 7) % 13) - 6
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Sign-bit bucket string over ``n_planes`` integer-weight
+    hyperplanes."""
+    bits = []
+    for p in range(n_planes):
+        weights = F.array(
+            *[F.lit(float(lsh_plane_weight(p, j))) for j in range(dim)]
+        )
+        proj = dot(as_double(vec), weights)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_ann(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, exact cosine re-rank inside. Same output shape as
+    :func:`cosine_topk` (a query whose bucket holds < k neighbors
+    returns fewer rows — the standard ANN recall trade)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("query_id") != F.col("neighbor_id")) & (q["bucket"] == c["bucket"]))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def cosine_dedup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.98,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, optionally
+    blocked on a column (label, shard, LSH bucket) to bound the pair
+    join."""
+    a = vectors.select(
+        F.col(id_col).alias("id_a"),
+        as_double(F.col(vec_col)).alias("va"),
+        *( [F.col(block_col).alias("block_a")] if block_col else [] ),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        as_double(F.col(vec_col)).alias("vb"),
+        *( [F.col(block_col).alias("block_b")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("block_a") == F.col("block_b"))
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,1 +1,179 @@
-"""Placeholder module — queries registered in a later milestone."""
+"""Event-stream analytics over the ``events`` table.
+
+The reference has no streaming surface (SURVEY §2.11) — its
+incremental story is ``created_at_min/max`` request windows. These
+queries are the batch expressions of the standard event-time
+operators a Spark engine provides (the Structured Streaming
+equivalents live in ``shopify_db_spark.streaming``): tumbling
+windows, gap-based sessionization, and semi-structured JSON
+extraction from the ``props`` payload column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from shopify_db_spark.functions.parity import dec, money_out
+from shopify_db_spark.plans.catalog import query
+from shopify_db_spark.sources.tables import load_table
+
+
+@query(
+    "q14_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, CAST(session_no AS INT) AS session_no,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_no
+""",
+)
+def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → gap flag →
+    running sum → per-session aggregate. The classic batch
+    sessionizer; one shuffle on ``user_id`` serves both windows and
+    the aggregation. Ties on ``ts`` break by ``event_id``."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_no", F.sum("new_session").over(running).cast("int"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "q15_tumbling_window",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+""",
+)
+def q15_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window aggregate per event type — the batch
+    twin of the Structured Streaming windowed aggregation
+    (``streaming.jobs``); ``date_trunc`` keys make the window
+    boundary explicit and engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_out(F.sum(dec("value"))).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q16_json_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+            THEN 'high' ELSE 'low' END AS k_bucket
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+""",
+)
+def q16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from a JSON payload column
+    (reference N1/N7 ingest flattening, applied at query time):
+    typed ``from_json`` beats per-row string functions — the parse
+    happens once and the field access is a struct projection."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p",
+        F.from_json(
+            F.col("props"), T.StructType([T.StructField("k", T.IntegerType())])
+        ),
+    )
+    return (
+        parsed.filter(F.col("p.k").isNotNull())
+        .select(
+            "event_id",
+            F.col("p.k").alias("k_value"),
+            F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_bucket"),
+        )
+    )
+
+
+@query(
+    "q19_event_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, first_view, first_click, first_purchase,
+       CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                 AND first_purchase > first_click THEN TRUE
+            ELSE FALSE END AS completed_funnel
+FROM firsts
+""",
+)
+def q19_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation funnel (view → click → purchase
+    ordering per user): MIN(CASE WHEN ...) pivots event types into
+    columns in a single pass — no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_of(etype: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    completed = (
+        F.col("first_view").isNotNull()
+        & (F.col("first_click") > F.col("first_view"))
+        & (F.col("first_purchase") > F.col("first_click"))
+    )
+    return firsts.select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        F.coalesce(completed, F.lit(False)).alias("completed_funnel"),
+    )

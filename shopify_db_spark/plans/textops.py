@@ -1,1 +1,293 @@
-"""Placeholder module — queries registered in a later milestone."""
+"""Document-corpus catalog queries: text analysis + dedup family
+over the ``documents`` table, each a thin wrapper around
+``functions.text`` / ``operators.dedup`` with a DuckDB oracle where
+the semantics are SQL-expressible.
+
+Portability notes baked into the oracles: DuckDB's
+``regexp_replace`` needs the ``'g'`` flag to match Spark's
+replace-all; md5 hex is identical on both engines (the reason the
+dedup family hashes with md5); ratio math is done in DOUBLE on both
+sides (bit-identical IEEE ops, no rounding)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shopify_db_spark.functions import text as TX
+from shopify_db_spark.operators import dedup as DD
+from shopify_db_spark.plans.catalog import query
+from shopify_db_spark.sources.tables import load_table
+
+#: the oracle-side rendering of normalize_text()
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+#: oracle-side whitespace tokens of the normalized text
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@query(
+    "q21_exact_dedup",
+    oracle=f"""
+SELECT md5({_NORM}) AS fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+""",
+)
+def q21_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on the normalized-text md5
+    fingerprint, lowest doc_id survives. One shuffle on the
+    fingerprint; at 100 TB this is the standard first pass (hash is
+    tiny vs. text, so the shuffle moves 16-byte keys, not
+    documents)."""
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q22_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS n_tokens,
+       CAST(length({_NORM}) AS INT) AS n_chars_norm,
+       CAST(length({_NORM}) AS DOUBLE) / len({_TOKS}) AS chars_per_token
+FROM documents
+""",
+)
+def q22_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char stats — pure
+    projection, whole-stage codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm_len = F.length(TX.normalize_text(F.col("text")))
+    n_tok = TX.token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        norm_len.cast("int").alias("n_chars_norm"),
+        (norm_len.cast("double") / n_tok).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q23_quality_scores",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter({_TOKS},
+              x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+              AS DOUBLE) AS n_stop,
+         CAST(length({_NORM}) AS DOUBLE) AS n_chars,
+         CAST(length({_NORM})
+              - length(regexp_replace({_NORM}, '[.,;:!?''"()\\[\\]-]', '', 'g'))
+              AS DOUBLE) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       n_stop / n_tok AS stopword_ratio,
+       n_punct / n_chars AS punct_ratio,
+       0.5 * LEAST(n_tok / 100.0, 1.0)
+         + 0.3 * LEAST((n_stop / n_tok) * 4.0, 1.0)
+         - 0.2 * LEAST((n_punct / n_chars) * 5.0, 1.0)
+         + 0.2 AS quality
+FROM t
+""",
+)
+def q23_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword / punctuation heuristics
+    combined into the cheap pre-filter score (``functions.text``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = TX.token_count(text).cast("double")
+    return docs.select(
+        "doc_id",
+        (TX.stopword_count(text).cast("double") / n_tok).alias("stopword_ratio"),
+        TX.punct_ratio(text).alias("punct_ratio"),
+        TX.quality_score(text).alias("quality"),
+    )
+
+
+def _lang_count_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+    return f"CAST(len(list_filter({_TOKS}, x -> list_contains([{words}], x))) AS INT)"
+
+
+@query(
+    "q24_lang_id",
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_lang_count_sql('en')} AS s_en,
+         {_lang_count_sql('es')} AS s_es,
+         {_lang_count_sql('de')} AS s_de,
+         {_lang_count_sql('fr')} AS s_fr,
+         {_lang_count_sql('zh')} AS s_zh
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN GREATEST(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+            WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+            WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+            WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS detected_lang,
+       s_en, s_es, s_de, s_fr, s_zh
+FROM scores
+""",
+)
+def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via per-language stopword hits with a
+    deterministic argmax precedence (en > es > de > fr > zh)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = TX.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id(F.col("text")).alias("detected_lang"),
+        *[scores[lang].cast("int").alias(f"s_{lang}") for lang in TX.LANG_STOPWORDS],
+    )
+
+
+@query(
+    "q25_ngram_jaccard_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+""",
+)
+def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact 3-word-shingle Jaccard over pairs
+    blocked by ``source`` (the verify-stage operator; LSH generates
+    candidates at scale, q26). The shingle join is keyed on
+    (block, shingle), never a full cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(
+        docs, block_cols=["source"], n=3, threshold=0.2
+    )
+
+
+@query(
+    "q26_minhash_lsh_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+),
+salted AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+  FROM shingles, UNNEST(generate_series(0, 7)) AS s(seed)
+),
+sig AS (
+  SELECT doc_id, seed, MIN(h) AS minhash FROM salted GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS INT) AS band,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+                        ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)) AS band_key
+  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 2) AS INT)
+),
+sized AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key HAVING COUNT(*) <= 50
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN sized s ON s.band = a.band AND s.band_key = a.band_key
+  JOIN bands b ON b.band = a.band AND b.band_key = a.band_key
+             AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 8
+           AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+GROUP BY doc_a, doc_b
+""",
+)
+def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: md5 min-wise signatures
+    over 3-word shingles (portable min-wise family — see
+    ``operators.dedup``), 4 bands × 2 rows, bucket-size cap against
+    boilerplate hot keys, candidates scored by signature agreement."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, n_seeds=8, band_size=2, max_bucket=50)
+
+
+@query("q27_simhash_pairs", oracle=None)
+def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (≤4/32 differing bits, 8-bit prefix
+    blocking). No SQL oracle: the 32-column bit-charge pivot has no
+    reasonable ANSI-SQL rendering — covered by unit tests on
+    constructed near-identical documents instead (rows-only check
+    here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=4)
+
+
+@query(
+    "q28_winnow_fingerprints",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(substring(t, i, 8)) AS h
+  FROM norm, UNNEST(generate_series(1, GREATEST(length(t) - 7, 1))) AS u(i)
+)
+SELECT doc_id, MIN(h) AS winnow_fp
+FROM grams GROUP BY doc_id
+""",
+)
+def q28_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: minimum md5 over character
+    8-grams (winnowing with k=1) — equal sketches flag shared
+    minimal substrings across the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.winnow_fingerprint(F.col("text"), 8).alias("winnow_fp")
+    )
+
+
+@query(
+    "q29_bpe_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all({_NORM}, '([a-z]+|[0-9]+|[^a-z0-9 ])')) AS INT)
+           AS n_pieces,
+       CAST(len({_TOKS}) AS INT) AS n_words
+FROM documents
+""",
+)
+def q29_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-ish token counting: letter/digit/punct segment pieces
+    (BPE-flavored upper bound) next to whitespace words."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.bpe_ish_token_count(F.col("text")).cast("int").alias("n_pieces"),
+        TX.token_count(F.col("text")).cast("int").alias("n_words"),
+    )

@@ -285,3 +285,306 @@ def q06_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(
         keys, cand["missing_orderkey"] == keys["o_orderkey"], "left_anti"
     )
+
+
+@query(
+    "q07_composite_key_join",
+    oracle="""
+WITH returns AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DECIMAL(12,4)) AS refund_d
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT li.l_orderkey AS orderkey, li.l_linenumber AS linenumber,
+       CAST(ROUND(CAST(li.l_extendedprice AS DECIMAL(12,4)), 2) AS DOUBLE) AS line_price,
+       CAST(ROUND(COALESCE(r.refund_d, 0), 2) AS DOUBLE) AS refunded
+FROM lineitem li
+LEFT JOIN returns r
+  ON r.l_orderkey = li.l_orderkey AND r.l_linenumber = li.l_linenumber
+WHERE li.l_shipdate >= TIMESTAMP '2000-01-01'
+""",
+)
+def q07_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite two-key LEFT join (reference J3: the refund
+    line-item join on ``(order_id, line_item_product_id)``,
+    ``setup.sql:325-326``) with a COALESCE fallback (F6). Both sides
+    shuffle once on the same two-column key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returns = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", dec("l_extendedprice").alias("refund_d"))
+    )
+    base = li.filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        base.alias("li")
+        .join(
+            returns.alias("r"),
+            (F.col("r.l_orderkey") == F.col("li.l_orderkey"))
+            & (F.col("r.l_linenumber") == F.col("li.l_linenumber")),
+            "left",
+        )
+        .select(
+            F.col("li.l_orderkey").alias("orderkey"),
+            F.col("li.l_linenumber").alias("linenumber"),
+            money_out(dec("li.l_extendedprice")).alias("line_price"),
+            money_out(
+                F.coalesce(F.col("r.refund_d"), F.lit(0).cast(T.DecimalType(12, 4)))
+            ).alias("refunded"),
+        )
+    )
+
+
+@query(
+    "q08_group_numbering",
+    oracle="""
+WITH groups AS (
+  SELECT o_custkey, o_orderstatus,
+         ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderstatus) AS seq
+  FROM orders
+  GROUP BY o_custkey, o_orderstatus
+)
+SELECT o.o_orderkey AS orderkey, g.o_custkey AS custkey,
+       g.o_orderstatus AS orderstatus,
+       CAST(1000 + g.seq - 1 AS INT) AS group_no
+FROM orders o
+RIGHT JOIN groups g
+  ON o.o_custkey = g.o_custkey AND o.o_orderstatus = g.o_orderstatus
+""",
+)
+def q08_group_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-numbered groups attached back to detail rows via a
+    RIGHT join with start-offset arithmetic — the invoice-numbering
+    shape standalone (reference J5+W2+F12, ``db.py:458-469``). The
+    single-partition window runs on the distinct-group side only
+    (small), never on the fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    groups = (
+        orders.select("o_custkey", "o_orderstatus")
+        .distinct()
+        .withColumn(
+            "group_no",
+            (
+                F.lit(1000)
+                + F.row_number().over(Window.orderBy("o_custkey", "o_orderstatus"))
+                - 1
+            ).cast("int"),
+        )
+    )
+    return (
+        orders.alias("o")
+        .join(groups.alias("g"), ["o_custkey", "o_orderstatus"], "right")
+        .select(
+            F.col("o.o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("orderstatus"),
+            F.col("g.group_no").alias("group_no"),
+        )
+    )
+
+
+@query(
+    "q09_predicate_gallery",
+    oracle="""
+SELECT p_partkey AS partkey, p_name AS name, p_brand AS brand,
+       p_type AS ptype, p_size AS psize
+FROM part
+WHERE (lower(p_name) LIKE '%bolt%'
+       OR p_type IN ('ECONOMY', 'PREMIUM'))
+  AND p_brand LIKE 'Brand#1%'
+  AND p_name IS NOT NULL
+  AND p_size BETWEEN 1 AND 40
+  AND p_name NOT IN ('never-matches')
+""",
+)
+def q09_predicate_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate gallery (reference P3-P11): case-insensitive
+    substring (ILIKE ≡ lower+LIKE), IN-list, prefix LIKE, null
+    check, BETWEEN, negated membership — all pushed into one parquet
+    scan filter (no shuffle at all)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        (F.col("p_name").ilike("%bolt%") | F.col("p_type").isin("ECONOMY", "PREMIUM"))
+        & F.col("p_brand").like("Brand#1%")
+        & F.col("p_name").isNotNull()
+        & F.col("p_size").between(1, 40)
+        & ~F.col("p_name").isin("never-matches")
+    ).select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        F.col("p_size").alias("psize"),
+    )
+
+
+@query(
+    "q10_scalar_gallery",
+    oracle="""
+SELECT c_custkey AS custkey,
+       CAST(RIGHT(CAST(c_custkey AS VARCHAR(18)), 9) AS INT) AS customer_no,
+       CASE WHEN NULLIF(c_name, '') IS NOT NULL
+                 AND NULLIF(c_mktsegment, '') IS NOT NULL
+            THEN CONCAT(c_name, ' - ', c_mktsegment)
+            WHEN c_name IS NOT NULL THEN c_name
+            ELSE NULL END AS display_name,
+       CONCAT(c_name, '-1') AS refund_name,
+       COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment,
+       CAST(c_acctbal AS DOUBLE) / NULLIF(CAST(c_nationkey AS DOUBLE), 0) AS bal_per_nation,
+       -CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,4)), 2) AS DOUBLE) AS neg_balance,
+       SUBSTRING(c_name, 10, 8) AS name_suffix,
+       ABS(CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,4)), 2) AS DOUBLE)) AS abs_balance
+FROM customer
+""",
+)
+def q10_scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function gallery (reference F2-F5, F8, F13, F15): the
+    9-digit id truncation, conditional CONCAT display name, NULLIF /
+    COALESCE chains, null-safe division (double-typed on both
+    engines — DuckDB lowers decimal division to DOUBLE), unary
+    minus, substring, abs. Pure projection — stays inside one
+    whole-stage-codegen span."""
+    c = load_table(spark, sf_dir, "customer")
+    display = (
+        F.when(
+            F.nullif(F.col("c_name"), F.lit("")).isNotNull()
+            & F.nullif(F.col("c_mktsegment"), F.lit("")).isNotNull(),
+            F.concat(F.col("c_name"), F.lit(" - "), F.col("c_mktsegment")),
+        )
+        .when(F.col("c_name").isNotNull(), F.col("c_name"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    bal2 = money_out(dec("c_acctbal"))
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.right(F.col("c_custkey").cast("string"), F.lit(9)).cast("int").alias("customer_no"),
+        display.alias("display_name"),
+        F.concat(F.col("c_name"), F.lit("-1")).alias("refund_name"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("")), F.lit("UNKNOWN")).alias("segment"),
+        (
+            F.col("c_acctbal").cast("double")
+            / F.nullif(F.col("c_nationkey").cast("double"), F.lit(0.0))
+        ).alias("bal_per_nation"),
+        (-bal2).alias("neg_balance"),
+        F.substring(F.col("c_name"), 10, 8).alias("name_suffix"),
+        F.abs(bal2).alias("abs_balance"),
+    )
+
+
+@query(
+    "q11_first_per_group",
+    oracle="""
+SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+       MIN(c_custkey) AS first_custkey,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def q11_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative row per group (reference A3's
+    ``groupby().first()`` unknown-gateway report) — expressed as a
+    deterministic MIN instead of pandas frame-order ``first``."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.min("c_custkey").alias("first_custkey"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "q12_global_aggregates",
+    oracle="""
+SELECT COUNT(DISTINCT s_nationkey) AS n_supplier_nations,
+       COUNT(*) AS n_suppliers,
+       CAST(MIN(s_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(s_acctbal) AS DOUBLE) AS max_bal,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_bal,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(12,4)))
+                  / COUNT(*), 2) AS DOUBLE) AS mean_bal
+FROM supplier
+""",
+)
+def q12_global_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregates (reference A4-A6): exact count-distinct,
+    min/max, decimal-exact sum and mean (mean = decimal sum / count
+    so both engines divide the same exact operands; DuckDB lowers
+    the division to DOUBLE and Spark's decimal result is rounded to
+    the same 2 dp)."""
+    s = load_table(spark, sf_dir, "supplier")
+    sum_d = F.sum(dec("s_acctbal"))
+    return s.agg(
+        F.countDistinct("s_nationkey").alias("n_supplier_nations"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.min("s_acctbal").cast("double").alias("min_bal"),
+        F.max("s_acctbal").cast("double").alias("max_bal"),
+        money_out(sum_d).alias("total_bal"),
+        money_out(sum_d / F.count(F.lit(1))).alias("mean_bal"),
+    )
+
+
+@query(
+    "q17_topk_per_group",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,4)), 2) AS DOUBLE) AS price,
+       CAST(rn AS INT) AS price_rank
+FROM ranked WHERE rn <= 3
+""",
+)
+def q17_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window + filter — the scalable
+    top-k idiom (no global sort, no collect). Catalyst pushes the
+    rank filter into the window via a TopK/rank-limit optimization
+    when available."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            money_out(dec("o_totalprice")).alias("price"),
+            F.col("rn").cast("int").alias("price_rank"),
+        )
+    )
+
+
+@query(
+    "q18_semi_anti_joins",
+    oracle="""
+SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q18_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders (the FK-orphan /
+    referential-integrity check shape, reference J6 — Spark has no
+    FK enforcement so integrity is a query). ``left_anti`` avoids
+    materializing the match side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+    )

@@ -1,1 +1,134 @@
-"""Placeholder module — queries registered in a later milestone."""
+"""Embedding similarity-search catalog queries over ``embeddings``
+(``vec_id``, ``embedding array<float>``, ``label``), wrapping
+``operators.similarity``.
+
+Score parity strategy: both engines widen floats to double *before*
+multiplying and fold the products sequentially left-to-right
+(Spark ``aggregate``, DuckDB ``list_reduce``), so cosine scores are
+bit-identical and the raw doubles hash-match without rounding."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shopify_db_spark.operators import similarity as SIM
+from shopify_db_spark.plans.catalog import query
+from shopify_db_spark.sources.tables import load_table
+
+DIM = 64
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 rows are the query set
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{_sql_dot(a, b)} / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+    )
+
+
+@query(
+    "q30_cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'c.embedding')} AS cosine
+  FROM q JOIN embeddings c ON c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 per query vector — the ANN
+    baseline/verifier. The small query side broadcasts; the dot
+    product is a codegen'd ``zip_with``+``aggregate``, no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return SIM.cosine_topk(queries, emb, k=5)
+
+
+def _sql_bucket(vec: str) -> str:
+    bits = []
+    for p in range(4):
+        weights = ",".join(
+            str(float(SIM.lsh_plane_weight(p, j))) for j in range(DIM)
+        )
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{weights}])[i]), "
+            "(acc, x) -> acc + x)"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+@query(
+    "q31_lsh_ann",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'c.embedding')} AS cosine
+  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q31_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: sign-projection LSH buckets
+    (deterministic integer-weight hyperplanes — no RNG, so the plan
+    is reproducible and oracle-checkable), bucket equi-join, exact
+    re-rank inside the bucket. The scale path: the bucket join
+    replaces q30's cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return SIM.lsh_bucket_ann(queries, emb, k=5, n_planes=4, dim=DIM)
+
+
+@query(
+    "q32_embedding_dedup",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.9
+""",
+)
+def q32_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by ``label``
+    (the cluster/shard key bounds the pair join — same shape as
+    blocking on an LSH bucket at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_dedup_pairs(emb, threshold=0.9, block_col="label")

@@ -59,6 +59,9 @@ def get_spark(
         # HALF_UP decimal round + null-on-div-by-zero match the
         # Postgres numeric semantics the reference relies on.
         .config("spark.sql.ansi.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS); read as raw longs
+        # and truncate to micros in the loader (DuckDB-equivalent).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -54,8 +54,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one benchmark table as a DataFrame."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Load one benchmark table as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark cannot
+    read natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as raw nanoseconds and is truncated to microseconds here
+    — exactly what DuckDB does when it lowers TIMESTAMP_NS to its
+    microsecond TIMESTAMP, so both engines see identical instants.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

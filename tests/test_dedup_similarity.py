@@ -1,0 +1,97 @@
+"""Behavioral tests for the dedup/similarity operator family on
+constructed corpora where ground truth is known — this is the
+coverage for the operators whose catalog entries are rows-only
+(SimHash has no SQL oracle) plus recall sanity for the LSH tiers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_db_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from shopify_db_spark.operators.similarity import cosine_topk, lsh_bucket_ann
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun near the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE, "src0"),
+        (2, BASE, "src0"),                              # exact duplicate
+        (3, BASE.replace("afternoon", "morning"), "src0"),  # near-dup
+        (4, "completely different text about spark query engines and "
+            "distributed shuffle joins at massive scale", "src0"),
+        (5, "EXTRA   whitespace  " + BASE, "src0"),     # ws-normalized dup-ish
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_groups(spark, corpus):
+    out = exact_dedup(corpus).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 2          # docs 1 and 2 share a fingerprint
+    assert groups.get(3) == 1 and groups.get(4) == 1
+
+
+def test_simhash_finds_near_dups(spark, corpus):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(corpus).collect()}
+    assert (1, 2) in pairs          # identical → hamming 0
+    assert (1, 3) in pairs          # one-word change → few bits
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(corpus).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark, corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, ["source"], threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [math.sin(0.1 * i + 0.05 * j) for j in range(8)]
+        rows.append((i, [float(x) for x in base], i % 4))
+    # vec 100: a near-copy of vec 0 (tiny perturbation)
+    rows.append((100, [x + 0.001 for x in rows[0][1]], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_selfless_and_ranked(spark, vectors):
+    out = cosine_topk(vectors.filter(F.col("vec_id") == 0), vectors, k=3).collect()
+    assert len(out) == 3
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in out)
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["neighbor_id"] == 100      # the near-copy wins
+    assert out[0]["cosine"] > 0.999
+
+
+def test_lsh_ann_recall_on_near_copy(spark, vectors):
+    out = lsh_bucket_ann(
+        vectors.filter(F.col("vec_id") == 0), vectors, k=3, n_planes=2, dim=8
+    ).collect()
+    # the near-copy must share the bucket and rank first
+    assert out and out[0]["neighbor_id"] == 100
