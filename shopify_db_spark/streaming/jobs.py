@@ -1,0 +1,143 @@
+"""Structured Streaming jobs.
+
+The reference ingests in batch, incrementalized only by
+``created_at_min/max`` request parameters (``shopify.py:138-139``)
+— SURVEY §2.11 notes streaming as the natural Spark extension. Two
+production shapes are provided, plus bounded-run helpers that let
+tests and catalog queries drive a stream to completion
+synchronously over the static benchmark parquet:
+
+* :func:`incremental_order_ingest` — ``readStream`` over raw-JSON
+  order drops, normalized with the SAME transforms as batch ingest
+  (``sources.json_ingest``), upserted exactly-once-per-batch via
+  ``foreachBatch`` into the CommerceStore (micro-batch MERGE: the
+  streaming twin of the reference's per-page upsert loop).
+* :func:`windowed_event_counts` / :func:`sessionized_events` —
+  event-time tumbling windows and native ``session_window``
+  aggregation with watermarks for late data.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shopify_db_spark.sources import json_ingest as ji
+from shopify_db_spark.sources.store import CommerceStore
+from shopify_db_spark.sources.tables import table_path
+
+#: physical schema of events.parquet under nanosAsLong (ts = raw ns)
+_EVENTS_RAW = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (parquet file source —
+    swap for kafka/kinesis in production; the downstream plan is
+    source-agnostic)."""
+    # the benchmark table is a single parquet file; the file stream
+    # source wants a directory, so scan sf_dir with a glob filter
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows with a late-data watermark: the
+    streaming twin of catalog q15."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).alias("total_value_d"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.round(F.col("total_value_d"), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+def sessionized_events(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` merges
+    events within the inactivity gap into growing state-backed
+    sessions (the stateful-operator path; the batch twin is q14's
+    lag+cumsum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_bounded(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a streaming DataFrame over its (bounded) source to
+    completion through a memory sink and return the materialized
+    result — the synchronous harness for tests/bench."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def incremental_order_ingest(
+    spark: SparkSession,
+    store: CommerceStore,
+    json_dir: str,
+    checkpoint_dir: str,
+):
+    """Exactly-once incremental ingest: watch a directory for raw
+    Shopify order JSON-lines drops, normalize each micro-batch with
+    the batch transforms, and MERGE all three derived tables inside
+    ``foreachBatch`` (per-batch atomicity + checkpointed offsets =
+    the streaming upgrade of the reference's page loop)."""
+    raw = spark.readStream.schema(ji.RAW_ORDER).json(json_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.persist()
+        try:
+            store.upsert("orders", ji.normalize_orders(batch_df))
+            store.upsert("line_item_products", ji.normalize_line_items(batch_df))
+            store.upsert("shipping", ji.normalize_shipping(batch_df))
+        finally:
+            batch_df.unpersist()
+
+    return (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,143 @@
+"""Behavioral coverage for the two rows-only surfaces: multimodal
+binary-column plumbing (operators.multimodal — the codec is stubbed,
+the Spark-side contract is the thing under test) and Structured
+Streaming jobs (streaming.jobs), which are checked for equivalence
+against their batch twins over the same bounded input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shopify_db_spark.operators import multimodal as MM
+from shopify_db_spark.sources.store import CommerceStore
+from shopify_db_spark.streaming import jobs as SJ
+from shopify_db_spark.testing import compare_frames
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x00\x01\x02PNGDATA", ("png", 64, 48, None, None)),
+        (2, "audio", b"RIFFWAVDATA" * 3, ("wav", None, None, 16000, 1500)),
+        (3, "video", b"\x00\x00ftypmp4video", ("mp4", 320, 240, 44100, 2500)),
+        (4, "video", b"tiny", ("mp4", 8, 8, 44100, 0)),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_extract_features_contract(spark, media):
+    out = MM.extract_features(media)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "kind", "n_bytes", "features",
+    ]
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # deterministic fake decoder: same bytes → same features, right dim
+    expected = MM.fake_decode(b"\x00\x01\x02PNGDATA", "image")
+    assert rows[1]["features"] == pytest.approx(expected)
+    assert len(rows[1]["features"]) == MM.FEATURE_DIM
+    assert rows[2]["n_bytes"] == len(b"RIFFWAVDATA" * 3)
+
+
+def test_decode_media_is_a_stub():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"x", "image")
+
+
+def test_resize_updates_metadata_only(spark, media):
+    out = MM.resize_stub(media, 100, 80)
+    r = out.filter(F.col("media_id") == 1).collect()[0]
+    assert (r["meta"]["width"], r["meta"]["height"]) == (100, 80)
+    assert bytes(r["content"]) == b"\x00\x01\x02PNGDATA"  # payload untouched
+    assert r["meta"]["format"] == "png"
+
+
+def test_frame_sample_plan(spark, media):
+    out = MM.frame_sample_plan(media, every_ms=1000).collect()
+    by_id: dict[int, list[int]] = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    # only video rows fan out; 2500ms at 1Hz → ts 0,1000,2000
+    assert set(by_id) == {3, 4}
+    assert sorted(by_id[3]) == [0, 1000, 2000]
+    assert by_id[4] == [0]  # zero-duration still yields the head frame
+
+
+def test_windowed_counts_match_batch(spark):
+    """The streaming tumbling-window agg over the bounded events
+    parquet must equal the same aggregation computed in batch."""
+    streamed = SJ.run_bounded(
+        SJ.windowed_event_counts(SJ.stream_events(spark, SF_SMOKE))
+    )
+    batch_events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    batch = (
+        batch_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).alias("total_value_d"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round(F.col("total_value_d"), 2).cast("double").alias("total_value"),
+        )
+    )
+    problems = compare_frames(streamed.toPandas(), batch.toPandas())
+    assert not problems, "; ".join(problems)
+
+
+def test_sessionized_events_bounded(spark):
+    """Sessions per user must be non-overlapping, gap-separated, and
+    conserve the total event count."""
+    sessions = SJ.run_bounded(
+        SJ.sessionized_events(SJ.stream_events(spark, SF_SMOKE))
+    ).collect()
+    n_total = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    )
+    assert sum(r["n_events"] for r in sessions) == n_total
+    by_user: dict[int, list] = {}
+    for r in sessions:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user_sessions in by_user.values():
+        user_sessions.sort(key=lambda r: r["session_start"])
+        for a, b in zip(user_sessions, user_sessions[1:]):
+            gap_s = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap_s >= 0, "overlapping sessions for one user"
+
+
+def test_incremental_order_ingest_matches_batch(spark, tmp_path):
+    """Streaming foreachBatch ingest over a JSON drop directory must
+    land the same three tables as the batch ingest path."""
+    from shopify_db_spark.ingest_jobs import ingest_from_json_dir
+    from tests.test_ingest import fixtures_to_raw_json
+
+    json_dir = tmp_path / "drops"
+    json_dir.mkdir()
+    fixtures_to_raw_json(json_dir)
+    # keep only orders.jsonl — the streaming job watches order drops
+    for extra in json_dir.glob("*.jsonl"):
+        if extra.name != "orders.jsonl":
+            extra.unlink()
+
+    stream_store = CommerceStore(spark, str(tmp_path / "stream_store"))
+    q = SJ.incremental_order_ingest(
+        spark, stream_store, str(json_dir), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    batch_store = CommerceStore(spark, str(tmp_path / "batch_store"))
+    ingest_from_json_dir(spark, batch_store, str(json_dir))
+
+    for table in ("orders", "line_item_products", "shipping"):
+        problems = compare_frames(
+            stream_store.read(table).toPandas(),
+            batch_store.read(table).toPandas(),
+        )
+        assert not problems, f"{table}: " + "; ".join(problems)
