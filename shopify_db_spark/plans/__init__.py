@@ -10,6 +10,7 @@ def load_all() -> dict[str, "QuerySpec"]:
     from shopify_db_spark.plans import (  # noqa: F401
         commerce,
         eventops,
+        legacy,
         mediaops,
         textops,
         tpch,

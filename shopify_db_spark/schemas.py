@@ -176,6 +176,20 @@ LINE_ITEM_PRODUCT_REFUNDS = _struct([
 
 #: table name -> schema, with each table's upsert conflict key
 #: (reference db.py:128,159,184,213,240,265,299,333,367,393).
+# Legacy product sub-schema (reference db.py:485-606): SERIAL id has
+# no Spark equivalent — the surrogate id is a deterministic hash of
+# the unique natural key `name` (SURVEY §7.4 item 7). Reference uses
+# REAL for price; we keep exact decimal (documented deviation — REAL
+# would break decimal-exact comparisons for no benefit).
+LEGACY_PRODUCT = _struct([
+    ("id", T.LongType(), False),
+    ("name", T.StringType(), False),
+    ("brand", T.StringType()),
+    ("price", MONEY),
+    ("currency", T.StringType()),
+    ("img", T.StringType()),
+])
+
 COMMERCE_TABLES: dict[str, T.StructType] = {
     "customers": CUSTOMERS,
     "orders": ORDERS,
@@ -187,11 +201,16 @@ COMMERCE_TABLES: dict[str, T.StructType] = {
     "shipping": SHIPPING,
     "refunds": REFUNDS,
     "line_item_product_refunds": LINE_ITEM_PRODUCT_REFUNDS,
+    "product": LEGACY_PRODUCT,
 }
 
 UPSERT_KEYS: dict[str, list[str]] = {
     name: ["id"] for name in COMMERCE_TABLES
-} | {"discounts": ["order_id", "discount_code"]}
+} | {
+    "discounts": ["order_id", "discount_code"],
+    # legacy product upserts ON CONFLICT (name) (db.py:596-603)
+    "product": ["name"],
+}
 
 # Columns the reference's ON CONFLICT SET lists *omit* (the insert
 # includes them but an update leaves the old value): orders never
