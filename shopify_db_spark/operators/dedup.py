@@ -12,8 +12,9 @@ Python in the loop) so they scale to billions of documents:
   *string* minima, which is engine-portable (no cross-engine 64-bit
   hash exists), an unusual but valid min-wise family: any fixed
   injective mapping to a totally ordered space works.
-* :func:`simhash` / :func:`simhash_pairs` — 32-bit charge-vector
-  sketch from per-token md5 bits; near-dups differ in few bits.
+* :func:`simhash` / :func:`simhash_pairs` — 64-bit charge-vector
+  sketch packed into one long; near-dups differ in few bits
+  (hamming = ``bit_count(xor)``).
 * :func:`ngram_jaccard_pairs` — exact Jaccard over shingle sets for
   candidate pairs inside a blocking key (the verify step after LSH,
   or standalone for small blocks).
@@ -141,29 +142,53 @@ def minhash_lsh_pairs(
     )
 
 
-def _md5_bit(h: Column, bit: int) -> Column:
-    """Bit ``bit`` (0..31) of the md5 hex prefix, as ±1 charge."""
-    nibble = F.conv(F.substring(h, bit // 4 + 1, 1), 16, 10).cast("int")
-    on = F.shiftright(nibble, 3 - (bit % 4)).bitwiseAND(F.lit(1))
-    return F.when(on == 1, F.lit(1)).otherwise(F.lit(-1))
-
-
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 32) -> DataFrame:
-    """32-bit SimHash: sum per-token md5-bit charges, take signs.
-    Returns (doc_id, simhash_bits array<int>), all JVM-side."""
+            bits: int = 64) -> DataFrame:
+    """SimHash packed into ONE 64-bit long: per-token ``xxhash64``
+    bit charges (±1) summed per document, sign bits reassembled with
+    shift-left + bitwise OR. Returns (doc_id, simhash long).
+
+    The packed representation is the scale choice: candidate rows
+    downstream carry 8 bytes instead of a 32-element array, and
+    hamming distance is one ``bit_count(a XOR b)`` instruction
+    instead of a zip_with/filter over arrays."""
     toks = doc_shingles(docs, id_col, text_col, n=1)
-    h = F.md5(F.col("shingle"))
+    h = F.xxhash64(F.col("shingle"))
     charges = toks.select(
-        "doc_id", *[_md5_bit(h, i).alias(f"b{i}") for i in range(bits)]
+        "doc_id",
+        *[
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(bits)
+        ],
     )
     summed = charges.groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
     )
-    sign_bits = F.array(
-        *[F.when(F.col(f"b{i}") > 0, 1).otherwise(0) for i in range(bits)]
+    packed = functools.reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                i,
+            )
+        ),
+        range(1, bits),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
-    return summed.select("doc_id", sign_bits.alias("simhash_bits"))
+    return summed.select("doc_id", packed.alias("simhash"))
+
+
+def _simhash_blocks(max_hamming: int, bits: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per block: ``max_hamming + 1`` near-equal
+    disjoint blocks covering all bits — by pigeonhole, two
+    signatures within ``max_hamming`` agree exactly on ≥1 block."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    out, start = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        out.append((start, width))
+        start += width
+    return out
 
 
 def simhash_pairs(
@@ -171,64 +196,57 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 4,
-    bits: int = 32,
-    n_blocks: int = 8,
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs whose SimHash differs in ≤ ``max_hamming``
-    bits. Multi-block banding bounds the pair join: the signature
-    splits into ``n_blocks`` equal blocks and candidates must agree
-    on at least one (block_idx, block_bits) key — by pigeonhole this
-    guarantees full recall whenever ``max_hamming < n_blocks``
-    (the standard permutation-table scheme specialised to disjoint
-    blocks). One exploded self-join on the block key instead of an
-    O(n²) cross join."""
-    width = bits // n_blocks
+    """Near-dup pairs whose SimHash differs in ≤ ``max_hamming`` of
+    ``bits`` bits. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Blocked self-join instead of O(n²): the signature splits into
+    ``max_hamming + 1`` disjoint blocks (the minimum block count
+    that still guarantees full recall — fewer blocks means WIDER
+    blocks, so each bucket key has ``2^width`` possible values and
+    buckets stay small); candidates must agree on at least one
+    (block_idx, block_value) key. Dedup of multi-block collisions
+    happens on (doc_a, doc_b) AFTER the cheap bit_count hamming
+    filter, so the shuffle dedups survivor pairs only."""
     sh = simhash(docs, id_col, text_col, bits)
     blocks = sh.select(
         "doc_id",
-        "simhash_bits",
+        "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("block_idx"),
-                        F.concat_ws(
-                            "", F.slice(F.col("simhash_bits"), i * width + 1, width)
-                        ).alias("block_bits"),
+                        F.shiftright(F.col("simhash"), start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_value"),
                     )
-                    for i in range(n_blocks)
+                    for i, (start, width) in enumerate(
+                        _simhash_blocks(max_hamming, bits)
+                    )
                 ]
             )
         ).alias("blk"),
-    ).select("doc_id", "simhash_bits", "blk.block_idx", "blk.block_bits")
+    ).select("doc_id", "simhash", "blk.block_idx", "blk.block_value")
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).alias("hamming")
+    return (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_bits") == F.col("b.block_bits"))
+            & (F.col("a.block_value") == F.col("b.block_value"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash_bits").alias("bits_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash_bits").alias("bits_b"),
+            hamming,
         )
-        .distinct()
-    )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.col("bits_a"), F.col("bits_b"), lambda x, y: (x != y).cast("int")
-            ),
-            lambda d: d == 1,
-        )
-    )
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -239,11 +239,11 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q27_simhash_pairs", oracle=None)
 def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (≤4/32 differing bits, 8-bit prefix
-    blocking). No SQL oracle: the 32-column bit-charge pivot has no
-    reasonable ANSI-SQL rendering — covered by unit tests on
-    constructed near-identical documents instead (rows-only check
-    here)."""
+    """SimHash near-dup pairs (≤4/64 differing bits, 5-block
+    pigeonhole banding, hamming = bit_count(xor) on packed longs).
+    No SQL oracle: the 64-column bit-charge pivot has no reasonable
+    ANSI-SQL rendering — covered by unit tests on constructed
+    near-identical documents instead (rows-only check here)."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.simhash_pairs(docs, max_hamming=4)
 
