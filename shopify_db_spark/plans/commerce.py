@@ -157,7 +157,9 @@ def commerce_tables_from_benchmark(
 ) -> dict[str, DataFrame]:
     """Materialize the mapping layer on Spark: register the source
     tables as views, then evaluate each commerce CTE. Catalyst prunes
-    the unused CTEs of each statement."""
+    the unused CTEs of each statement. (Measured: persisting these
+    blocks column pruning into the mapping and costs more than the
+    occasional re-derivation saves — they stay lazy.)"""
     for name in ("orders", "customer", "lineitem"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return {

@@ -440,11 +440,79 @@ def tripletex_invoice(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def invoice_groups(
+    tables: dict[str, DataFrame],
+    from_date: datetime.date | str,
+    to_date: datetime.date | str,
+) -> DataFrame:
+    """Distinct in-window (ORDER NO, payment_tag) invoice groups,
+    derived WITHOUT the six-join invoice view.
+
+    The numbering step needs only the set of group keys whose lines
+    fall in the date window; recomputing the whole view for that
+    (filter pushdown makes the two view references non-identical, so
+    Catalyst cannot reuse the exchange) doubles the pipeline cost.
+    The cheap derivation follows from the view's structure:
+
+    * every payment-tag group comes from an order with a rank-1
+      successful payment (product lines exist for all of them —
+      the line-item join is LEFT), with INVOICE DATE =
+      ``DATE(o.created_at)``; gift-card lines require the same
+      rank-1 payment and carry the same key and date, so they
+      never add a group;
+    * every refund group comes from a successful refund transaction
+      joined to its ``refunds`` row, key ``CONCAT(o.name, '-1')``,
+      INVOICE DATE = ``DATE(r.created_at)``;
+    * shipping lines inner-join product lines (subset keys/dates),
+      and UNION DISTINCT / rank-filtering can collapse rows but
+      never eliminate a whole group.
+
+    Equivalence with the view-derived group set is asserted in
+    tests/test_invoice.py.
+    """
+    stp1 = success_transaction_payments(tables["transactions"]).filter(
+        F.col("transaction_rank") == 1
+    )
+    o = tables["orders"].alias("o")
+    pay = (
+        stp1.alias("t")
+        .join(o, F.col("o.id") == F.col("t.order_id"), "left")
+        .select(
+            F.col("o.name").alias("ORDER NO"),
+            F.lit("payment").alias("payment_tag"),
+            F.to_date("o.created_at").alias("d"),
+        )
+    )
+    ref = (
+        tables["transactions"]
+        .filter((F.col("status") == "success") & (F.col("kind") == "refund"))
+        .alias("t")
+        .join(
+            tables["refunds"].alias("r"),
+            F.col("r.transaction_id") == F.col("t.id"),
+            "inner",
+        )
+        .join(o, F.col("o.id") == F.col("t.order_id"), "left")
+        .select(
+            F.concat(F.col("o.name"), F.lit("-1")).alias("ORDER NO"),
+            F.lit("refund").alias("payment_tag"),
+            F.to_date("r.created_at").alias("d"),
+        )
+    )
+    return (
+        pay.unionByName(ref)
+        .filter(F.col("d").between(F.lit(from_date), F.lit(to_date)))
+        .select("ORDER NO", "payment_tag")
+        .distinct()
+    )
+
+
 def assign_invoice_numbers(
     invoice_view: DataFrame,
     from_date: datetime.date | str,
     to_date: datetime.date | str,
     invoice_start_id: int,
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """Date-window the invoice lines and attach one consecutive
     invoice number per (ORDER NO, payment_tag) group, starting at
@@ -459,48 +527,82 @@ def assign_invoice_numbers(
 
     The global ROW_NUMBER runs on the *grouped* side — one row per
     invoice, thousands not billions — so the single-partition window
-    is safe at any realistic scale; the fact-sized join that follows
-    is key-partitioned as usual (SURVEY §2.5 W2 scale note).
+    is safe at any realistic scale.
+
+    The reference's RIGHT JOIN is decomposed by key nullability so
+    the big side never shuffles: every non-null group key exists in
+    the view (groups are derived from view lines), so the join is an
+    INNER join there — and the small numbered-group side broadcasts
+    under the session threshold. NULL-keyed groups (order missing or
+    unnamed) match nothing in an equi-join; the right join emits
+    them as one null-padded line each, reproduced explicitly.
+
+    ``groups`` (see :func:`invoice_groups`) skips re-deriving the
+    group keys from the six-join view; when omitted they are
+    computed from ``invoice_view`` itself.
     """
-    in_window = invoice_view.filter(
-        F.col("INVOICE DATE").between(F.lit(from_date), F.lit(to_date))
-    )
-    groups = (
-        in_window.select("ORDER NO", "payment_tag")
-        .distinct()
-        .withColumn(
-            "INVOICE NO",
+    if groups is None:
+        groups = (
+            invoice_view.filter(
+                F.col("INVOICE DATE").between(F.lit(from_date), F.lit(to_date))
+            )
+            .select("ORDER NO", "payment_tag")
+            .distinct()
+        )
+    numbered = groups.withColumn(
+        "INVOICE NO",
+        (
             F.lit(invoice_start_id)
             + F.row_number().over(Window.orderBy("ORDER NO", "payment_tag"))
-            - 1,
-        )
+            - 1
+        ).cast("int"),
     )
-    return (
+
+    out_cols = [
+        "transaction_id",
+        "order_id",
+        "CUSTOMER NO",
+        "CUSTOMER NAME",
+        "ORDER NO",
+        "PAID AMOUNT",
+        "PAYMENT TYPE",
+        "ORDER LINE - COUNT",
+        "ORDER LINE - PROD NAME",
+        "ORDER LINE - UNIT PRICE",
+        "ORDER LINE - DISCOUNT",
+        "ORDER LINE - VAT CODE",
+        "ORDER LINE - DESCRIPTION",
+        "ORDER LINE - PROD NO",
+        "INVOICE DATE",
+        "DELIVERY DATE",
+        "ORDER DATE",
+        "DUE DATE",
+        "INVOICE NO",
+    ]
+    matched = (
         invoice_view.alias("ti")
-        .join(groups.alias("ind"), ["ORDER NO", "payment_tag"], "right")
-        .select(
-            "ti.transaction_id",
-            "ti.order_id",
-            "ti.CUSTOMER NO",
-            "ti.CUSTOMER NAME",
-            F.col("ORDER NO"),
-            "ti.PAID AMOUNT",
-            "ti.PAYMENT TYPE",
-            "ti.ORDER LINE - COUNT",
-            "ti.ORDER LINE - PROD NAME",
-            "ti.ORDER LINE - UNIT PRICE",
-            "ti.ORDER LINE - DISCOUNT",
-            "ti.ORDER LINE - VAT CODE",
-            "ti.ORDER LINE - DESCRIPTION",
-            "ti.ORDER LINE - PROD NO",
-            "ti.INVOICE DATE",
-            "ti.DELIVERY DATE",
-            "ti.ORDER DATE",
-            "ti.DUE DATE",
-            F.col("ind.INVOICE NO").cast("int").alias("INVOICE NO"),
+        .join(
+            numbered.filter(F.col("ORDER NO").isNotNull()).alias("ind"),
+            ["ORDER NO", "payment_tag"],
+            "inner",
         )
-        .orderBy("INVOICE NO", "CUSTOMER NAME")
+        .select(
+            *[
+                F.col(c) if c in ("ORDER NO", "INVOICE NO") else F.col(f"ti.{c}")
+                for c in out_cols
+            ]
+        )
     )
+    view_types = {f.name: f.dataType for f in invoice_view.schema.fields}
+    null_padded = numbered.filter(F.col("ORDER NO").isNull()).select(
+        *[
+            F.col(c)
+            if c in ("ORDER NO", "INVOICE NO")
+            else F.lit(None).cast(view_types[c]).alias(c)
+            for c in out_cols
+        ]
+    )
+    return matched.unionByName(null_padded).orderBy("INVOICE NO", "CUSTOMER NAME")
 
 
 def build_invoices(
@@ -510,7 +612,13 @@ def build_invoices(
     invoice_start_id: int = 1,
 ) -> DataFrame:
     """End-to-end: view + numbering (the reference's
-    ``tripletex-generate`` path, SURVEY §3.2)."""
+    ``tripletex-generate`` path, SURVEY §3.2). The group keys come
+    from :func:`invoice_groups` so the six-join view executes once,
+    not twice."""
     return assign_invoice_numbers(
-        tripletex_invoice(tables), from_date, to_date, invoice_start_id
+        tripletex_invoice(tables),
+        from_date,
+        to_date,
+        invoice_start_id,
+        groups=invoice_groups(tables, from_date, to_date),
     )

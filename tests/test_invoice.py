@@ -111,3 +111,56 @@ def test_invoice_semantic_spot_checks(spark):
 
     # 13-digit customer id truncates to last 9 digits.
     assert by_order["#1001"][0]["CUSTOMER NO"] == 567890123
+
+
+def test_invoice_groups_equivalence(spark):
+    """invoice_groups (the cheap transactions/orders derivation) must
+    equal the group set derived from the six-join view itself."""
+    from pyspark.sql import functions as F
+
+    from shopify_db_spark.plans.invoice import invoice_groups
+
+    tables = build_tables(spark)
+    view = tripletex_invoice(tables)
+    from_view = set(
+        (r["ORDER NO"], r["payment_tag"])
+        for r in view.filter(
+            F.col("INVOICE DATE").between(F.lit(FROM_DATE), F.lit(TO_DATE))
+        )
+        .select("ORDER NO", "payment_tag")
+        .distinct()
+        .collect()
+    )
+    cheap = set(
+        (r["ORDER NO"], r["payment_tag"])
+        for r in invoice_groups(tables, FROM_DATE, TO_DATE).collect()
+    )
+    assert cheap == from_view and len(cheap) > 0
+
+
+def test_null_order_no_group_emits_padded_line(spark):
+    """An order with a NULL name (or a payment transaction whose
+    order is missing) forms a NULL-keyed group; the reference's
+    RIGHT JOIN emits it as one null-padded line with its own invoice
+    number — replicated by the explicit null-key path."""
+    from pyspark.sql import functions as F
+
+    tables = dict(build_tables(spark))
+    baseline = build_invoices(tables, FROM_DATE, TO_DATE, START_ID).collect()
+    # Strip the name from order 1001: its product/shipping lines get a
+    # NULL ORDER NO and drop out of the equi-join, and the NULL group
+    # surfaces as exactly one null-padded numbered line.
+    tables["orders"] = tables["orders"].withColumn(
+        "name", F.when(F.col("id") == 11, F.lit(None)).otherwise(F.col("name"))
+    )
+    out = build_invoices(tables, FROM_DATE, TO_DATE, START_ID).collect()
+    padded = [r for r in out if r["ORDER NO"] is None]
+    assert len(padded) == 1
+    assert padded[0]["INVOICE NO"] is not None
+    assert padded[0]["CUSTOMER NAME"] is None and padded[0]["PAID AMOUNT"] is None
+    # NULL sorts first in the numbering order -> it takes the start id.
+    assert padded[0]["INVOICE NO"] == START_ID
+    # Everything not belonging to #1001 is unaffected except numbering.
+    kept = {r["ORDER NO"] for r in out if r["ORDER NO"] is not None}
+    base_keys = {r["ORDER NO"] for r in baseline if r["ORDER NO"] != "#1001"}
+    assert kept == base_keys
