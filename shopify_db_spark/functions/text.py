@@ -52,11 +52,16 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(pieces)
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Array of n-word shingles (the dedup unit for MinHash /
-    Jaccard). Documents shorter than ``n`` words yield their full
-    token string as the single shingle."""
-    toks = tokens(col)
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from an ALREADY-MATERIALIZED token array.
+
+    Higher-order functions are interpreted (not codegen'd) and
+    re-evaluate every non-lambda subtree of the lambda body once per
+    element — so ``toks`` must be a projected column (or other cheap
+    expression), never an inline ``split(regexp_replace(...))``
+    chain, or the tokenization cost multiplies by the shingle count.
+    Call sites project the token array first (Catalyst keeps a
+    multi-referenced non-trivial projection as a real column)."""
     k = F.size(toks) - (n - 1)
     return F.when(
         k >= 1,
@@ -67,15 +72,32 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def char_ngrams(col: Column, n: int = 8) -> Column:
-    """Array of character n-grams of the normalized text (rolling
-    fingerprint unit)."""
-    norm = normalize_text(col)
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (the dedup unit for MinHash /
+    Jaccard). Documents shorter than ``n`` words yield their full
+    token string as the single shingle.
+
+    NOTE: inline form — fine for small inputs and tests; hot paths
+    should project ``tokens(col)`` first and use
+    :func:`shingles_of_tokens` (see its HOF re-evaluation caveat)."""
+    return shingles_of_tokens(tokens(col), n)
+
+
+def ngrams_of_norm(norm: Column, n: int = 8) -> Column:
+    """Character n-grams from an ALREADY-MATERIALIZED normalized
+    string (same HOF caveat as :func:`shingles_of_tokens`)."""
     k = F.length(norm) - (n - 1)
     return F.when(
         k >= 1,
         F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(norm, i, n)),
     ).otherwise(F.array(norm))
+
+
+def char_ngrams(col: Column, n: int = 8) -> Column:
+    """Array of character n-grams of the normalized text (rolling
+    fingerprint unit). Inline form — hot paths should project
+    ``normalize_text(col)`` first and use :func:`ngrams_of_norm`."""
+    return ngrams_of_norm(normalize_text(col), n)
 
 
 def fingerprint(col: Column) -> Column:
@@ -89,7 +111,9 @@ def winnow_fingerprint(col: Column, n: int = 8) -> Column:
     """Near-dup document sketch: the minimum md5 over the document's
     character n-grams (a 1-min-wise rolling-hash fingerprint — the
     winnowing idea with k=1). Equal sketches ⇒ the documents share
-    their minimal n-gram."""
+    their minimal n-gram. Inline form; hot paths project the
+    normalized text and use ``array_min(transform(ngrams_of_norm(...),
+    md5))`` over the materialized column."""
     return F.array_min(F.transform(char_ngrams(col, n), F.md5))
 
 

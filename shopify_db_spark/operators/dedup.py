@@ -35,7 +35,12 @@ import functools
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from shopify_db_spark.functions.text import fingerprint, word_shingles
+from shopify_db_spark.functions.text import (
+    fingerprint,
+    shingles_of_tokens,
+    tokens,
+    word_shingles,
+)
 
 DEFAULT_SEEDS = 8
 DEFAULT_BAND_SIZE = 2
@@ -57,11 +62,20 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def doc_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).distinct()
+    """(doc_id, shingle) distinct pairs. The token array is projected
+    before the shingle HOF (see ``shingles_of_tokens``): otherwise
+    the regex tokenization re-runs once per shingle element."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), n)).alias("shingle"),
+        )
+        .distinct()
+    )
 
 
 def minhash_signatures(
@@ -261,11 +275,19 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over pairs sharing a blocking key.
     Returns (doc_a, doc_b, jaccard ≥ threshold). The shingle join is
     keyed on (block, shingle) so only same-block docs ever meet."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in block_cols],
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).distinct()
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            tokens(F.col(text_col)).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            *block_cols,
+            F.explode(shingles_of_tokens(F.col("toks"), n)).alias("shingle"),
+        )
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     block_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]

@@ -267,8 +267,16 @@ def q28_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-grams (winnowing with k=1) — equal sketches flag shared
     minimal substrings across the corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    # Project the normalized text first: the n-gram HOF re-evaluates
+    # non-lambda subtrees per element, so the regex normalization
+    # must already be a materialized column (functions.text caveat).
     return docs.select(
-        "doc_id", TX.winnow_fingerprint(F.col("text"), 8).alias("winnow_fp")
+        "doc_id", TX.normalize_text(F.col("text")).alias("norm")
+    ).select(
+        "doc_id",
+        F.array_min(
+            F.transform(TX.ngrams_of_norm(F.col("norm"), 8), F.md5)
+        ).alias("winnow_fp"),
     )
 
 
