@@ -51,6 +51,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with PRE-COMPUTED norms. The pair join multiplies rows,
+    so evaluating ``norm`` inside the pair expression costs O(pairs);
+    projecting it on each (much smaller) side first costs O(rows) and
+    produces bit-identical doubles — the norm expression is the same,
+    it just runs once per vector."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -64,17 +73,19 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -124,19 +135,21 @@ def lsh_bucket_ann(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .join(c, (F.col("query_id") != F.col("neighbor_id")) & (q["bucket"] == c["bucket"]))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -163,17 +176,23 @@ def cosine_dedup_pairs(
         F.col(id_col).alias("id_a"),
         as_double(F.col(vec_col)).alias("va"),
         *( [F.col(block_col).alias("block_a")] if block_col else [] ),
-    )
+    ).withColumn("na", norm(F.col("va")))
     b = vectors.select(
         F.col(id_col).alias("id_b"),
         as_double(F.col(vec_col)).alias("vb"),
         *( [F.col(block_col).alias("block_b")] if block_col else [] ),
-    )
+    ).withColumn("nb", norm(F.col("vb")))
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
         cond = cond & (F.col("block_a") == F.col("block_b"))
     return (
         a.join(b, cond)
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
