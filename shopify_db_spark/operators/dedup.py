@@ -81,15 +81,28 @@ def doc_shingles(
 def minhash_signatures(
     shingles: DataFrame, n_seeds: int = DEFAULT_SEEDS
 ) -> DataFrame:
-    """Per-(doc, seed) min-wise hash: min over md5(seed || shingle).
-    One exploded join with a seed range, one groupBy shuffle."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_seeds - 1))).alias("seed")
-    salted = shingles.select("doc_id", "shingle", seeds).select(
+    """Array-typed min-wise signature per document: position ``i`` is
+    ``MIN(md5(i || ':' || shingle))`` over the doc's shingles.
+
+    The salted hashes are computed as ``n_seeds`` COLUMNS of the
+    shingle row (not an exploded seed dimension), so the whole
+    signature costs exactly ONE shuffle — the per-doc min-agg —
+    moving ``rows`` not ``rows × seeds``. Returns
+    (doc_id, minhashes array<string>)."""
+    hashed = shingles.select(
         "doc_id",
-        "seed",
-        F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        *[
+            F.md5(F.concat_ws(":", F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_seeds)
+        ],
     )
-    return salted.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    summed = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_seeds)]
+    )
+    return summed.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(n_seeds)]).alias("minhashes"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -103,18 +116,38 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via banded MinHash-LSH, scored by the
     fraction of agreeing signature positions (estimates Jaccard).
 
-    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
-    """
-    sig = minhash_signatures(
-        doc_shingles(docs, id_col, text_col), n_seeds
-    ).cache()
-    bands = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed"), F.col("minhash"))
-        )))).alias("band_key"))
-    )
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. The
+    signature array rides along the band explode and the bucket
+    join, so candidates are scored inline — no join back to a cached
+    signature table."""
+    sig = minhash_signatures(doc_shingles(docs, id_col, text_col), n_seeds)
+    n_bands = (n_seeds + band_size - 1) // band_size
+
+    def band_key(b: int):
+        entries = F.array(
+            *[
+                F.concat_ws(
+                    ":", F.lit(s), F.col("minhashes")[s]
+                )
+                for s in range(b * band_size, min((b + 1) * band_size, n_seeds))
+            ]
+        )
+        return F.md5(F.concat_ws("|", F.array_sort(entries)))
+
+    bands = sig.select(
+        "doc_id",
+        "minhashes",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_key(b).alias("band_key")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "minhashes", "bk.band", "bk.band_key")
     # degenerate-bucket guard: boilerplate shingles put thousands of
     # docs in one bucket → quadratic pair blowup; cap and drop.
     bucket_sizes = bands.groupBy("band", "band_key").agg(
@@ -125,7 +158,17 @@ def minhash_lsh_pairs(
         ["band", "band_key"],
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("a.minhashes"),
+                F.col("b.minhashes"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            lambda e: e == 1,
+        )
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -133,26 +176,11 @@ def minhash_lsh_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / F.lit(float(n_seeds))).alias("est_jaccard"),
         )
         .distinct()
-    )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mh_b")
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
-                / F.lit(float(n_seeds))
-            ).alias("est_jaccard")
-        )
     )
 
 

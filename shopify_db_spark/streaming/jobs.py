@@ -141,3 +141,81 @@ def incremental_order_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_user_activity(
+    events: DataFrame,
+    idle_timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful per-user activity tracking via
+    ``applyInPandasWithState`` — the escape hatch for stateful logic
+    that ``session_window`` cannot express (cross-batch running
+    totals emitted only when a user goes idle).
+
+    State per user: (n_events, total_value, first_ts, last_ts).
+    Each micro-batch folds its rows into the state; when the
+    processing-time timeout fires (no events for ``idle_timeout_ms``)
+    the accumulated activity summary is emitted and the state
+    cleared. This is the Arrow-batched Spark-native shape for custom
+    stateful operators: state lives in the state store
+    (checkpointed, partitioned by the group key), Python sees pandas
+    batches per key.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ])
+
+    def track(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            })
+            return
+        n, total, first_us, last_us = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, total, first_us, last_us))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "total_value": pd.Series([], dtype="float64"),
+            "first_ts": pd.Series([], dtype="datetime64[us]"),
+            "last_ts": pd.Series([], dtype="datetime64[us]"),
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

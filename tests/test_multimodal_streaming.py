@@ -141,3 +141,57 @@ def test_incremental_order_ingest_matches_batch(spark, tmp_path):
             batch_store.read(table).toPandas(),
         )
         assert not problems, f"{table}: " + "; ".join(problems)
+
+
+def test_stateful_user_activity_timeout_emission(spark, tmp_path):
+    """applyInPandasWithState: state folds across batches and the
+    idle timeout emits the accumulated summary. Two single-file
+    micro-batches: users from drop 1 time out during batch 2."""
+    import time as _time
+
+    drop_dir = tmp_path / "events"
+    drop_dir.mkdir()
+    batch1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 1.0),
+            (2, "2024-01-01 10:05:00", 7, "buy", 2.5),
+            (3, "2024-01-01 11:00:00", 8, "view", 4.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch2 = spark.createDataFrame(
+        [(4, "2024-01-02 09:00:00", 9, "view", 8.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch1.coalesce(1).write.parquet(str(drop_dir / "d1"))
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(drop_dir) + "/*")
+    )
+    out = SJ.stateful_user_activity(stream, idle_timeout_ms=1)
+    name = "stateful_out_test"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.sql(f"SELECT * FROM {name}").count() >= 2:
+                break
+            if not (drop_dir / "d2").exists() and _time.time() > deadline - 55:
+                batch2.coalesce(1).write.parquet(str(drop_dir / "d2"))
+            _time.sleep(1)
+        rows = {r["user_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    finally:
+        q.stop()
+    assert set(rows) >= {7, 8}
+    assert rows[7]["n_events"] == 2
+    assert rows[7]["total_value"] == pytest.approx(3.5)
+    assert str(rows[7]["first_ts"]) == "2024-01-01 10:00:00"
+    assert str(rows[7]["last_ts"]) == "2024-01-01 10:05:00"
+    assert rows[8]["n_events"] == 1
