@@ -149,10 +149,10 @@ def quality_score(col: Column) -> Column:
     )
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
-    """Per-language stopword-hit counts (the n-gram-free language-ID
-    heuristic: function words are the strongest cheap signal)."""
-    toks = tokens(col)
+def lang_scores_of_tokens(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over an ALREADY-MATERIALIZED
+    token array (project ``tokens(col)`` first in hot paths — the
+    same HOF re-evaluation caveat as :func:`shingles_of_tokens`)."""
     out = {}
     for lang, words in LANG_STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
@@ -160,13 +160,27 @@ def lang_scores(col: Column) -> dict[str, Column]:
     return out
 
 
-def lang_id(col: Column) -> Column:
-    """Argmax language with deterministic precedence order on ties
-    (en > es > de > fr > zh); 'und' when no stopword hits at all."""
-    scores = lang_scores(col)
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram-free language-ID
+    heuristic: function words are the strongest cheap signal).
+    Inline form — hot paths project the token array first."""
+    return lang_scores_of_tokens(tokens(col))
+
+
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """Argmax language from per-language score COLUMNS with the
+    deterministic precedence order (en > es > de > fr > zh); 'und'
+    when no stopword hits at all."""
     langs = list(LANG_STOPWORDS)
     best = F.greatest(*[scores[lang] for lang in langs])
     expr = F.lit("und")
     for lang in reversed(langs):
         expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
     return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language with deterministic tie precedence. Inline
+    form — hot paths project score columns and use
+    :func:`lang_id_from_scores`."""
+    return lang_id_from_scores(lang_scores(col))

@@ -58,13 +58,18 @@ def q22_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats — pure
     projection, whole-stage codegen'd."""
     docs = load_table(spark, sf_dir, "documents")
-    norm_len = F.length(TX.normalize_text(F.col("text")))
-    n_tok = TX.token_count(F.col("text"))
+    # normalize once per row: the norm column is multi-referenced so
+    # Catalyst keeps the lower projection materialized
     return docs.select(
+        "doc_id", TX.normalize_text(F.col("text")).alias("norm")
+    ).select(
         "doc_id",
-        n_tok.cast("int").alias("n_tokens"),
-        norm_len.cast("int").alias("n_chars_norm"),
-        (norm_len.cast("double") / n_tok).alias("chars_per_token"),
+        F.size(F.split(F.col("norm"), " ")).cast("int").alias("n_tokens"),
+        F.length("norm").cast("int").alias("n_chars_norm"),
+        (
+            F.length("norm").cast("double")
+            / F.size(F.split(F.col("norm"), " "))
+        ).alias("chars_per_token"),
     )
 
 
@@ -97,13 +102,42 @@ def q23_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / stopword / punctuation heuristics
     combined into the cheap pre-filter score (``functions.text``)."""
     docs = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    n_tok = TX.token_count(text).cast("double")
-    return docs.select(
+    # three-step: materialize norm/toks, then the counts, then the
+    # score arithmetic — each layer only reads attributes
+    stop_arr = F.array(*[F.lit(w) for w in TX.STOPWORDS_EN])
+    counts = (
+        docs.select(
+            "doc_id",
+            TX.normalize_text(F.col("text")).alias("norm"),
+            TX.tokens(F.col("text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("double").alias("n_tok"),
+            F.size(
+                F.filter(F.col("toks"), lambda t: F.array_contains(stop_arr, t))
+            ).cast("double").alias("n_stop"),
+            F.length("norm").cast("double").alias("n_chars"),
+            (
+                F.length("norm")
+                - F.length(F.regexp_replace("norm", r"[.,;:!?'\"()\[\]-]", ""))
+            ).cast("double").alias("n_punct"),
+        )
+    )
+    stop_ratio = F.col("n_stop") / F.nullif(F.col("n_tok"), F.lit(0.0))
+    punct = F.col("n_punct") / F.nullif(F.col("n_chars"), F.lit(0.0))
+    quality = (
+        F.lit(0.5) * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+        + F.lit(0.3)
+        * F.least(F.coalesce(stop_ratio, F.lit(0.0)) * 4.0, F.lit(1.0))
+        - F.lit(0.2) * F.least(F.coalesce(punct, F.lit(0.0)) * 5.0, F.lit(1.0))
+        + F.lit(0.2)
+    )
+    return counts.select(
         "doc_id",
-        (TX.stopword_count(text).cast("double") / n_tok).alias("stopword_ratio"),
-        TX.punct_ratio(text).alias("punct_ratio"),
-        TX.quality_score(text).alias("quality"),
+        stop_ratio.alias("stopword_ratio"),
+        punct.alias("punct_ratio"),
+        quality.alias("quality"),
     )
 
 
@@ -139,12 +173,27 @@ def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via per-language stopword hits with a
     deterministic argmax precedence (en > es > de > fr > zh)."""
     docs = load_table(spark, sf_dir, "documents")
-    scores = TX.lang_scores(F.col("text"))
-    return docs.select(
+    # tokenize once, score once per language, argmax over the score
+    # COLUMNS (the inline form re-tokenized per score reference)
+    toks_scores = TX.lang_scores_of_tokens(F.col("toks"))
+    scored = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        TX.lang_id(F.col("text")).alias("detected_lang"),
-        *[scores[lang].cast("int").alias(f"s_{lang}") for lang in TX.LANG_STOPWORDS],
+        TX.tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "labeled_lang",
+        *[
+            toks_scores[lang].cast("int").alias(f"s_{lang}")
+            for lang in TX.LANG_STOPWORDS
+        ],
+    )
+    col_scores = {lang: F.col(f"s_{lang}") for lang in TX.LANG_STOPWORDS}
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        TX.lang_id_from_scores(col_scores).alias("detected_lang"),
+        *[F.col(f"s_{lang}") for lang in TX.LANG_STOPWORDS],
     )
 
 
