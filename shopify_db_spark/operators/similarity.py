@@ -196,3 +196,93 @@ def cosine_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer assignment: each vector goes to its
+    highest-cosine centroid (ties → lowest centroid id). Returns
+    (vec_id, v double-array, vn norm, centroid_id).
+
+    The centroid table broadcasts (it is tiny by construction); the
+    assignment is the standard IVF n×K scoring pass."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = v.join(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "vn",
+        "centroid_id",
+        cosine_with_norms(
+            F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "vn", "centroid_id")
+    )
+
+
+def ivf_ann(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate nearest neighbors (nprobe=1): assign
+    queries and candidates to their nearest centroid, equi-join on
+    the centroid id, exact cosine re-rank inside the cell. The
+    model-based alternative to :func:`lsh_bucket_ann` — here the
+    coarse quantizer is a deterministic centroid subset so the whole
+    plan is reproducible and oracle-checkable; swapping in KMeans
+    centroids (``pyspark.ml.clustering.KMeans``) changes only the
+    ``centroids`` input."""
+    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+        "centroid_id",
+    )
+    ca = ivf_assign(candidates, centroids, id_col, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("vn").alias("cn"),
+        "centroid_id",
+    )
+    scored = (
+        F.broadcast(qa)
+        .join(
+            ca,
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (qa["centroid_id"] == ca["centroid_id"]),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )

@@ -132,3 +132,54 @@ def q32_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking on an LSH bucket at scale)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.cosine_dedup_pairs(emb, threshold=0.9, block_col="label")
+
+
+CENTROID_MOD = 100  # vec_id % CENTROID_MOD == 0 rows form the coarse codebook
+
+
+@query(
+    "q38_ivf_ann",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM assigned
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'c.embedding')} AS cosine
+  FROM q JOIN assigned c
+    ON c.centroid_id = q.centroid_id AND c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q38_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (nprobe=1): deterministic coarse codebook
+    (every CENTROID_MOD-th vector), nearest-centroid cell
+    assignment, cell equi-join, exact cosine re-rank. The
+    model-based ANN tier next to q31's LSH; a trained KMeans
+    codebook slots into the same plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return SIM.ivf_ann(queries, emb, centroids, k=5)

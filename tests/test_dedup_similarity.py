@@ -95,3 +95,19 @@ def test_lsh_ann_recall_on_near_copy(spark, vectors):
     ).collect()
     # the near-copy must share the bucket and rank first
     assert out and out[0]["neighbor_id"] == 100
+
+
+def test_ivf_ann_recall_on_near_copy(spark, vectors):
+    from shopify_db_spark.operators.similarity import ivf_ann
+
+    # codebook excludes vec 0 and its near-copy (a vector that IS a
+    # centroid sits alone in its own cell); both must land in the
+    # same cell, near-copy ranked first
+    centroids = vectors.filter(F.col("vec_id") % 7 == 1)
+    out = ivf_ann(
+        vectors.filter(F.col("vec_id") == 0), vectors, centroids, k=3
+    ).collect()
+    assert out and out[0]["query_id"] == 0
+    assert out[0]["neighbor_id"] == 100
+    assert out[0]["cosine"] > 0.999
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
