@@ -588,3 +588,77 @@ def q18_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
     )
+
+
+@query(
+    "q13_revenue_rollup",
+    oracle="""
+SELECT CASE WHEN GROUPING(r_name) = 1 THEN NULL ELSE r_name END AS r_name,
+       CASE WHEN GROUPING(n_name) = 1 THEN NULL ELSE n_name END AS n_name,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS grouping_level,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q13_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (GROUPING SETS family): revenue per
+    (region, nation), per region, and grand total in ONE pass —
+    ``rollup`` plans a single Expand + aggregate, not three scans.
+    ``grouping_id`` disambiguates genuine NULL keys from subtotal
+    rows. Beyond the reference's operator set (SURVEY §2.4 notes no
+    grouping sets); a core warehouse shape at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("grouping_level"),
+            F.count(F.lit(1)).alias("n_orders"),
+            money_out(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+        .select("r_name", "n_name", "grouping_level", "n_orders", "revenue")
+    )
+
+
+@query(
+    "q39_running_totals",
+    oracle="""
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       o_orderdate AS orderdate,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS running_total,
+       CAST(ROW_NUMBER()
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS INT) AS order_seq
+FROM orders
+""",
+)
+def q39_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic running aggregate: cumulative customer spend with an
+    explicit ROWS frame plus per-customer order sequence — the
+    running-aggregate window shape SURVEY §2.5 notes the reference
+    never uses. One shuffle on the partition key serves both
+    windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        money_out(F.sum(dec("o_totalprice")).over(frame)).alias("running_total"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
