@@ -348,3 +348,53 @@ def q29_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.bpe_ish_token_count(F.col("text")).cast("int").alias("n_pieces"),
         TX.token_count(F.col("text")).cast("int").alias("n_words"),
     )
+
+
+@query(
+    "q40_term_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+terms AS (
+  SELECT doc_id, UNNEST(t) AS term FROM toks
+),
+counts AS (
+  SELECT term,
+         COUNT(*) AS tf,
+         COUNT(DISTINCT doc_id) AS df
+  FROM terms GROUP BY term
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS rank
+  FROM counts
+)
+SELECT term, tf, df, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 100
+""",
+)
+def q40_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency + document
+    frequency, top-100 by tf (deterministic tie-break on the term).
+    The skew-canonical aggregation — hyper-frequent terms are the
+    classic hot keys — handled by Spark's partial (map-side)
+    aggregation: each task pre-folds its local counts, so the
+    shuffle carries one row per (task, term), not per occurrence.
+    The top-k is a single-partition window over the (small)
+    vocabulary, after the heavy lifting."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", F.explode("toks").alias("term"))
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 100)
+        .select("term", "tf", "df", "rank")
+    )

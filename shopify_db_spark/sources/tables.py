@@ -86,3 +86,44 @@ def register_views(
     """
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    partition_col: str = "event_date",
+    files_per_partition: int = 1,
+) -> None:
+    """Write a fact table date-partitioned — the 100 TB layout where
+    date predicates prune whole directories before any IO.
+
+    The pre-write ``repartition(partition_col)`` is the small-files
+    guard: without it every task writes a file into every date
+    directory (tasks × dates files); with it each date's rows
+    co-locate so a partition gets ``files_per_partition`` files.
+    Columns are otherwise untouched — readers see the original schema
+    plus the partition column."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn(partition_col, F.to_date(F.col(ts_col)))
+    if files_per_partition == 1:
+        out = out.repartition(F.col(partition_col))
+    else:
+        out = out.repartition(
+            F.col(partition_col),
+            (F.spark_partition_id() % files_per_partition),
+        )
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def scan_partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters clause of the plan's file scan — empty
+    string when no partition pruning applies. Test/diagnostic helper
+    for asserting that a date predicate actually prunes."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            start = line.index("PartitionFilters")
+            return line[start:].split("]", 1)[0] + "]"
+    return ""
