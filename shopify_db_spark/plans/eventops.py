@@ -177,3 +177,81 @@ def q19_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_purchase",
         F.coalesce(completed, F.lit(False)).alias("completed_funnel"),
     )
+
+
+@query(
+    "q41_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(FLOOR(date_diff('day', CAST(cohort_week AS DATE), CAST(ts AS DATE)) / 7)
+              AS INT) AS weeks_since
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       weeks_since,
+       COUNT(*) AS n_users
+FROM activity
+GROUP BY 1, 2
+""",
+)
+def q41_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity
+    week, counted per weeks-elapsed offset. Two shuffles (first per
+    user, then the cohort-cell count); the per-user first is the
+    map-side-combinable MIN, and the week arithmetic stays on whole
+    day counts so both engines agree without interval semantics.
+    (Monday week-start on both engines.)"""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    weeks_since = F.floor(
+        F.datediff(F.to_date("ts"), F.col("cohort_week").cast("date")) / 7
+    ).cast("int")
+    activity = (
+        events.join(firsts, "user_id")
+        .select("user_id", "cohort_week", weeks_since.alias("weeks_since"))
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "weeks_since",
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q42_value_percentiles",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       MAX(value) AS max_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per event type
+    (``percentile_disc``: an actual data value, no interpolation —
+    deterministic and engine-portable, unlike continuous quantiles
+    whose interpolation arithmetic differs between engines). At
+    100 TB the documented swap is ``approx_percentile`` (t-digest,
+    one pass, mergeable sketches); exact disc percentiles sort
+    per-group and are the verification tier."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull())
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+        F.max("value").alias("max_value"),
+    )
