@@ -579,10 +579,19 @@ def assign_invoice_numbers(
         "DUE DATE",
         "INVOICE NO",
     ]
+    # Explicit broadcast: the group side is one row per invoice —
+    # orders of magnitude below the line side at any scale — but its
+    # stats sit behind a window over a union of joins, so neither
+    # static planning nor AQE infers that; without the hint the full
+    # line side shuffles on the group key (observed SortMergeJoin at
+    # sf0.1). Remove the hint only if invoice cardinality in one
+    # numbering window can exceed broadcastable size.
     matched = (
         invoice_view.alias("ti")
         .join(
-            numbered.filter(F.col("ORDER NO").isNotNull()).alias("ind"),
+            F.broadcast(
+                numbered.filter(F.col("ORDER NO").isNotNull())
+            ).alias("ind"),
             ["ORDER NO", "payment_tag"],
             "inner",
         )
