@@ -286,3 +286,32 @@ def ivf_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+def kmeans_codebook(
+    vectors: DataFrame,
+    k: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained IVF coarse codebook: k-means centroids over the
+    vector column, returned in the same (vec_id, embedding) shape
+    :func:`ivf_ann` expects — swap it for the deterministic-subset
+    codebook when recall matters more than reproducibility (k-means
+    cells follow the data distribution; fixed seed keeps runs
+    repeatable on identical input partitioning). Requires
+    ``pyspark.ml`` (always bundled with Spark)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors.select(
+        array_to_vector(as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(train)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return vectors.sparkSession.createDataFrame(
+        centers, f"{id_col} long, {vec_col} array<double>"
+    )

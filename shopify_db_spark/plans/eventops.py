@@ -255,3 +255,32 @@ def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
         F.max("value").alias("max_value"),
     )
+
+
+@query("q43_approx_stats", oracle=None)
+def q43_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch tier for 100 TB interactive stats: HyperLogLog++
+    distinct users and t-digest percentiles per event type, plus the
+    exact count for scale. One pass, mergeable partial sketches —
+    constant memory per group where the exact tier (q42) sorts. No
+    SQL oracle (sketch estimates are engine-specific); accuracy is
+    asserted against the exact tier in tests
+    (test_approx_vs_exact)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+            .alias("approx_p50_p95"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "approx_users",
+            F.col("approx_p50_p95")[0].alias("approx_p50"),
+            F.col("approx_p50_p95")[1].alias("approx_p95"),
+        )
+    )

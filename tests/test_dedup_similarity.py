@@ -111,3 +111,15 @@ def test_ivf_ann_recall_on_near_copy(spark, vectors):
     assert out[0]["neighbor_id"] == 100
     assert out[0]["cosine"] > 0.999
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_kmeans_codebook_ivf(spark, vectors):
+    from shopify_db_spark.operators.similarity import ivf_ann, kmeans_codebook
+
+    codebook = kmeans_codebook(vectors, k=4, seed=7)
+    assert codebook.count() == 4
+    out = ivf_ann(
+        vectors.filter(F.col("vec_id") == 0), vectors, codebook, k=3
+    ).collect()
+    # near-copy shares vec 0's k-means cell and ranks first
+    assert out and out[0]["neighbor_id"] == 100 and out[0]["cosine"] > 0.999
