@@ -284,3 +284,40 @@ def q43_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("approx_p50_p95")[1].alias("approx_p95"),
         )
     )
+
+
+@query(
+    "q44_asof_config",
+    oracle="""
+WITH cfg AS (
+  SELECT event_type, ts, MAX(value) AS cfg_value
+  FROM events WHERE event_id % 97 = 0
+  GROUP BY event_type, ts
+)
+SELECT e.event_id, e.event_type, e.ts, c.cfg_value
+FROM events e
+ASOF LEFT JOIN cfg c
+  ON e.event_type = c.event_type AND e.ts >= c.ts
+""",
+)
+def q44_asof_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof): stamp every event with the
+    latest config epoch at or before its timestamp — the
+    slowly-changing-dimension backfill shape. Our union+window
+    formulation (one key shuffle, linear state) is checked against
+    DuckDB's native ASOF JOIN. Epochs dedupe on (key, ts) first so
+    both engines resolve ties identically."""
+    from shopify_db_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    cfg = (
+        events.filter(F.col("event_id") % 97 == 0)
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("cfg_value"))
+    )
+    out = asof_join(
+        events.select("event_id", "event_type", "ts"),
+        cfg,
+        on="event_type",
+    )
+    return out.select("event_id", "event_type", "ts", "cfg_value")
