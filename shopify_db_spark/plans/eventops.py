@@ -321,3 +321,45 @@ def q44_asof_config(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="event_type",
     )
     return out.select("event_id", "event_type", "ts", "cfg_value")
+
+
+@query(
+    "q45_promo_range_join",
+    oracle="""
+WITH promo AS (
+  SELECT event_id AS promo_id, event_type,
+         ts AS promo_start,
+         ts + INTERVAL 2 HOUR AS promo_end
+  FROM events WHERE event_id % 89 = 0
+)
+SELECT e.event_id, e.event_type, p.promo_id
+FROM events e
+JOIN promo p
+  ON p.event_type = e.event_type
+ AND p.promo_start <= e.ts AND e.ts < p.promo_end
+""",
+)
+def q45_promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators.rangejoin): events matched to the promo
+    windows containing them, blocked by event_type. Bucketized to an
+    equi-join on (key, hour-bucket) + exact filter — DuckDB's native
+    IEJoin answers the same query as the oracle."""
+    from shopify_db_spark.operators.rangejoin import bucketed_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    promo = events.filter(F.col("event_id") % 89 == 0).select(
+        F.col("event_id").alias("promo_id"),
+        "event_type",
+        F.col("ts").alias("promo_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("promo_end"),
+    )
+    out = bucketed_range_join(
+        events.select("event_id", "event_type", "ts"),
+        promo,
+        point_ts="ts",
+        start_col="promo_start",
+        end_col="promo_end",
+        bucket_seconds=3600,
+        keys=["event_type"],
+    )
+    return out.select("event_id", "event_type", "promo_id")
