@@ -9,7 +9,7 @@ aggregations get map-side partials, AQE fixes skew at runtime.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -661,4 +661,55 @@ def q39_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("orderdate"),
         money_out(F.sum(dec("o_totalprice")).over(frame)).alias("running_total"),
         F.row_number().over(w).cast("int").alias("order_seq"),
+    )
+
+
+@query(
+    "q46_priority_pivot",
+    oracle="""
+SELECT n_name,
+       CAST(ROUND(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN
+           CAST(o_totalprice AS DECIMAL(12,4)) ELSE 0 END), 2) AS DOUBLE) AS p1_urgent,
+       CAST(ROUND(SUM(CASE WHEN o_orderpriority LIKE '2%' THEN
+           CAST(o_totalprice AS DECIMAL(12,4)) ELSE 0 END), 2) AS DOUBLE) AS p2_high,
+       CAST(ROUND(SUM(CASE WHEN o_orderpriority LIKE '3%' THEN
+           CAST(o_totalprice AS DECIMAL(12,4)) ELSE 0 END), 2) AS DOUBLE) AS p3_medium,
+       CAST(ROUND(SUM(CASE WHEN o_orderpriority NOT LIKE '1%'
+                       AND o_orderpriority NOT LIKE '2%'
+                       AND o_orderpriority NOT LIKE '3%' THEN
+           CAST(o_totalprice AS DECIMAL(12,4)) ELSE 0 END), 2) AS DOUBLE) AS p_other
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+GROUP BY n_name
+""",
+)
+def q46_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): revenue per nation split into order-priority
+    columns. Expressed as conditional aggregation — the portable,
+    scale-stable form `df.pivot()` lowers to when the pivot values
+    are known (unknown values would add a distinct-collection job;
+    fixed columns keep the plan one-pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def bucket(pred) -> Column:
+        return money_out(
+            F.sum(F.when(pred, dec("o_totalprice")).otherwise(dlit("0")))
+        )
+
+    pri = F.col("o_orderpriority")
+    return (
+        orders.join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            bucket(pri.like("1%")).alias("p1_urgent"),
+            bucket(pri.like("2%")).alias("p2_high"),
+            bucket(pri.like("3%")).alias("p3_medium"),
+            bucket(~pri.like("1%") & ~pri.like("2%") & ~pri.like("3%")).alias(
+                "p_other"
+            ),
+        )
     )
