@@ -141,6 +141,15 @@ def q23_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_count_of(tok_expr: str, lang: str) -> str:
+    """Oracle lang-stopword count over an already-tokenized column."""
+    words = ",".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter({tok_expr}, "
+        f"x -> list_contains([{words}], x))) AS INT)"
+    )
+
+
 def _lang_count_sql(lang: str) -> str:
     words = ",".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
     return f"CAST(len(list_filter({_TOKS}, x -> list_contains([{words}], x))) AS INT)"
@@ -397,4 +406,120 @@ def q40_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 100)
         .select("term", "tf", "df", "rank")
+    )
+
+
+@query(
+    "q47_corpus_prep",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, {_NORM} AS norm, {_TOKS} AS t FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, norm,
+         CAST(len(t) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(t,
+              x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+              AS DOUBLE) AS n_stop,
+         CAST(length(norm) AS DOUBLE) AS n_chars,
+         CAST(length(norm)
+              - length(regexp_replace(norm, '[.,;:!?''"()\\[\\]-]', '', 'g'))
+              AS DOUBLE) AS n_punct,
+         {_lang_count_of('t', 'en')} AS s_en,
+         {_lang_count_of('t', 'es')} AS s_es,
+         {_lang_count_of('t', 'de')} AS s_de,
+         {_lang_count_of('t', 'fr')} AS s_fr,
+         {_lang_count_of('t', 'zh')} AS s_zh
+  FROM base
+),
+scored AS (
+  SELECT doc_id, lang, norm, n_tok,
+         0.5 * LEAST(n_tok / 100.0, 1.0)
+           + 0.3 * LEAST((n_stop / n_tok) * 4.0, 1.0)
+           - 0.2 * LEAST((n_punct / n_chars) * 5.0, 1.0)
+           + 0.2 AS quality,
+         CASE WHEN GREATEST(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+              WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+              WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+              WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS detected_lang
+  FROM feat
+),
+gated AS (
+  SELECT * FROM scored WHERE quality >= 0.6 AND detected_lang = 'en'
+),
+deduped AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id
+  FROM gated
+)
+SELECT doc_id, lang AS labeled_lang, detected_lang,
+       CAST(n_tok AS INT) AS n_tokens, quality
+FROM deduped WHERE doc_id = keep_id
+""",
+)
+def q47_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data prep pipeline end-to-end in one plan:
+    quality gate → language filter → exact dedup (lowest doc_id per
+    normalized-text fingerprint survives) → per-survivor stats.
+    Composes the q23/q24/q21 operators over ONE materialized
+    (norm, toks) projection — one documents scan, one window
+    shuffle for the dedup; the near-dup LSH stage (q26) would chain
+    after this the same way."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in TX.STOPWORDS_EN])
+    toks_scores = TX.lang_scores_of_tokens(F.col("toks"))
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        TX.normalize_text(F.col("text")).alias("norm"),
+        TX.tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "norm",
+        F.size("toks").cast("double").alias("n_tok"),
+        F.size(
+            F.filter(F.col("toks"), lambda t: F.array_contains(stop_arr, t))
+        ).cast("double").alias("n_stop"),
+        F.length("norm").cast("double").alias("n_chars"),
+        (
+            F.length("norm")
+            - F.length(F.regexp_replace("norm", r"[.,;:!?'\"()\[\]-]", ""))
+        ).cast("double").alias("n_punct"),
+        *[toks_scores[lang].alias(f"s_{lang}") for lang in TX.LANG_STOPWORDS],
+    )
+    quality = (
+        F.lit(0.5) * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+        + F.lit(0.3)
+        * F.least((F.col("n_stop") / F.col("n_tok")) * 4.0, F.lit(1.0))
+        - F.lit(0.2)
+        * F.least((F.col("n_punct") / F.col("n_chars")) * 5.0, F.lit(1.0))
+        + F.lit(0.2)
+    )
+    col_scores = {lang: F.col(f"s_{lang}") for lang in TX.LANG_STOPWORDS}
+    scored = feat.select(
+        "doc_id",
+        "lang",
+        "norm",
+        "n_tok",
+        quality.alias("quality"),
+        TX.lang_id_from_scores(col_scores).alias("detected_lang"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= 0.6) & (F.col("detected_lang") == "en")
+    )
+    from pyspark.sql.window import Window
+
+    keep = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("norm"))))
+    return (
+        gated.withColumn("keep_id", keep)
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            "detected_lang",
+            F.col("n_tok").cast("int").alias("n_tokens"),
+            "quality",
+        )
     )
