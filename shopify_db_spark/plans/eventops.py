@@ -363,3 +363,55 @@ def q45_promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
     )
     return out.select("event_id", "event_type", "promo_id")
+
+
+@query(
+    "q48_hourly_gapfill",
+    oracle="""
+WITH bounds AS (
+  SELECT DATE_TRUNC('hour', MIN(ts)) AS lo, DATE_TRUNC('hour', MAX(ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT h.hour, t.event_type FROM hours h CROSS JOIN types t),
+actual AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT g.hour, g.event_type, COALESCE(a.n, 0) AS n_events
+FROM grid g LEFT JOIN actual a USING (hour, event_type)
+""",
+)
+def q48_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series gap-fill: the hour × event-type grid
+    (sequence + explode of the min/max hour bounds crossed with the
+    distinct types — both tiny) left-joined with the actual hourly
+    counts, zeros filled. The grid side is dimension-sized at any
+    data scale; the one real shuffle is the hourly aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    actual = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        grid.join(actual, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )

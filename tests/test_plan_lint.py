@@ -11,7 +11,11 @@ from shopify_db_spark.plans import load_all
 from tests.conftest import SF_SMOKE
 
 #: queries with a deliberate, bounded cross join
-CROSS_JOIN_OK = {"q30_cosine_topk", "q38_ivf_ann"}
+CROSS_JOIN_OK = {
+    "q30_cosine_topk",   # brute-force baseline (queries x candidates)
+    "q38_ivf_ann",       # n x K centroid scoring
+    "q48_hourly_gapfill",  # hour x type grid (both dimension-sized)
+}
 
 ALL = sorted(load_all())
 
