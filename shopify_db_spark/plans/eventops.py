@@ -49,11 +49,16 @@ def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag → gap flag →
     running sum → per-session aggregate. The classic batch
     sessionizer; one shuffle on ``user_id`` serves both windows and
-    the aggregation. Ties on ``ts`` break by ``event_id``."""
+    the aggregation. Ties on ``ts`` break by ``event_id``. The gap
+    compares at MICROSECOND precision (``unix_micros``) — both
+    engines store micros-truncated instants, so a whole-seconds cast
+    would misclassify gaps in [1800.0, 1801.0) s that the oracle's
+    full-precision interval comparison sees as > 30 min."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shopify_db_spark.functions.parity import dec, money_out
 from shopify_db_spark.plans.catalog import query
 from shopify_db_spark.plans.invoice import customer_no
 from shopify_db_spark.sources.tables import load_table
@@ -68,7 +69,7 @@ def _product_from_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select(
             F.col("p_name").alias("name"),
             F.col("p_brand").alias("brand"),
-            F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+            dec(F.col("p_retailprice")).alias("price"),
             F.lit("USD").alias("currency"),
             F.concat(F.lit("https://img.example/"), F.col("p_partkey")).alias("img"),
         )
@@ -113,7 +114,7 @@ def q36_customer_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(NULL AS BIGINT) AS id,
        p_name AS name,
        p_brand AS brand,
-       CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+       CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,4)), 2) AS DOUBLE) AS price,
        'USD' AS currency,
        'https://img.example/' || CAST(p_partkey AS VARCHAR) AS img
 FROM part
@@ -124,6 +125,12 @@ def q37_product_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive substring product search (reference ILIKE,
     db.py:558-566). The surrogate id is nulled in the comparison —
     xxhash64 is Spark-specific; its determinism is unit-tested
-    instead (test_legacy.py)."""
+    instead (test_legacy.py). Price goes through the parity
+    discipline (DECIMAL(12,4) at scan, money_out at output) — a
+    direct double→DECIMAL(18,2) cast can disagree between Spark's
+    BigDecimal HALF_UP and DuckDB's scaled-binary round on
+    representation-boundary values."""
     out = products_by_name(_product_from_part(spark, sf_dir), "BOLT")
-    return out.withColumn("id", F.lit(None).cast("long"))
+    return out.withColumn("id", F.lit(None).cast("long")).withColumn(
+        "price", money_out(F.col("price"))
+    )

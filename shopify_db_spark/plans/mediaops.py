@@ -46,15 +46,50 @@ def q33_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q34_media_features", oracle=None)
+#: The fake decoder's feature i is ``sha256(content)[i] / 255`` —
+#: SQL-expressible, so the gate query converts each float32 feature
+#: back to its source byte (exact: float32 round-trip error is
+#: ≪ 0.5) and DuckDB recomputes the digest bytes from hex pairs.
+_Q34_FEATURE_COLS = ",\n".join(
+    f"       CAST(('0x' || substr(sha256(text), {2 * i + 1}, 2)) AS INT)"
+    f" AS f{i:02d}"
+    for i in range(MM.FEATURE_DIM)
+)
+
+_Q34_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+{_Q34_FEATURE_COLS}
+FROM documents
+"""
+
+
+@query("q34_media_features", oracle=_Q34_ORACLE)
 def q34_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction through ``mapInPandas``
     (deterministic fake decoder standing in for the codec — the
-    Spark-side batch plumbing is the thing under test). No SQL
-    oracle: per-blob Python decode is not ANSI-SQL-expressible;
-    rows-only check + unit tests on known bytes."""
+    Spark-side batch plumbing is the thing under test). The gate
+    projection unpacks the ``array<float>`` feature vector into
+    scalar byte columns: raw arrays are unhashable to the driver's
+    pandas canonicalizer, and the byte form is exactly oracle-
+    expressible (the fake decoder is sha256-derived). Library
+    callers still get the array API via ``extract_features``."""
     media = MM.synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
-    return MM.extract_features(media)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.round(F.col("features")[i].cast("double") * 255.0)
+            .cast("int")
+            .alias(f"f{i:02d}")
+            for i in range(MM.FEATURE_DIM)
+        ],
+    )
 
 
 @query(

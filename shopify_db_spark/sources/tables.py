@@ -61,7 +61,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arrives as raw nanoseconds and is truncated to microseconds here
     — exactly what DuckDB does when it lowers TIMESTAMP_NS to its
     microsecond TIMESTAMP, so both engines see identical instants.
+
+    The conf is set on the *passed-in* session (it is runtime-
+    settable), so the loader works on any caller's SparkSession —
+    not only the one built by ``shopify_db_spark.session`` — e.g.
+    the correctness driver's own session.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
