@@ -185,23 +185,42 @@ def minhash_lsh_pairs(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
-    """SimHash packed into ONE 64-bit long: per-token ``xxhash64``
-    bit charges (±1) summed per document, sign bits reassembled with
-    shift-left + bitwise OR. Returns (doc_id, simhash long).
+            bits: int = 64, hash_family: str = "xxhash64") -> DataFrame:
+    """SimHash packed into ONE 64-bit long: per-token bit charges
+    (±1) summed per document, sign bits reassembled with shift-left
+    + bitwise OR. Returns (doc_id, simhash long).
 
     The packed representation is the scale choice: candidate rows
     downstream carry 8 bytes instead of a 32-element array, and
     hamming distance is one ``bit_count(a XOR b)`` instruction
-    instead of a zip_with/filter over arrays."""
+    instead of a zip_with/filter over arrays.
+
+    ``hash_family``: ``xxhash64`` (default — one JVM hash call per
+    token, the fast path) or ``md5`` (engine-portable: bit ``i``
+    comes from the first 16 hex chars of ``md5(token)`` split into
+    two 32-bit halves, so a DuckDB/ANSI oracle reproduces the
+    signature bit-for-bit — md5 is the only cross-engine hash)."""
     toks = doc_shingles(docs, id_col, text_col, n=1)
-    h = F.xxhash64(F.col("shingle"))
+    if hash_family == "xxhash64":
+        h = F.xxhash64(F.col("shingle"))
+        bit = [F.shiftright(h, i).bitwiseAND(F.lit(1)) for i in range(bits)]
+    elif hash_family == "md5":
+        if bits > 64:
+            raise ValueError("md5 family packs at most 64 bits (two hex halves)")
+        hexd = F.md5(F.col("shingle"))
+        halves = [
+            F.conv(F.substring(hexd, 1 + 8 * j, 8), 16, 10).cast("long")
+            for j in range(2)
+        ]
+        bit = [
+            F.shiftright(halves[i // 32], i % 32).bitwiseAND(F.lit(1))
+            for i in range(bits)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     charges = toks.select(
         "doc_id",
-        *[
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
-            for i in range(bits)
-        ],
+        *[(bit[i] * 2 - 1).alias(f"b{i}") for i in range(bits)],
     )
     summed = charges.groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
@@ -239,6 +258,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 4,
     bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs whose SimHash differs in ≤ ``max_hamming`` of
     ``bits`` bits. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
@@ -251,7 +271,7 @@ def simhash_pairs(
     (block_idx, block_value) key. Dedup of multi-block collisions
     happens on (doc_a, doc_b) AFTER the cheap bit_count hamming
     filter, so the shuffle dedups survivor pairs only."""
-    sh = simhash(docs, id_col, text_col, bits)
+    sh = simhash(docs, id_col, text_col, bits, hash_family)
     blocks = sh.select(
         "doc_id",
         "simhash",

@@ -262,32 +262,69 @@ def q42_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q43_approx_stats", oracle=None)
+@query(
+    "q43_approx_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS approx_users_ok,
+       TRUE AS approx_p50_ok,
+       TRUE AS approx_p95_ok
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+)
 def q43_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch tier for 100 TB interactive stats: HyperLogLog++
     distinct users and t-digest percentiles per event type, plus the
     exact count for scale. One pass, mergeable partial sketches —
-    constant memory per group where the exact tier (q42) sorts. No
-    SQL oracle (sketch estimates are engine-specific); accuracy is
-    asserted against the exact tier in tests
-    (test_approx_vs_exact)."""
+    constant memory per group where the exact tier (q42) sorts.
+
+    Sketch estimates are engine-specific, so raw estimates cannot
+    hash-match a DuckDB oracle. Instead the gate checks the sketch
+    tier's CONTRACT: the query emits the exact values (oracled
+    normally) plus booleans asserting each sketch landed within its
+    documented tolerance (HLL++ rsd=0.02 → 3σ=6 %; t-digest → 5 %
+    of the exact discrete percentile). The oracle asserts TRUE — if
+    a sketch drifts out of tolerance the gate fails, which is the
+    meaningful cross-engine claim about approximate operators."""
     events = load_table(spark, sf_dir, "events")
-    return (
+    exact_p = "percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+    agged = (
         events.filter(F.col("value").isNotNull())
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
             .alias("approx_p50_p95"),
+            F.expr(exact_p.format(q=0.5)).alias("exact_p50"),
+            F.expr(exact_p.format(q=0.95)).alias("exact_p95"),
         )
-        .select(
-            "event_type",
-            "n",
-            "approx_users",
-            F.col("approx_p50_p95")[0].alias("approx_p50"),
-            F.col("approx_p50_p95")[1].alias("approx_p95"),
-        )
+    )
+
+    def within(approx: F.Column, exact: F.Column, rel: float) -> F.Column:
+        tol = F.greatest(F.abs(exact) * rel, F.lit(1e-9))
+        return (F.abs(approx - exact) <= tol).alias("ok")
+
+    return agged.select(
+        "event_type",
+        "n",
+        "n_users",
+        within(
+            F.col("approx_users").cast("double"),
+            F.col("n_users").cast("double"),
+            0.06,
+        ).alias("approx_users_ok"),
+        within(F.col("approx_p50_p95")[0], F.col("exact_p50"), 0.05).alias(
+            "approx_p50_ok"
+        ),
+        within(F.col("approx_p50_p95")[1], F.col("exact_p95"), 0.05).alias(
+            "approx_p95_ok"
+        ),
     )
 
 

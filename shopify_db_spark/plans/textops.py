@@ -295,15 +295,64 @@ def q26_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(docs, n_seeds=8, band_size=2, max_bucket=50)
 
 
-@query("q27_simhash_pairs", oracle=None)
+# SimHash oracle: the md5 hash family makes every signature bit
+# SQL-expressible (bit i = bit i%32 of hex half i//32 of md5(token)).
+# The oracle recomputes signatures as two 32-bit halves (DuckDB's
+# BIGINT << 63 overflows, so no single packed long) and takes ALL
+# pairs with hamming <= 4 — which is exactly what the blocked
+# pigeonhole join returns (full recall is the operator's guarantee,
+# so the O(n^2) oracle and the blocked plan must agree).
+_Q27_CHARGES = ",\n".join(
+    f"         SUM(((h{i // 32} >> {i % 32}) & 1) * 2 - 1) AS b{i:02d}"
+    for i in range(64)
+)
+_Q27_LO = " + ".join(
+    f"CASE WHEN b{i:02d} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(32)
+)
+_Q27_HI = " + ".join(
+    f"CASE WHEN b{i:02d} > 0 THEN {1 << (i - 32)}::BIGINT ELSE 0 END"
+    for i in range(32, 64)
+)
+
+_Q27_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS shingle
+    FROM documents
+  )
+),
+hs AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h0,
+         CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h1
+  FROM toks
+),
+charges AS (
+  SELECT doc_id,
+{_Q27_CHARGES}
+  FROM hs GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {_Q27_LO} AS lo, {_Q27_HI} AS hi FROM charges
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+           AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 4
+"""
+
+
+@query("q27_simhash_pairs", oracle=_Q27_ORACLE)
 def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (≤4/64 differing bits, 5-block
     pigeonhole banding, hamming = bit_count(xor) on packed longs).
-    No SQL oracle: the 64-column bit-charge pivot has no reasonable
-    ANSI-SQL rendering — covered by unit tests on constructed
-    near-identical documents instead (rows-only check here)."""
+    Uses the engine-portable md5 hash family so the DuckDB oracle
+    reproduces signatures bit-for-bit; the oracle's brute-force
+    pair join doubles as the full-recall check of the blocked
+    join (``operators.dedup.simhash_pairs``)."""
     docs = load_table(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, max_hamming=4)
+    return DD.simhash_pairs(docs, max_hamming=4, hash_family="md5")
 
 
 @query(
