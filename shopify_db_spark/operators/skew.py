@@ -17,6 +17,8 @@ the plain join's rows.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,10 +40,23 @@ def salted_join(
     task re-execution); identical full rows land in one bucket,
     which is correct (they carry identical join results) and still
     spreads a hot KEY whose payload varies. Supports inner and
-    left joins (the preserved side is the salted big side)."""
+    left joins (the preserved side is the salted big side).
+
+    A big side with ONLY the key column gets no spreading (the salt
+    would be a pure function of the key, so every row of a hot key
+    lands in one bucket) — that case warns and should use AQE skew
+    handling or a row-number salt instead."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (big side preserved)")
-    payload = [c for c in big.columns if c != on] or [on]
+    payload = [c for c in big.columns if c != on]
+    if not payload:
+        warnings.warn(
+            "salted_join: big side has no non-key columns, so the salt is a "
+            "pure function of the join key and hot keys are NOT spread; "
+            "results are still correct",
+            stacklevel=2,
+        )
+        payload = [on]
     salted_big = big.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in payload]), F.lit(n_salts))
     )

@@ -12,6 +12,7 @@ def load_all() -> dict[str, "QuerySpec"]:
         eventops,
         legacy,
         mediaops,
+        streamops,
         textops,
         tpch,
         vectorops,
