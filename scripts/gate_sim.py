@@ -1,0 +1,87 @@
+"""Simulate the correctness driver's gate locally.
+
+Builds a BARE SparkSession — deliberately *without* the engine's
+session.py confs (no UTC pin, no ANSI override, no nanosAsLong) —
+exactly the way the driver constructs its own session, then runs
+every ``__spark_entry__.queries()`` entry at sf0.01 against its
+DuckDB oracle with the same canonical compare the driver applies.
+
+Usage: python scripts/gate_sim.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as entrymod
+    from shopify_db_spark.testing import compare_frames, duckdb_con
+
+    spark = (
+        SparkSession.builder.appName("gate_sim")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args or sorted(queries)
+
+    results: dict[str, dict] = {}
+    n_green = n_weak = n_bad = 0
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            spark_pdf = queries[name](spark, sf_dir).toPandas()
+            if name in oracles:
+                with duckdb_con(sf_dir) as con:
+                    oracle_pdf = con.execute(oracles[name]).df()
+                problems = compare_frames(spark_pdf, oracle_pdf)
+                ok = not problems
+                results[name] = {
+                    "rows": len(spark_pdf),
+                    "oracle_rows": len(oracle_pdf),
+                    "ok": ok,
+                    "problems": problems[:3],
+                }
+                n_green += ok
+                n_bad += not ok
+            else:
+                # Rows-only check — but also exercise the driver's
+                # pandas canonicalizer (sort_values over all columns),
+                # which chokes on unhashable cells (q34 round 1).
+                spark_pdf.sort_values(by=sorted(spark_pdf.columns))
+                results[name] = {"rows": len(spark_pdf), "ok": "rows_only"}
+                n_weak += 1
+        except Exception as exc:  # noqa: BLE001
+            results[name] = {"ok": False, "err": f"{type(exc).__name__}: {exc}"[:300]}
+            n_bad += 1
+        results[name]["sec"] = round(time.perf_counter() - t0, 2)
+        tag = results[name]["ok"]
+        print(f"{name:32s} {str(tag):10s} {results[name]['sec']:7.2f}s", flush=True)
+
+    print(json.dumps({"green": n_green, "rows_only": n_weak, "bad": n_bad}))
+    bad = {n: r for n, r in results.items() if r["ok"] is False}
+    if bad:
+        print(json.dumps(bad, indent=2, default=str))
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Scalable global row numbering.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` — the reference's invoice
+numbering (``db.py:446-457``, ``ROW_NUMBER() OVER ()`` + start-id
+arithmetic) — forces Spark to funnel every row through ONE partition
+(`Window.orderBy` with no partitionBy), which is fine for thousands
+of invoice groups and fatal for billions of rows.
+
+``global_row_numbers`` is the two-phase formulation that keeps the
+cluster wide:
+
+1. **Range-repartition** on the order columns — partition *i* holds
+   a contiguous key range strictly below partition *i+1*
+   (RangePartitioner semantics), so global order = (partition id,
+   local order).
+2. **Local numbering** — an ordinary window partitioned by
+   ``spark_partition_id()``: every partition numbers its own rows
+   independently, full parallelism.
+3. **Offsets** — per-partition row counts (≤ #partitions rows) get a
+   running-sum window; THAT single-partition window is over a
+   partition-count-sized frame, not the data. Offsets broadcast-join
+   back and ``global = start + offset + local - 1``.
+
+Total cost: one range shuffle + one hash shuffle of the numbered
+frame + a dimension-sized broadcast — no single-partition stage over
+the data. The frame is persisted between the offsets job and the
+final join so both observe the same (sampled) range boundaries and
+partition ids.
+
+Determinism: for any key set, the numbering equals sorting by
+``order_cols`` and numbering sequentially — range boundaries only
+decide WHERE a chunk is computed, never the global order — provided
+``order_cols`` form a unique key (ties across a partition boundary
+would otherwise order arbitrarily, exactly as in the single-window
+form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["global_row_numbers"]
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: list[str],
+    col_name: str = "rn",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a dense global 1..N numbering ordered by ``order_cols``
+    without a single-partition window over the data.
+
+    ``num_partitions`` defaults to the session's shuffle parallelism.
+    The returned DataFrame is persisted (required for partition-id
+    stability across the offsets job and the main job); callers doing
+    one-shot pipelines can ``unpersist`` after their action.
+    """
+    cols: list[Column] = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*cols)
+    local = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local_rn", F.row_number().over(local_w))
+        .persist()
+    )
+    # Running-sum of partition sizes → each partition's starting
+    # offset. Single-partition window, but over ≤ #partitions rows.
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            col_name,
+            (F.lit(start) + F.col("__off") + F.col("__local_rn") - 1).cast("long"),
+        )
+        .drop("__pid", "__local_rn", "__off")
+    )

@@ -24,6 +24,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Runtime-settable confs that are load-bearing for oracle parity.
+# Catalog queries may run on a session the engine did not build (the
+# correctness driver constructs its own SparkSession), so each query
+# re-asserts them on the session it is handed — the registry-level
+# generalization of the events-nanos fix in ``sources.tables``:
+#
+# * UTC pins ``DATE(ts)``/``to_date`` (reference depends on the
+#   Postgres server timezone; both engines agree on UTC);
+# * ANSI off restores HALF_UP decimal rounding + null-on-overflow,
+#   the Postgres ``numeric`` semantics (Spark 4 defaults ANSI on);
+# * Arrow keeps every pandas boundary batched.
+PARITY_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_parity_confs(spark: SparkSession) -> None:
+    for key, value in PARITY_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static conf on odd builds
+            pass
+
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -42,7 +67,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+
+        def guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_parity_confs(spark)
+            return fn(spark, sf_dir)
+
+        guarded.__name__ = fn.__name__
+        guarded.__doc__ = fn.__doc__
+        guarded.__wrapped__ = fn
+        QUERIES[name] = QuerySpec(name, guarded, oracle, (fn.__doc__ or "").strip())
         return fn
 
     return deco

@@ -570,6 +570,7 @@ def assign_invoice_numbers(
     to_date: datetime.date | str,
     invoice_start_id: int,
     groups: DataFrame | None = None,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Date-window the invoice lines and attach one consecutive
     invoice number per (ORDER NO, payment_tag) group, starting at
@@ -597,6 +598,15 @@ def assign_invoice_numbers(
     ``groups`` (see :func:`invoice_groups`) skips re-deriving the
     group keys from the six-join view; when omitted they are
     computed from ``invoice_view`` itself.
+
+    ``two_phase=True`` swaps the single-partition numbering window
+    for :func:`~shopify_db_spark.operators.numbering.global_row_numbers`
+    (range-partition → local row_number → offset join) — the 100×
+    escape hatch SURVEY §4 reserves for when invoice cardinality in
+    one window outgrows a single task. Identical numbering (asserted
+    in tests/test_invoice.py); default stays windowed because at
+    one-row-per-invoice scale the window is cheaper than two extra
+    shuffles.
     """
     if groups is None:
         groups = (
@@ -606,14 +616,24 @@ def assign_invoice_numbers(
             .select("ORDER NO", "payment_tag")
             .distinct()
         )
-    numbered = groups.withColumn(
-        "INVOICE NO",
-        (
-            F.lit(invoice_start_id)
-            + F.row_number().over(Window.orderBy("ORDER NO", "payment_tag"))
-            - 1
-        ).cast("int"),
-    )
+    if two_phase:
+        from shopify_db_spark.operators.numbering import global_row_numbers
+
+        numbered = global_row_numbers(
+            groups,
+            ["ORDER NO", "payment_tag"],
+            col_name="INVOICE NO",
+            start=invoice_start_id,
+        ).withColumn("INVOICE NO", F.col("INVOICE NO").cast("int"))
+    else:
+        numbered = groups.withColumn(
+            "INVOICE NO",
+            (
+                F.lit(invoice_start_id)
+                + F.row_number().over(Window.orderBy("ORDER NO", "payment_tag"))
+                - 1
+            ).cast("int"),
+        )
 
     out_cols = [
         "transaction_id",
@@ -676,6 +696,7 @@ def build_invoices(
     from_date: datetime.date | str,
     to_date: datetime.date | str,
     invoice_start_id: int = 1,
+    two_phase: bool = False,
 ) -> DataFrame:
     """End-to-end: view + numbering (the reference's
     ``tripletex-generate`` path, SURVEY §3.2). The group keys come
@@ -686,5 +707,6 @@ def build_invoices(
         from_date,
         to_date,
         invoice_start_id,
+        two_phase=two_phase,
         groups=invoice_groups(tables, from_date, to_date),
     )

@@ -1,0 +1,46 @@
+"""Two-phase global numbering: must equal the single-window
+ROW_NUMBER form exactly (the invoice pipeline's 100× escape hatch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from shopify_db_spark.operators.numbering import global_row_numbers
+from shopify_db_spark.plans.invoice import build_invoices
+from tests.commerce_fixtures import build_tables
+
+FROM_DATE, TO_DATE, START_ID = "2024-01-01", "2024-12-31", 1000
+
+
+def test_matches_single_window(spark):
+    df = (
+        spark.range(0, 5000)
+        .withColumn("k", F.concat(F.lit("key-"), F.format_string("%05d", (F.col("id") * 7919) % 5000)))
+        .withColumn("payload", F.col("id") * 2)
+        .drop("id")
+    )
+    got = global_row_numbers(df, ["k"], col_name="rn", start=100, num_partitions=8)
+    want = df.withColumn(
+        "rn", (F.lit(100) + F.row_number().over(Window.orderBy("k")) - 1).cast("long")
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+    # Dense, consecutive, correct range.
+    rns = [r.rn for r in got.select("rn").collect()]
+    assert sorted(rns) == list(range(100, 100 + 5000))
+
+
+def test_no_single_partition_exchange_over_data(spark):
+    df = spark.range(0, 1000).withColumn("k", F.col("id").cast("string")).drop("id")
+    plan = global_row_numbers(df, ["k"], num_partitions=8)._jdf.queryExecution().optimizedPlan().toString()
+    # The data path must range-partition, never SinglePartition; the
+    # only single-partition window runs over the per-partition counts.
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_invoice_two_phase_flag_equivalence(spark):
+    tables = build_tables(spark)
+    base = build_invoices(tables, FROM_DATE, TO_DATE, START_ID).collect()
+    two = build_invoices(tables, FROM_DATE, TO_DATE, START_ID, two_phase=True).collect()
+    key = lambda r: tuple((c, str(v)) for c, v in sorted(r.asDict().items()))  # noqa: E731
+    assert sorted(map(key, base)) == sorted(map(key, two))
