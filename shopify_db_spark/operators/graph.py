@@ -1,0 +1,120 @@
+"""Distributed connected components — the dup-cluster resolution
+step of a dedup pipeline.
+
+Pair generators (MinHash-LSH ``dedup.minhash_lsh_pairs``, SimHash
+``dedup.simhash_pairs``, n-gram Jaccard) emit EDGES; deduplication
+needs CLUSTERS: every document labeled with one canonical id so the
+pipeline can keep exactly one representative per near-dup group
+(transitively — A~B, B~C puts A and C in one cluster even when A≁C).
+
+Implementation is min-label propagation (Pregel-style, expressed as
+DataFrame joins):
+
+* every node starts labeled with itself;
+* each round, every node takes the min of its own label and its
+  neighbors' labels (one equi-join on the symmetrized edge list +
+  one min-aggregate — two key shuffles per round);
+* converged when no label changed (checked with a cheap anti-join
+  count — a scalar per round, not data to the driver).
+
+Rounds needed = the graph diameter, which for near-dup clusters is
+small (dup groups are dense — typically 2-4 rounds). For adversarial
+long-chain graphs the large-star/small-star alternation (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) drops
+this to O(log d) rounds; min-propagation is chosen here because dedup
+graphs are shallow and each round is two shuffles of the (node,label)
+frame — far smaller than the documents themselves.
+
+Lineage is truncated with an eager ``localCheckpoint`` per round
+(iterative plans otherwise grow unboundedly and re-execute from the
+scan); on a cluster, set a checkpoint dir and swap for
+``checkpoint`` if executor loss must be recoverable mid-iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dup_clusters"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the
+    smallest node id in its component.
+
+    Returns ``(node, component)`` — one row per distinct node
+    appearing in any edge. Raises if ``max_iter`` rounds do not
+    converge (diameter > max_iter — not a dedup-shaped graph).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(sym, labels["node"] == sym["a"])
+            .select(F.col("b").alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels
+    sym.unpersist()
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def dup_clusters(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters with a canonical keeper.
+
+    Output: ``(doc_id, cluster_id, cluster_size, keep)`` — one row
+    per document involved in at least one pair; ``keep`` marks the
+    cluster's canonical representative (min doc id). Documents in no
+    pair are implicitly their own singleton cluster and are not
+    emitted (callers left-anti join to drop only ``keep = false``
+    rows from the corpus)."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size"),
+            (F.col("node") == F.col("component")).alias("keep"),
+        )
+    )

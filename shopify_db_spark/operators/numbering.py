@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["global_row_numbers"]
+__all__ = ["global_row_numbers", "global_ntile"]
 
 
 def global_row_numbers(
@@ -86,3 +86,37 @@ def global_row_numbers(
         )
         .drop("__pid", "__local_rn", "__off")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    col_name: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY ...)`` without the single-partition
+    window: global row numbers via :func:`global_row_numbers`, then
+    the exact NTILE bucket formula (first ``N % n`` buckets get
+    ``ceil(N/n)`` rows, the rest ``floor(N/n)``) applied from the
+    total count — a scalar aggregate, collected driver-side, which
+    is scale-free.
+
+    Matches SQL NTILE exactly for any N, n (asserted against the
+    DuckDB window function in the q52 oracle); ties across tile
+    boundaries are deterministic iff ``order_cols`` form a unique
+    key, same caveat as :func:`global_row_numbers`.
+    """
+    numbered = global_row_numbers(
+        df, order_cols, col_name="__rn", num_partitions=num_partitions
+    )
+    total = numbered.count()  # scalar; numbered is persisted already
+    size, rem = divmod(total, n_tiles)
+    boundary = rem * (size + 1)
+    rn = F.col("__rn")
+    tile = F.when(
+        rn <= F.lit(boundary), (rn - 1) / F.lit(size + 1)
+    ).otherwise(F.lit(rem) + (rn - F.lit(boundary) - 1) / F.lit(max(size, 1)))
+    return numbered.withColumn(
+        col_name, (F.floor(tile) + 1).cast("int")
+    ).drop("__rn")
