@@ -7,6 +7,13 @@
 ``value`` is the total wall time of all queries (each executed to
 completion with a cheap count-style action — results are not
 collected to the driver, matching how the engine would run at scale).
+
+``SPARK_GRAFT_LAYOUT=partitioned`` first materializes the fact
+tables (events / orders / lineitem) as date-partitioned directories
+(the 100 TB layout — ``sources.tables.write_date_partitioned``) in a
+per-SF cache dir and runs the SAME catalog against them, proving the
+engine end-to-end on multi-file partitioned scans with directory
+pruning. Default layout is the driver's flat files.
 """
 
 from __future__ import annotations
@@ -18,6 +25,52 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# fact table -> (partitioning ts/date column, granularity). The
+# 7-year TPC-H facts partition by month (84 healthy directories);
+# per-day would mean ~2400 near-empty dirs below sf1 — see
+# write_date_partitioned's granularity note. events span weeks, so
+# per-day directories stay well-sized.
+_PARTITION_SPEC = {
+    "events": ("ts", "date"),
+    "orders": ("o_orderdate", "month"),
+    "lineitem": ("l_shipdate", "month"),
+}
+
+
+def materialize_partitioned(spark, sf_dir: str) -> str:
+    """Build (once, cached) a date-partitioned mirror of ``sf_dir``:
+    fact tables become ``table.parquet/<date>=.../part-*.parquet``
+    trees, dimension tables are symlinked. Returns the mirror dir."""
+    import tempfile
+
+    from shopify_db_spark.sources.tables import (
+        BENCH_TABLES,
+        load_table,
+        table_path,
+        write_date_partitioned,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_partitioned_{tag}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        for name in BENCH_TABLES:
+            dst = table_path(out, name)
+            if name in _PARTITION_SPEC:
+                ts_col, granularity = _PARTITION_SPEC[name]
+                write_date_partitioned(
+                    load_table(spark, sf_dir, name),
+                    dst,
+                    ts_col=ts_col,
+                    partition_col="__part_date",
+                    granularity=granularity,
+                )
+            elif not os.path.exists(dst):
+                os.symlink(table_path(sf_dir, name), dst)
+        open(done, "w").close()
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,6 +78,10 @@ def main() -> None:
     from shopify_db_spark.session import get_spark
 
     spark = get_spark(app_name="shopify_db_spark_bench")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    layout = os.environ.get("SPARK_GRAFT_LAYOUT", "flat")
+    if layout == "partitioned":
+        sf_dir = materialize_partitioned(spark, sf_dir)
     specs = load_all()
 
     # Warm the JVM/session on the smallest SF so per-query numbers
@@ -42,22 +99,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if layout != "flat":
+        payload["layout"] = layout
+    print(json.dumps(payload))
     spark.stop()
 
 

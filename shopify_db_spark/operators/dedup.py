@@ -199,26 +199,42 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     token, the fast path) or ``md5`` (engine-portable: bit ``i``
     comes from the first 16 hex chars of ``md5(token)`` split into
     two 32-bit halves, so a DuckDB/ANSI oracle reproduces the
-    signature bit-for-bit — md5 is the only cross-engine hash)."""
+    signature bit-for-bit — md5 is the only cross-engine hash).
+
+    The hash value is materialized as its own projection BEFORE the
+    per-bit charge expressions: inlined, each of the 64 charges
+    carries its own ``conv(substr(md5(...)))`` chain and codegen CSE
+    does not reliably collapse them (measured 2.4× slower at sf0.1);
+    split in two, CollapseProject keeps the hash columns because
+    re-inlining would duplicate a non-cheap expression 32×."""
     toks = doc_shingles(docs, id_col, text_col, n=1)
     if hash_family == "xxhash64":
-        h = F.xxhash64(F.col("shingle"))
-        bit = [F.shiftright(h, i).bitwiseAND(F.lit(1)) for i in range(bits)]
+        hashed = toks.select(
+            "doc_id", F.xxhash64(F.col("shingle")).alias("h0")
+        )
+        bit = [
+            F.shiftright(F.col("h0"), i).bitwiseAND(F.lit(1)) for i in range(bits)
+        ]
     elif hash_family == "md5":
         if bits > 64:
             raise ValueError("md5 family packs at most 64 bits (two hex halves)")
         hexd = F.md5(F.col("shingle"))
-        halves = [
-            F.conv(F.substring(hexd, 1 + 8 * j, 8), 16, 10).cast("long")
-            for j in range(2)
-        ]
+        hashed = toks.select(
+            "doc_id",
+            *[
+                F.conv(F.substring(hexd, 1 + 8 * j, 8), 16, 10)
+                .cast("long")
+                .alias(f"h{j}")
+                for j in range(2)
+            ],
+        )
         bit = [
-            F.shiftright(halves[i // 32], i % 32).bitwiseAND(F.lit(1))
+            F.shiftright(F.col(f"h{i // 32}"), i % 32).bitwiseAND(F.lit(1))
             for i in range(bits)
         ]
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    charges = toks.select(
+    charges = hashed.select(
         "doc_id",
         *[(bit[i] * 2 - 1).alias(f"b{i}") for i in range(bits)],
     )

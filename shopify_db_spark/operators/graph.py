@@ -17,13 +17,16 @@ DataFrame joins):
 * converged when no label changed (checked with a cheap anti-join
   count — a scalar per round, not data to the driver).
 
-Rounds needed = the graph diameter, which for near-dup clusters is
-small (dup groups are dense — typically 2-4 rounds). For adversarial
-long-chain graphs the large-star/small-star alternation (Kiveris et
-al., "Connected Components in MapReduce and Beyond", SoCC'14) drops
-this to O(log d) rounds; min-propagation is chosen here because dedup
-graphs are shallow and each round is two shuffles of the (node,label)
-frame — far smaller than the documents themselves.
+Each round also performs one pointer-jumping compression (follow the
+new label through the previous round's label map), so the reachable
+horizon roughly doubles per round — O(log d) rounds on long chains
+instead of the d rounds of plain propagation, at the cost of one
+extra (node,label)-sized join per round. This is the lightweight
+middle ground between plain propagation and the full
+large-star/small-star alternation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14); dedup graphs are
+dense and shallow, so 2-4 rounds typically suffice and the rounds
+themselves (checkpoint + convergence job) are the expensive unit.
 
 Lineage is truncated with an eager ``localCheckpoint`` per round
 (iterative plans otherwise grow unboundedly and re-execute from the
@@ -52,12 +55,22 @@ def connected_components(
     appearing in any edge. Raises if ``max_iter`` rounds do not
     converge (diameter > max_iter — not a dedup-shaped graph).
     """
+    # Hash-partitioned on the probe key BEFORE caching: every round
+    # joins on sym.a, and a cache retains its outputPartitioning, so
+    # the per-round exchange of the (static) edge side disappears —
+    # only the (changing) label side shuffles each round.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition(F.col("a"))
         .persist()
     )
+    # Materialize the cache NOW: everything below touches sym several
+    # times (per-round joins + the node seed), and an edge list behind
+    # an expensive generator (e.g. SimHash pair join) must be computed
+    # exactly once, not once per consumer racing the lazy persist.
+    sym.count()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -71,24 +84,42 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
+        updated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least("component", F.coalesce("nbr_component", "component")).alias(
+                "component"
+            ),
+            F.col("component").alias("__old"),
+        )
+        # Pointer jumping: follow the new label through the PREVIOUS
+        # label map (component → its component). Propagation alone
+        # needs diameter rounds; with per-round compression the
+        # reachable horizon roughly doubles each round (O(log d) for
+        # chains) — each round costs one extra small join, rounds are
+        # the expensive unit (checkpoint + convergence job each).
+        parent = labels.select(
+            F.col("node").alias("__pnode"), F.col("component").alias("__pcomp")
+        )
+        compressed = (
+            updated.join(parent, updated["component"] == parent["__pnode"], "left")
             .select(
                 "node",
                 F.least(
-                    "component", F.coalesce("nbr_component", "component")
+                    "component", F.coalesce("__pcomp", "component")
                 ).alias("component"),
+                "__old",
             )
-            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # The change flag rides along in the same projection, so
+        # convergence detection is a column scan of the (already
+        # materialized) checkpoint — no extra join per round.
+        new_labels = compressed.select(
+            "node",
+            "component",
+            (F.col("component") < F.col("__old")).alias("__changed"),
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             sym.unpersist()
             return labels
