@@ -24,7 +24,7 @@ from shopify_db_spark.operators import dedup as DD
 from shopify_db_spark.operators.graph import dup_clusters
 from shopify_db_spark.operators.numbering import global_ntile
 from shopify_db_spark.plans.catalog import query
-from shopify_db_spark.plans.textops import _Q27_ORACLE
+from shopify_db_spark.plans.textops import _Q27_ORACLE, _TOKS
 from shopify_db_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -136,4 +136,123 @@ def q52_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.avg("n_chars").alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53: the benchmark set is the held-out docs (doc_id % 50 = 0); a
+# training doc is contaminated to the degree its 8-gram shingles
+# appear in ANY benchmark doc.
+_Q53_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 7, 1))) AS u(i)
+),
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % 50 = 0
+),
+train AS (
+  SELECT * FROM shingles WHERE doc_id % 50 <> 0
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS contamination_rate
+FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+"""
+
+
+@query("q53_contamination", oracle=_Q53_ORACLE)
+def q53_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction
+    of its 8-gram shingles that appear anywhere in the held-out
+    benchmark partition (``doc_id % 50 = 0`` stands in for the eval
+    suite). The benchmark shingle set is inherently bounded (eval
+    suites are MBs, corpora are TBs), so it is broadcast to the
+    training side — decontaminating a 100 TB corpus never shuffles
+    the corpus, and docs exceeding a rate threshold are dropped or
+    flagged downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = DD.doc_shingles(docs, "doc_id", "text", n=8)
+    bench = (
+        shingles.filter(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = shingles.filter(F.col("doc_id") % 50 != 0)
+    hits = train.join(F.broadcast(bench), "shingle", "left")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("contamination_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54: fixed-size character chunking with overlap — the context-
+# window preparation step. size=800, stride=700 (100-char overlap);
+# chunk i covers [i*stride+1, i*stride+size].
+_Q54_SIZE, _Q54_STRIDE = 800, 700
+
+_Q54_ORACLE = f"""
+WITH spans AS (
+  SELECT doc_id, length(text) AS n_chars,
+         GREATEST(CAST(CEIL(CAST(length(text) - {_Q54_SIZE - _Q54_STRIDE}
+                             AS DOUBLE) / {_Q54_STRIDE}) AS BIGINT), 1)
+             AS n_chunks
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(u.i AS INT) AS chunk_idx,
+       substr(d.text, CAST(u.i * {_Q54_STRIDE} + 1 AS BIGINT), {_Q54_SIZE})
+           AS chunk_text,
+       length(substr(d.text, CAST(u.i * {_Q54_STRIDE} + 1 AS BIGINT),
+                     {_Q54_SIZE})) AS n_chunk_chars
+FROM documents d
+JOIN spans s ON s.doc_id = d.doc_id,
+     UNNEST(generate_series(0, s.n_chunks - 1)) AS u(i)
+"""
+
+
+@query("q54_window_chunks", oracle=_Q54_ORACLE)
+def q54_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into
+    ``size=800``-char chunks at ``stride=700`` (100-char overlap so
+    no boundary sentence is lost) — one row per (doc, chunk). Pure
+    per-row explode of a computed index range: embarrassingly
+    parallel, no shuffle, and the chunk count formula
+    (``max(ceil((len - overlap)/stride), 1)``) guarantees full
+    coverage incl. the short-tail final chunk and exactly one chunk
+    for short docs."""
+    size, stride = _Q54_SIZE, _Q54_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - (size - stride)).cast("double") / stride).cast(
+            "long"
+        ),
+        F.lit(1).cast("long"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            F.expr(f"substring(text, i * {stride} + 1, {size})").alias("chunk_text"),
+            F.length(
+                F.expr(f"substring(text, i * {stride} + 1, {size})")
+            ).alias("n_chunk_chars"),
+        )
     )
