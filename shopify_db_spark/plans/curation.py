@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shopify_db_spark.functions import text as TX
 from shopify_db_spark.operators import dedup as DD
 from shopify_db_spark.operators.graph import dup_clusters
 from shopify_db_spark.operators.numbering import global_ntile
@@ -255,4 +256,249 @@ def q54_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"substring(text, i * {stride} + 1, {size})")
             ).alias("n_chunk_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55: Gopher-style repetition signals. Both metric families reduce
+# to counting duplicate units per document, so each is a two-level
+# aggregation keyed first on (doc_id, unit) then on doc_id — the
+# shuffle key includes the unit, so even a pathological document
+# spreads over the cluster instead of hot-spotting one task.
+#
+# The synthetic corpus carries no newlines, so the gate reconstructs
+# deterministic pseudo-lines (every 2nd space becomes a newline —
+# identical leftmost non-overlapping regex scan on both engines)
+# before the line metrics; real corpora skip that step. Replacement
+# spelling differs per dialect ($1 vs \1) for the same semantics.
+_Q55_LINE_RE = r"(\S+ \S+) "
+
+_Q55_ORACLE = f"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_Q55_LINE_RE}', '\\1' || chr(10), 'g') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, trim(x) AS line
+  FROM lined, UNNEST(string_split(t, chr(10))) AS u(x)
+  WHERE trim(x) <> ''
+),
+lc AS (SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY doc_id, line),
+ldoc AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt) AS dup_line_frac,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS DOUBLE)
+             / SUM(cnt * length(line)) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+gc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram),
+gdoc AS (
+  SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac
+  FROM gc GROUP BY doc_id
+)
+SELECT d.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+       g.top_bigram_frac
+FROM documents d
+LEFT JOIN ldoc l ON l.doc_id = d.doc_id
+LEFT JOIN gdoc g ON g.doc_id = d.doc_id
+"""
+
+
+@query("q55_repetition_stats", oracle=_Q55_ORACLE)
+def q55_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher repetition
+    rules): per document, the fraction of lines (count- and
+    char-weighted) that are duplicates of another line in the SAME
+    document, and the share of the most frequent word bigram among
+    all bigram occurrences. Boilerplate-heavy pages (nav bars,
+    cookie banners, SEO keyword stuffing) light up on exactly these
+    fractions and are dropped by threshold downstream. Documents
+    with no non-empty lines / fewer than two tokens carry NULL
+    metrics rather than a fake 0 or 1. Lines are deterministic
+    pseudo-lines here (see the oracle comment) — the operator's
+    input contract is simply newline-delimited text."""
+    docs = load_table(spark, sf_dir, "documents")
+    lined = F.regexp_replace("text", _Q55_LINE_RE, "$1\n")
+    lines = docs.select(
+        "doc_id", F.split(lined, "\n").alias("raw")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.transform("raw", F.trim), lambda x: x != F.lit(""))
+        ).alias("line"),
+    )
+    lc = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    dup_cnt = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+    line_chars = F.col("cnt") * F.length("line")
+    dup_chars = F.sum(F.when(F.col("cnt") > 1, line_chars).otherwise(F.lit(0)))
+    ldoc = lc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        (dup_cnt.cast("double") / F.sum("cnt")).alias("dup_line_frac"),
+        (dup_chars.cast("double") / F.sum(line_chars)).alias("dup_line_char_frac"),
+    )
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(TX.shingles_of_tokens(F.col("toks"), 2)).alias("gram"),
+    )
+    gcnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    gdoc = gcnt.groupBy("doc_id").agg(
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac")
+    )
+    return (
+        docs.select("doc_id")
+        .join(ldoc, "doc_id", "left")
+        .join(gdoc, "doc_id", "left")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56: regex patterns restricted to the Java/RE2 common subset (no
+# lookaround, no backreferences, no alternation) so Spark's
+# java.util.regex and DuckDB's RE2 agree match-for-match.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{7,15}\b"
+_PII_LONGNUM = r"\b\d{6,}\b"
+
+_Q56_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS BIGINT) AS n_long_nums,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) +
+       len(regexp_extract_all(text, '{_PII_IPV4}')) +
+       len(regexp_extract_all(text, '{_PII_PHONE}')) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+FROM documents
+"""
+
+
+@query("q56_pii_scan", oracle=_Q56_ORACLE)
+def q56_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count email / IPv4 / E.164-ish phone
+    matches per document, flag documents carrying any, and emit the
+    md5 of the redacted text (each match replaced by a typed
+    placeholder — the form the training corpus actually ships with).
+    Pure per-row regex work in whole-stage codegen: no shuffle, no
+    Python, linearly partition-parallel at any corpus size. The
+    long-digit-run count is the cheap recall net for ids the three
+    typed patterns miss."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_emails = F.regexp_count(text, F.lit(_PII_EMAIL))
+    n_ipv4 = F.regexp_count(text, F.lit(_PII_IPV4))
+    n_phones = F.regexp_count(text, F.lit(_PII_PHONE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        n_phones.cast("long").alias("n_phones"),
+        F.regexp_count(text, F.lit(_PII_LONGNUM)).cast("long").alias("n_long_nums"),
+        ((n_emails + n_ipv4 + n_phones) > 0).alias("has_pii"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57: C4-style line filtering. The kept-lines predicate runs inside
+# array HOFs over a materialized line array — one pass per document,
+# no explode/regroup round trip and no shuffle at all.
+#
+# Pseudo-sentence reconstruction for the newline-free synthetic
+# corpus: every 8th space becomes '.\n', so the sentence-punctuation
+# rule sees realistic input (the trailing fragment stays unpunctuated
+# and is correctly dropped). 'slow' stands in for a blocklist term
+# the corpus actually contains; cookie/javascript are the real-world
+# entries. DuckDB's array_to_string returns NULL for an empty list
+# (Spark: ''), hence the COALESCE.
+_Q57_SENT_RE = r"((?:\S+ ){7}\S+) "
+_Q57_KEEP = (
+    "len(regexp_split_to_array(x, ' +')) >= 5"
+    " AND regexp_matches(x, '[.!?\"]$')"
+    " AND NOT contains(lower(x), 'slow')"
+    " AND NOT contains(lower(x), 'cookie')"
+    " AND NOT contains(lower(x), 'javascript')"
+)
+
+_Q57_ORACLE = f"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_Q57_SENT_RE}', '\\1.' || chr(10), 'g') AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM lined
+),
+k AS (
+  SELECT doc_id, lines, list_filter(lines, x -> {_Q57_KEEP}) AS kept
+  FROM l
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_fp,
+       CAST(length(COALESCE(array_to_string(kept, chr(10)), '')) AS BIGINT)
+           AS n_clean_chars
+FROM k
+"""
+
+
+@query("q57_boilerplate_filter", oracle=_Q57_ORACLE)
+def q57_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: keep only lines that read like
+    sentences — at least five words and a terminal punctuation mark —
+    and drop lines mentioning cookie/javascript policy boilerplate.
+    Emits per-document kept/total line counts plus the md5 and
+    length of the cleaned text (lines rejoined with newlines), i.e.
+    the shape a filtering stage hands to the next pipeline step.
+    Embarrassingly parallel per-row HOF work; the line array is
+    projected once and shared by both lambdas."""
+    docs = load_table(spark, sf_dir, "documents")
+    lined = F.regexp_replace("text", _Q57_SENT_RE, "$1.\n")
+    lines = F.filter(
+        F.transform(F.split(lined, "\n"), F.trim), lambda x: x != F.lit("")
+    )
+    keep = lambda x: (  # noqa: E731 - lambda mirrors the oracle's inline form
+        (F.size(F.split(x, " +")) >= 5)
+        & x.rlike('[.!?"]$')
+        & ~F.lower(x).contains("slow")
+        & ~F.lower(x).contains("cookie")
+        & ~F.lower(x).contains("javascript")
+    )
+    staged = docs.select("doc_id", lines.alias("lines")).select(
+        "doc_id", "lines", F.filter("lines", keep).alias("kept")
+    )
+    clean = F.array_join("kept", "\n")
+    return staged.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept"),
+        F.md5(clean).alias("clean_fp"),
+        F.length(clean).cast("long").alias("n_clean_chars"),
     )
