@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["global_row_numbers", "global_ntile"]
+__all__ = ["global_row_numbers", "global_running_sum", "global_ntile"]
 
 
 def global_row_numbers(
@@ -85,6 +85,57 @@ def global_row_numbers(
             (F.lit(start) + F.col("__off") + F.col("__local_rn") - 1).cast("long"),
         )
         .drop("__pid", "__local_rn", "__off")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    col_name: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_cols`` order —
+    ``SUM(v) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING)`` — with the same two-phase shape as
+    :func:`global_row_numbers`: range-repartition, per-partition
+    local prefix sums (full parallelism), then per-partition value
+    totals running-summed over a #partitions-sized frame and
+    broadcast back as offsets. The exclusive form is what layout
+    problems want (a row's sum = where it STARTS); the inclusive sum
+    is just ``running_sum + value``.
+
+    Same determinism caveat: ``order_cols`` must form a unique key.
+    The returned frame is persisted (partition-id stability across
+    the offsets job and the main job)."""
+    cols: list[Column] = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__local_sum",
+            F.coalesce(F.sum(value_col).over(local_w), F.lit(0)).cast("long"),
+        )
+        .persist()
+    )
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(col_name, (F.col("__off") + F.col("__local_sum")).cast("long"))
+        .drop("__pid", "__local_sum", "__off")
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from shopify_db_spark.functions import text as TX
 from shopify_db_spark.operators import dedup as DD
 from shopify_db_spark.operators.graph import dup_clusters
-from shopify_db_spark.operators.numbering import global_ntile
+from shopify_db_spark.operators.numbering import global_ntile, global_running_sum
 from shopify_db_spark.plans.catalog import query
 from shopify_db_spark.plans.textops import _Q27_ORACLE, _TOKS
 from shopify_db_spark.sources.tables import load_table
@@ -501,4 +501,65 @@ def q57_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("kept").cast("long").alias("n_kept"),
         F.md5(clean).alias("clean_fp"),
         F.length(clean).cast("long").alias("n_clean_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58: concat-and-cut sequence packing. The pack window is a power
+# of two so even the floating-point div path would be exact; the
+# implementation uses integer DIV/% outright.
+_Q58_WINDOW = 2048
+
+_Q58_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(tok_start // {_Q58_WINDOW} AS BIGINT) AS pack_id,
+       CAST(tok_start % {_Q58_WINDOW} AS BIGINT) AS pack_offset,
+       (tok_start + n_tokens - 1) // {_Q58_WINDOW} > tok_start // {_Q58_WINDOW}
+           AS crosses_boundary
+FROM c
+"""
+
+
+@query("q58_sequence_packing", oracle=_Q58_ORACLE)
+def q58_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing layout (the GPT-style concat-and-cut
+    step): documents concatenated in deterministic doc_id order and
+    cut every 2048 tokens; each document learns the pack it starts
+    in, its token offset inside that pack, and whether it spills
+    over a pack boundary (the rows a packing-aware loss mask needs).
+
+    The exclusive token prefix sum — semantically ``SUM() OVER
+    (ORDER BY doc_id)``, a single-partition window if written
+    naively — runs as :func:`~shopify_db_spark.operators.numbering.
+    global_running_sum`: range partition, per-partition local prefix
+    sums, partition totals running-summed over a #partitions-sized
+    frame and broadcast back. No data-sized single-partition stage,
+    so the layout assignment scales to the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    summed = global_running_sum(
+        with_counts, ["doc_id"], "n_tokens", col_name="tok_start"
+    )
+    w = _Q58_WINDOW
+    start_pack = F.expr(f"tok_start DIV {w}")
+    end_pack = F.expr(f"(tok_start + n_tokens - 1) DIV {w}")
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        start_pack.cast("long").alias("pack_id"),
+        (F.col("tok_start") % w).cast("long").alias("pack_offset"),
+        (end_pack > start_pack).alias("crosses_boundary"),
     )

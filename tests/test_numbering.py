@@ -44,3 +44,18 @@ def test_invoice_two_phase_flag_equivalence(spark):
     two = build_invoices(tables, FROM_DATE, TO_DATE, START_ID, two_phase=True).collect()
     key = lambda r: tuple((c, str(v)) for c, v in sorted(r.asDict().items()))  # noqa: E731
     assert sorted(map(key, base)) == sorted(map(key, two))
+
+
+def test_running_sum_matches_single_window(spark):
+    from shopify_db_spark.operators.numbering import global_running_sum
+
+    df = (
+        spark.range(0, 5000)
+        .withColumn("k", F.format_string("%05d", (F.col("id") * 7919) % 5000))
+        .withColumn("v", (F.col("id") % 37) + 1)
+        .drop("id")
+    )
+    got = global_running_sum(df, ["k"], "v", col_name="rs", num_partitions=8)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("rs", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long"))
+    assert sorted(got.collect()) == sorted(want.collect())
