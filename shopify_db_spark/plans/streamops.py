@@ -146,3 +146,167 @@ def q49_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return state["df"]
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _write_batch_files(df: DataFrame, batch_col: str, n_batches: int) -> str:
+    """Materialize ``df`` as one parquet file per ``batch_col`` value
+    with strictly increasing mtimes, so the file stream source
+    (``maxFilesPerTrigger=1``, oldest first) replays exactly one
+    batch per trigger in batch order — the determinism q49 pioneered,
+    shared by every bounded-stream gate query. Returns the stream
+    input directory (caller removes the parent workdir)."""
+    workdir = tempfile.mkdtemp(prefix="stream_gate_")
+    stream_dir = os.path.join(workdir, "in")
+    os.makedirs(stream_dir)
+    base = 1_600_000_000
+    for b in range(n_batches):
+        part_dir = os.path.join(workdir, f"part{b}")
+        df.filter(F.col(batch_col) == b).coalesce(1).write.parquet(part_dir)
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(stream_dir, f"batch-{b}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        os.utime(dst, (base + 100 * b, base + 100 * b))
+    return stream_dir
+
+
+@query(
+    "q59_streaming_windows",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+""",
+)
+def q59_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation as a STREAM: the
+    events table replayed as four micro-batches through
+    ``streaming.jobs.windowed_event_counts`` (event-time windows +
+    late-data watermark), state accumulating across batches, final
+    state emitted through a memory sink. Window counts/sums are
+    associative, so the converged streaming state must equal the
+    batch aggregate the oracle computes — regardless of how rows
+    fall into micro-batches. The decimal-sum/round-2 money parity is
+    q15's, making this literally the streaming twin of the batch
+    window query."""
+    from shopify_db_spark.streaming.jobs import (
+        run_bounded,
+        windowed_event_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    batched = events.withColumn("batch_no", F.col("event_id") % 4)
+    stream_dir = _write_batch_files(batched, "batch_no", 4)
+    try:
+        stream = (
+            spark.readStream.schema(batched.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+        )
+        return run_bounded(windowed_event_counts(stream), mode="complete")
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
+@query(
+    "q60_stateful_activity",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id % 2 AS batch_no, epoch_us(ts) AS ts_us FROM events
+),
+appears AS (SELECT DISTINCT user_id, batch_no FROM ev)
+SELECT a.user_id, a.batch_no,
+       COUNT(*) AS n_events,
+       MIN(e.ts_us) AS first_us,
+       MAX(e.ts_us) AS last_us
+FROM appears a JOIN ev e
+  ON e.user_id = a.user_id AND e.batch_no <= a.batch_no
+GROUP BY a.user_id, a.batch_no
+""",
+)
+def q60_stateful_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under gate evidence:
+    ``applyInPandasWithState`` tracks per-user cumulative activity
+    (event count, first/last event micros) across two deterministic
+    micro-batches, emitting the running state for every user present
+    in each batch. Emission is driven by data (one row per
+    user×batch appearance), not by wall-clock timeouts, so the
+    output is a pure function of the table and the oracle expresses
+    it as a prefix aggregation over batch numbers. Counters are
+    integers end-to-end — no float accumulation across batches to
+    drift between engines. The state store partitions by user_id;
+    Python sees Arrow-batched pandas chunks per key, the same shape
+    ``streaming.jobs.stateful_user_activity`` uses for its
+    idle-timeout variant (unit-tested; timeouts are wall-clock and
+    stay out of the deterministic gate)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from shopify_db_spark.streaming.jobs import run_bounded
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_id") % 2).alias("batch_no"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    stream_dir = _write_batch_files(events, "batch_no", 2)
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("batch_no", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ])
+
+    def track(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        batch_no = 0
+        for pdf in pdfs:
+            batch_no = max(batch_no, int(pdf["batch_no"].max()))
+            ts_us = pdf["ts_us"].astype("int64")
+            n += len(pdf)
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "batch_no": [batch_no],
+                "n_events": [n],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+        )
+        tracked = stream.groupBy("user_id").applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return run_bounded(tracked, mode="append")
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
