@@ -9,6 +9,7 @@ def load_all() -> dict[str, "QuerySpec"]:
     """Import every query module so their ``@query`` registrations run."""
     from shopify_db_spark.plans import (  # noqa: F401
         commerce,
+        commerce_checks,
         curation,
         eventops,
         legacy,

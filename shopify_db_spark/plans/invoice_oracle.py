@@ -247,3 +247,34 @@ def render_invoice_oracle(
             start_id=start_id, from_date=from_date, to_date=to_date
         )
     )
+
+
+def render_invoice_cte_prefix(
+    from_date: str,
+    to_date: str,
+    start_id: int,
+    prelude_ctes: str = "",
+    table_map: dict[str, str] | None = None,
+    cte_name: str = "invoice_base",
+) -> str:
+    """Same statement, but wrapped so downstream oracles can keep
+    composing: returns ``WITH <prelude><view>, <cte_name> AS
+    (<numbered select>)`` — append further CTEs (prefixed with a
+    comma) and a final SELECT. Used by the gate queries that check
+    consumers OF the invoice result (verification suite, CSV
+    round-trip) rather than the result itself.
+    """
+    import re
+
+    view = INVOICE_VIEW_CTES.strip()
+    for src, dst in (table_map or {}).items():
+        view = re.sub(rf"\b(FROM|JOIN)(\s+){src}\b", rf"\1\2{dst}", view)
+    numbered = NUMBERED_SELECT.format(
+        start_id=start_id, from_date=from_date, to_date=to_date
+    ).strip()
+    return (
+        "WITH "
+        + prelude_ctes
+        + view
+        + f",\n{cte_name} AS (\n{numbered}\n)"
+    )

@@ -59,6 +59,12 @@ def write_invoice_csv(df: DataFrame, path: str, single_file: bool = True) -> Non
         .write.mode("overwrite")
         .option("sep", ";")
         .option("header", True)
+        # Spark's CSV writer TRIMS cell whitespace by default
+        # (univocity ignore*WhiteSpace default true on write);
+        # pandas to_csv does not. Values like a 'title - ' display
+        # name with an empty variant keep their trailing space.
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
     )
     if single_file:
         writer.csv(tmp)
