@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from shopify_db_spark.functions import text as TX
 from shopify_db_spark.operators import dedup as DD
@@ -562,4 +563,171 @@ def q58_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_pack.cast("long").alias("pack_id"),
         (F.col("tok_start") % w).cast("long").alias("pack_offset"),
         (end_pack > start_pack).alias("crosses_boundary"),
+    )
+
+
+# --- q69-q71: geo heatmap grid, mixture weights, shuffle-split --------------
+
+_Q69_ORACLE = """
+WITH src AS (
+    SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE (o_orderkey % 180) - 90 + 0.25 END AS latitude,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE (o_orderkey % 360) - 180 + 0.25 END AS longitude
+    FROM orders
+)
+SELECT CAST(FLOOR(latitude / 10) AS INT) AS cell_lat,
+       CAST(FLOOR(longitude / 10) AS INT) AS cell_lon,
+       COUNT(*) AS n_points,
+       AVG(latitude) AS center_lat,
+       AVG(longitude) AS center_lon
+FROM src
+WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("q69_geo_heatmap", oracle=_Q69_ORACLE)
+def q69_geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heatmap sink's distributed half (S9, reference
+    ``utils.py:7-23``) at scale: null coordinates dropped
+    (``plans.geo.heatmap_points``), then points aggregated into
+    10-degree grid cells with per-cell counts and centroids — the
+    100 TB shape, where the driver renders a bounded cell grid
+    instead of collecting raw points (the reference's
+    ``folium.HeatMap(list)`` would ship the whole table). Quarter-
+    degree coordinates make every double sum exact (dyadic values),
+    so the per-cell centroid means are order-insensitive and
+    cross-engine deterministic."""
+    from shopify_db_spark.plans.geo import heatmap_points
+
+    k = F.col("o_orderkey")
+    src = load_table(spark, sf_dir, "orders").select(
+        F.when(k % 10 == 0, F.lit(None).cast("double"))
+        .otherwise((k % 180 - 90 + 0.25).cast("double"))
+        .alias("latitude"),
+        F.when(k % 10 == 0, F.lit(None).cast("double"))
+        .otherwise((k % 360 - 180 + 0.25).cast("double"))
+        .alias("longitude"),
+    )
+    pts = heatmap_points(src)
+    return pts.groupBy(
+        F.floor(F.col("latitude") / 10).cast("int").alias("cell_lat"),
+        F.floor(F.col("longitude") / 10).cast("int").alias("cell_lon"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg("latitude").alias("center_lat"),
+        F.avg("longitude").alias("center_lon"),
+    )
+
+
+_Q70_ORACLE = """
+WITH per_source AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS chars_total
+    FROM documents
+    GROUP BY source
+),
+with_total AS (
+    SELECT *,
+           SUM(chars_total) OVER () AS corpus_chars,
+           COUNT(*) OVER () AS n_sources
+    FROM per_source
+)
+SELECT source, n_docs, chars_total,
+       LEAST(chars_total, corpus_chars // n_sources) AS char_budget,
+       LEAST(chars_total, corpus_chars // n_sources) * 1000000 // chars_total
+           AS rate_ppm
+FROM with_total
+"""
+
+
+@query("q70_mixture_weights", oracle=_Q70_ORACLE)
+def q70_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: per-source corpus mass and the
+    sampling rate that caps every source at an equal share of the
+    character budget (oversampled sources are rate-limited,
+    undersampled ones keep everything). One tiny aggregate per
+    source plus a partitionless window over the handful of source
+    rows — the data itself never reshuffles, which is the whole
+    point at 100 TB: mixture math is metadata-sized. All arithmetic
+    is integer (ppm rates via integer division), so both engines
+    agree bit-for-bit. Single-pass equal-share capping; iterative
+    redistribution of freed budget is a documented non-goal here."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+    w = Window.partitionBy()
+    with_total = per_source.select(
+        "*",
+        F.sum("chars_total").over(w).alias("corpus_chars"),
+        F.count(F.lit(1)).over(w).alias("n_sources"),
+    )
+    budget = F.least(
+        F.col("chars_total"), F.expr("corpus_chars div n_sources")
+    )
+    return with_total.select(
+        "source",
+        "n_docs",
+        "chars_total",
+        budget.alias("char_budget"),
+        F.expr(
+            "least(chars_total, corpus_chars div n_sources) * 1000000"
+            " div chars_total"
+        ).alias("rate_ppm"),
+    )
+
+
+_Q71_ORACLE = """
+WITH hashed AS (
+    SELECT doc_id, lang, source, n_chars,
+           md5('split-seed-1|' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+)
+SELECT doc_id, lang, source, n_chars,
+       CASE WHEN h < '028f' THEN 'test'
+            WHEN h < '051e' THEN 'val'
+            ELSE 'train' END AS split,
+       ROW_NUMBER() OVER (ORDER BY h, doc_id) AS shuffle_pos
+FROM hashed
+"""
+
+
+@query("q71_shuffle_split", oracle=_Q71_ORACLE)
+def q71_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + train/val/test split — the last
+    step before training data leaves the engine. The split is a pure
+    per-row salted-hash threshold (zero shuffles, reproducible from
+    the seed alone, stable under corpus growth: a document's split
+    never changes when others are added). The global shuffle order is
+    the hash ordering materialized as an explicit position via
+    two-phase numbering (``operators.numbering.global_row_numbers``)
+    — a range repartition plus per-partition offsets, never a
+    single-partition ``ROW_NUMBER() OVER (ORDER BY ...)`` funnel. The
+    hex thresholds put ~1 % in test and ~1 % in val (0x028f/0xffff
+    and 0x051e/0xffff of the keyspace)."""
+    from shopify_db_spark.operators.numbering import global_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    hashed = docs.withColumn(
+        "h", F.md5(F.concat(F.lit("split-seed-1|"), F.col("doc_id").cast("string")))
+    )
+    numbered = global_row_numbers(
+        hashed, order_cols=["h", "doc_id"], col_name="shuffle_pos"
+    )
+    return numbered.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.when(F.col("h") < "028f", "test")
+        .when(F.col("h") < "051e", "val")
+        .otherwise("train")
+        .alias("split"),
+        "shuffle_pos",
     )
