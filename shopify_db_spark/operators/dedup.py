@@ -379,3 +379,77 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring detection: per document, the
+    maximal token spans whose every ``k``-token window also occurs
+    in at least one OTHER document (the distributed analogue of
+    suffix-array exact-substring dedup from "Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022 — the
+    operator that catches licence blocks / boilerplate MinHash's
+    whole-document granularity misses).
+
+    Shape (all shuffles keyed, nothing quadratic):
+
+    1. tokenize once (materialized column — HOF caveat in
+       ``functions.text``), keep docs with ≥ k tokens;
+    2. explode each doc into positioned ``k``-token windows hashed
+       to ``md5`` (engine-portable); the corpus-wide inverted index
+       is ONE shuffle keyed on the window hash;
+    3. a window hash is *duplicated* when ≥ 2 distinct docs contain
+       it — re-attach via semi-join (same key, same shuffle
+       partitioning);
+    4. per doc, merge overlapping/adjacent duplicated windows into
+       maximal spans with the gaps-and-islands trick (position −
+       row_number is constant within a consecutive run), windowed
+       per doc — no global window anywhere.
+
+    Returns one row per document containing at least one duplicated
+    window: ``(doc_id, n_dup_windows, n_spans, max_span_tokens)``
+    where ``max_span_tokens`` counts tokens of the longest maximal
+    span (run length + k − 1).
+
+    At 100 TB the only hot spot is a degenerate window shared by a
+    large doc fraction (empty-ish text); the distinct-doc count per
+    hash is a partial-aggregated groupBy, so even a billion-row
+    bucket reduces map-side before the shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= k)
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_pos = wins.join(dup_h, "h", "semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.sum("run_len").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        (F.max("run_len") + (k - 1)).cast("long").alias("max_span_tokens"),
+    )

@@ -731,3 +731,49 @@ def q71_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         "shuffle_pos",
     )
+
+
+# ---------------------------------------------------------------------------
+# q72: exact duplicated-substring spans (suffix-array-style exact
+# dedup re-expressed distributed: positioned k-token window hashes →
+# one inverted-index shuffle → per-doc gaps-and-islands span merge).
+# Catches the licence-block / boilerplate spans whole-document
+# MinHash granularity misses (Lee et al. 2022).
+_Q72_K = 8
+_Q72_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+docs AS (SELECT doc_id, t FROM toks WHERE len(t) >= {_Q72_K}),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i+{_Q72_K - 1}], ' ')) AS h
+  FROM docs, UNNEST(generate_series(1, len(t) - {_Q72_K - 1})) AS u(i)
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dp AS (SELECT w.doc_id, w.pos FROM wins w WHERE w.h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dp
+),
+spans AS (
+  SELECT doc_id, island, COUNT(*) AS run_len FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_dup_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(run_len) + {_Q72_K - 1} AS BIGINT) AS max_span_tokens
+FROM spans GROUP BY doc_id
+"""
+
+
+@query("q72_dup_spans", oracle=_Q72_ORACLE)
+def q72_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans per document —
+    ``operators.dedup.duplicate_spans`` over the documents corpus
+    (k=8 token windows, md5-hashed for engine portability). The
+    oracle replays the same inverted-index + islands computation in
+    pure SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.duplicate_spans(docs, k=_Q72_K)

@@ -123,3 +123,36 @@ def test_kmeans_codebook_ivf(spark, vectors):
     ).collect()
     # near-copy shares vec 0's k-means cell and ranks first
     assert out and out[0]["neighbor_id"] == 100 and out[0]["cosine"] > 0.999
+
+
+def test_duplicate_spans_known_overlap(spark):
+    """Two docs sharing one long token run + unique tails: the shared
+    run is one maximal span in each; a third unrelated doc reports
+    nothing."""
+    from shopify_db_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(20))        # 20 shared tokens
+    rows = [
+        (1, shared + " unique1 tail1 alpha beta gamma delta"),
+        (2, "lead2 other2 " + shared),
+        (3, " ".join(f"z{i}" for i in range(30))),       # no overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, k=8).collect()}
+
+    assert set(out) == {1, 2}
+    # 20-token run → 13 duplicated 8-token windows, one island,
+    # max span = 13 + 7 = 20 tokens
+    for d in (1, 2):
+        assert out[d]["n_dup_windows"] == 13
+        assert out[d]["n_spans"] == 1
+        assert out[d]["max_span_tokens"] == 20
+
+
+def test_duplicate_spans_short_docs_excluded(spark):
+    from shopify_db_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "doc_id long, text string"
+    )
+    assert duplicate_spans(docs, k=8).count() == 0
