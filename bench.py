@@ -113,23 +113,35 @@ def main() -> None:
     # backlog from earlier queries, and OS cache state (measured:
     # q01 2.0-5.0 s across identical runs), and the minimum is the
     # standard steady-state estimator for a repeatedly-executed plan.
+    # A query that throws must never zero out the whole round's
+    # numbers (BENCH_r02/r03 died at one AnalysisException): each
+    # query is isolated — failures are recorded and the run continues.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
         best = None
         for _ in range(runs):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # Force full execution of every operator without shipping
-            # rows to the driver.
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
+            df = None
+            try:
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                # Force full execution of every operator without
+                # shipping rows to the driver.
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+            except Exception as exc:  # noqa: BLE001 - isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            finally:
+                spark.catalog.clearCache()
+                # Drop py4j refs so ContextCleaner can reap
+                # checkpoint RDDs.
+                del df
+                gc.collect()
             best = elapsed if best is None else min(best, elapsed)
-            spark.catalog.clearCache()
-            # Drop py4j refs so ContextCleaner can reap checkpoint RDDs.
-            del df
-            gc.collect()
-        timings[name] = round(best, 4)
+        if best is not None:
+            timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     try:
@@ -143,6 +155,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if errors:
+        payload["errors"] = errors
     if layout != "flat":
         payload["layout"] = layout
     print(json.dumps(payload))

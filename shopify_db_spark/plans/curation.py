@@ -161,7 +161,10 @@ train AS (
 )
 SELECT t.doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       -- DuckDB SUM(int) yields HUGEINT which canonicalizes as a
+       -- float string; cast so the hash matches Spark's BIGINT
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
        CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
            / COUNT(*) AS contamination_rate
 FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
@@ -635,10 +638,14 @@ with_total AS (
            COUNT(*) OVER () AS n_sources
     FROM per_source
 )
-SELECT source, n_docs, chars_total,
-       LEAST(chars_total, corpus_chars // n_sources) AS char_budget,
-       LEAST(chars_total, corpus_chars // n_sources) * 1000000 // chars_total
-           AS rate_ppm
+SELECT source, n_docs,
+       -- DuckDB SUM(BIGINT) yields HUGEINT which canonicalizes as a
+       -- float string; cast back so the hash matches Spark's BIGINT
+       CAST(chars_total AS BIGINT) AS chars_total,
+       CAST(LEAST(chars_total, corpus_chars // n_sources) AS BIGINT)
+           AS char_budget,
+       CAST(LEAST(chars_total, corpus_chars // n_sources) * 1000000
+            // chars_total AS BIGINT) AS rate_ppm
 FROM with_total
 """
 

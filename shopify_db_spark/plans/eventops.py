@@ -53,10 +53,13 @@ def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares at MICROSECOND precision (``unix_micros``) — both
     engines store micros-truncated instants, so a whole-seconds cast
     would misclassify gaps in [1800.0, 1801.0) s that the oracle's
-    full-precision interval comparison sees as > 30 min."""
+    full-precision interval comparison sees as > 30 min.
+    ``events.ts`` arrives as TIMESTAMP_NTZ (micros parquet, no tz);
+    ``unix_micros`` requires an instant, so cast to TIMESTAMP first —
+    instant-preserving under the pinned UTC session."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = micros - F.lag(micros).over(w)
     new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

@@ -254,7 +254,9 @@ def q60_stateful_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id",
         (F.col("event_id") % 2).alias("batch_no"),
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        # ts is TIMESTAMP_NTZ; unix_micros needs an instant — the
+        # cast is instant-preserving under the pinned UTC session.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
     stream_dir = _write_batch_files(events, "batch_no", 2)
 

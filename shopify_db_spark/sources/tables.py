@@ -56,16 +56,19 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one benchmark table as a DataFrame.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark cannot
-    read natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it
-    arrives as raw nanoseconds and is truncated to microseconds here
-    — exactly what DuckDB does when it lowers TIMESTAMP_NS to its
-    microsecond TIMESTAMP, so both engines see identical instants.
+    ``events.ts`` is ``timestamp[us]`` parquet with no timezone, so
+    Spark reads TIMESTAMP_NTZ — the same wall-clock values DuckDB's
+    microsecond TIMESTAMP sees; queries that need an instant
+    (``unix_micros``, watermarks) cast NTZ → TIMESTAMP themselves,
+    which is instant-preserving under the pinned UTC session.
 
-    The conf is set on the *passed-in* session (it is runtime-
-    settable), so the loader works on any caller's SparkSession —
-    not only the one built by ``shopify_db_spark.session`` — e.g.
-    the correctness driver's own session.
+    Guarded fallback: earlier driver testdata shipped TIMESTAMP(NANOS)
+    parquet, readable only via ``spark.sql.legacy.parquet.nanosAsLong``
+    as raw longs; if ``ts`` arrives as bigint it is truncated to
+    micros here (exactly DuckDB's TIMESTAMP_NS lowering). The conf is
+    set on the *passed-in* session (runtime-settable) so the loader
+    works on any caller's SparkSession — e.g. the correctness
+    driver's own session.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

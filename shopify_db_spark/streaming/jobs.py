@@ -29,10 +29,11 @@ from shopify_db_spark.sources import json_ingest as ji
 from shopify_db_spark.sources.store import CommerceStore
 from shopify_db_spark.sources.tables import table_path
 
-#: physical schema of events.parquet under nanosAsLong (ts = raw ns)
+#: physical schema of events.parquet (ts = timestamp[us], no tz →
+#: Spark reads TIMESTAMP_NTZ)
 _EVENTS_RAW = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
+    T.StructField("ts", T.TimestampNTZType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -43,15 +44,27 @@ _EVENTS_RAW = T.StructType([
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (parquet file source —
     swap for kafka/kinesis in production; the downstream plan is
-    source-agnostic)."""
+    source-agnostic). ``ts`` stays TIMESTAMP_NTZ as stored; the
+    event-time operators below normalize it for watermarking."""
     # the benchmark table is a single parquet file; the file stream
     # source wants a directory, so scan sf_dir with a glob filter
-    raw = (
+    return (
         spark.readStream.schema(_EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _as_event_time(events: DataFrame, col: str = "ts") -> tuple[DataFrame, bool]:
+    """Watermarks require an instant (TIMESTAMP_LTZ); the stored
+    column is TIMESTAMP_NTZ. Cast NTZ → TIMESTAMP (instant-preserving
+    under the pinned UTC session) and report whether the caller
+    should cast window bounds back to NTZ so output schema follows
+    input schema."""
+    was_ntz = dict(events.dtypes).get(col) == "timestamp_ntz"
+    if was_ntz:
+        events = events.withColumn(col, F.col(col).cast("timestamp"))
+    return events, was_ntz
 
 
 def windowed_event_counts(
@@ -59,6 +72,8 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Tumbling event-time windows with a late-data watermark: the
     streaming twin of catalog q15."""
+    events, was_ntz = _as_event_time(events)
+    start = F.col("window.start")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
@@ -67,7 +82,9 @@ def windowed_event_counts(
             F.sum(F.col("value").cast("decimal(12,4)")).alias("total_value_d"),
         )
         .select(
-            F.col("window.start").alias("window_start"),
+            (start.cast("timestamp_ntz") if was_ntz else start).alias(
+                "window_start"
+            ),
             F.col("event_type"),
             F.col("n_events"),
             F.round(F.col("total_value_d"), 2).cast("double").alias("total_value"),
@@ -82,13 +99,18 @@ def sessionized_events(
     events within the inactivity gap into growing state-backed
     sessions (the stateful-operator path; the batch twin is q14's
     lag+cumsum)."""
+    events, was_ntz = _as_event_time(events)
+    start = F.col("session_window.start")
+    end = F.col("session_window.end")
+    if was_ntz:
+        start, end = start.cast("timestamp_ntz"), end.cast("timestamp_ntz")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
+            start.alias("session_start"),
+            end.alias("session_end"),
             "user_id",
             "n_events",
         )

@@ -71,10 +71,9 @@ def test_windowed_counts_match_batch(spark):
     streamed = SJ.run_bounded(
         SJ.windowed_event_counts(SJ.stream_events(spark, SF_SMOKE))
     )
-    batch_events = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # ts reads as TIMESTAMP_NTZ (micros parquet, no tz); batch
+    # F.window accepts NTZ directly — no watermark in the batch twin
+    batch_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     batch = (
         batch_events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
