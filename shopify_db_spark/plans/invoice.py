@@ -55,6 +55,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: Above this many candidate invoice groups the single-partition
+#: numbering window (and the broadcast of the numbered side) stop
+#: being safe — :func:`build_invoices` flips to the two-phase
+#: numbering of ``operators.numbering`` automatically. 2M rows of
+#: (ORDER NO, payment_tag, INVOICE NO) is ~100 MB in one task /
+#: one broadcast: near the practical ceiling for both.
+TWO_PHASE_GROUP_THRESHOLD = 2_000_000
+
 #: invoice-line column order shared by the four branches (the
 #: reference aligns the four CTEs' shapes so UNION works positionally;
 #: we align by name via unionByName).
@@ -604,9 +612,16 @@ def assign_invoice_numbers(
     (range-partition → local row_number → offset join) — the 100×
     escape hatch SURVEY §4 reserves for when invoice cardinality in
     one window outgrows a single task. Identical numbering (asserted
-    in tests/test_invoice.py); default stays windowed because at
-    one-row-per-invoice scale the window is cheaper than two extra
-    shuffles.
+    in tests/test_numbering.py); the windowed path stays the
+    small-cardinality default because at one-row-per-invoice scale
+    the window is cheaper than two extra shuffles.
+    :func:`build_invoices` picks the path automatically from a cheap
+    upper bound on group cardinality (``TWO_PHASE_GROUP_THRESHOLD``).
+
+    The broadcast of the numbered-group side (see the inline note)
+    is only applied on the windowed path: flipping to two-phase
+    *means* the group set outgrew a single task, so it has also
+    outgrown a broadcast — the join falls back to AQE's choice.
     """
     if groups is None:
         groups = (
@@ -661,14 +676,15 @@ def assign_invoice_numbers(
     # stats sit behind a window over a union of joins, so neither
     # static planning nor AQE infers that; without the hint the full
     # line side shuffles on the group key (observed SortMergeJoin at
-    # sf0.1). Remove the hint only if invoice cardinality in one
-    # numbering window can exceed broadcastable size.
+    # sf0.1). The hint is dropped on the two-phase path: cardinality
+    # above TWO_PHASE_GROUP_THRESHOLD exceeds broadcastable size.
+    non_null = numbered.filter(F.col("ORDER NO").isNotNull())
+    if not two_phase:
+        non_null = F.broadcast(non_null)
     matched = (
         invoice_view.alias("ti")
         .join(
-            F.broadcast(
-                numbered.filter(F.col("ORDER NO").isNotNull())
-            ).alias("ind"),
+            non_null.alias("ind"),
             ["ORDER NO", "payment_tag"],
             "inner",
         )
@@ -696,12 +712,25 @@ def build_invoices(
     from_date: datetime.date | str,
     to_date: datetime.date | str,
     invoice_start_id: int = 1,
-    two_phase: bool = False,
+    two_phase: bool | None = None,
 ) -> DataFrame:
     """End-to-end: view + numbering (the reference's
     ``tripletex-generate`` path, SURVEY §3.2). The group keys come
     from :func:`invoice_groups` so the six-join view executes once,
-    not twice."""
+    not twice.
+
+    ``two_phase=None`` (default) auto-selects the numbering path:
+    group cardinality is upper-bounded by ``|orders| + |refunds|``
+    (every payment group maps to one rank-1-paid order, every refund
+    group to one refunds row — see :func:`invoice_groups`), two
+    metadata-cheap parquet row counts that never scan data. Above
+    ``TWO_PHASE_GROUP_THRESHOLD`` the single-partition numbering
+    window would funnel the whole group set through one task, so the
+    two-phase numbering takes over; below it the window is cheaper
+    (two fewer shuffles). Explicit True/False overrides."""
+    if two_phase is None:
+        bound = tables["orders"].count() + tables["refunds"].count()
+        two_phase = bound > TWO_PHASE_GROUP_THRESHOLD
     return assign_invoice_numbers(
         tripletex_invoice(tables),
         from_date,

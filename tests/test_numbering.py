@@ -40,10 +40,49 @@ def test_no_single_partition_exchange_over_data(spark):
 
 def test_invoice_two_phase_flag_equivalence(spark):
     tables = build_tables(spark)
-    base = build_invoices(tables, FROM_DATE, TO_DATE, START_ID).collect()
+    base = build_invoices(tables, FROM_DATE, TO_DATE, START_ID, two_phase=False).collect()
     two = build_invoices(tables, FROM_DATE, TO_DATE, START_ID, two_phase=True).collect()
     key = lambda r: tuple((c, str(v)) for c, v in sorted(r.asDict().items()))  # noqa: E731
     assert sorted(map(key, base)) == sorted(map(key, two))
+
+
+def test_invoice_auto_two_phase_threshold(spark, monkeypatch):
+    """The default (two_phase=None) flips to two-phase numbering once
+    the cheap |orders|+|refunds| upper bound crosses the threshold,
+    and the resulting plan routes the group numbering through the
+    range-partitioned path instead of a single-partition window over
+    the group set."""
+    from shopify_db_spark.plans import invoice as inv
+
+    tables = build_tables(spark)
+
+    # Below threshold (the real default): windowed path, no two-phase
+    # markers in the plan.
+    small = build_invoices(tables, FROM_DATE, TO_DATE, START_ID)
+    small_plan = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "__local_rn" not in small_plan
+
+    monkeypatch.setattr(inv, "TWO_PHASE_GROUP_THRESHOLD", 0)
+    auto = inv.build_invoices(tables, FROM_DATE, TO_DATE, START_ID)
+    auto_plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    # Two-phase markers present; the group set is range-partitioned.
+    assert "__local_rn" in auto_plan
+    assert "rangepartitioning" in auto_plan.lower()
+    # Every single-partition exchange in the PHYSICAL plan sits over
+    # the per-partition count frame (bounded by #partitions), never
+    # over the group/line data: the subtree under each SinglePartition
+    # exchange must reach the count aggregate within a few operators.
+    phys = auto._jdf.queryExecution().executedPlan().toString()
+    lines = phys.splitlines()
+    hits = [i for i, line in enumerate(lines) if "SinglePartition" in line]
+    assert hits, "expected the offsets window's SinglePartition exchange"
+    for i in hits:
+        tail = "\n".join(lines[i : i + 6])
+        assert "count(1)" in tail or "__cnt" in tail, tail
+    # And the auto pick produces the exact same rows as both explicit
+    # paths.
+    key = lambda r: tuple((c, str(v)) for c, v in sorted(r.asDict().items()))  # noqa: E731
+    assert sorted(map(key, auto.collect())) == sorted(map(key, small.collect()))
 
 
 def test_running_sum_matches_single_window(spark):
