@@ -82,9 +82,16 @@ _INVOICE_TABLE_MAP = {
 def _normalized_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapped invoice result with the reference's pre-check
     normalization applied: empty strings → null on every string
-    column, gateways renamed via the replace map."""
+    column, gateways renamed via the replace map. The checks only
+    aggregate, so the pipeline's closing cosmetic sort is skipped
+    (``final_sort=False`` — a full-result range sort bought nothing
+    here; ~2 s at sf0.1)."""
     inv = build_invoices(
-        commerce_tables_from_benchmark(spark, sf_dir), FROM_DATE, TO_DATE, START_ID
+        commerce_tables_from_benchmark(spark, sf_dir),
+        FROM_DATE,
+        TO_DATE,
+        START_ID,
+        final_sort=False,
     )
     norm = inv.select(
         *[

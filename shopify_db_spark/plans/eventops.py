@@ -292,21 +292,38 @@ def q43_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented tolerance (HLL++ rsd=0.02 → 3σ=6 %; t-digest → 5 %
     of the exact discrete percentile). The oracle asserts TRUE — if
     a sketch drifts out of tolerance the gate fails, which is the
-    meaningful cross-engine claim about approximate operators."""
+    meaningful cross-engine claim about approximate operators.
+
+    The three aggregate families deliberately run as SEPARATE
+    aggregations joined on the group key (a handful of rows) rather
+    than one mixed ``agg``: a mixed list pins the plan to its
+    weakest member — the DISTINCT agg forces an Expand and the
+    sort-based ``percentile_disc`` forces SortAggregate, where the
+    typed-imperative HLL/t-digest buffers are serialized per row
+    instead of living in the ObjectHashAggregate map (measured 5×:
+    3.8 s mixed → 0.7 s split at sf0.1). Split, each family gets
+    its best physical form and its own column-pruned scan; at
+    100 TB only the sketch aggregation (one pass, mergeable
+    partials) would run — the exact columns are the gate's
+    verification tier, not the production path."""
     events = load_table(spark, sf_dir, "events")
     exact_p = "percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
-    agged = (
-        events.filter(F.col("value").isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
-            .alias("approx_p50_p95"),
-            F.expr(exact_p.format(q=0.5)).alias("exact_p50"),
-            F.expr(exact_p.format(q=0.95)).alias("exact_p95"),
-        )
+    base = events.filter(F.col("value").isNotNull())
+    exact_counts = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    sketches = base.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+        .alias("approx_p50_p95"),
+    )
+    exact_pctl = base.groupBy("event_type").agg(
+        F.expr(exact_p.format(q=0.5)).alias("exact_p50"),
+        F.expr(exact_p.format(q=0.95)).alias("exact_p95"),
+    )
+    agged = exact_counts.join(sketches, "event_type").join(
+        exact_pctl, "event_type"
     )
 
     def within(approx: F.Column, exact: F.Column, rel: float) -> F.Column:

@@ -55,13 +55,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-#: Above this many candidate invoice groups the single-partition
-#: numbering window (and the broadcast of the numbered side) stop
-#: being safe — :func:`build_invoices` flips to the two-phase
-#: numbering of ``operators.numbering`` automatically. 2M rows of
-#: (ORDER NO, payment_tag, INVOICE NO) is ~100 MB in one task /
-#: one broadcast: near the practical ceiling for both.
-TWO_PHASE_GROUP_THRESHOLD = 2_000_000
+#: Above this much estimated source data behind the invoice-group
+#: keys (orders + refunds, Catalyst plan-time ``sizeInBytes`` — no
+#: job runs) the single-partition numbering window and the broadcast
+#: of the numbered side stop being safe, and :func:`build_invoices`
+#: flips to the two-phase numbering of ``operators.numbering``.
+#: 256 MiB of order/refund rows is ≳2M invoice groups — ~100 MB of
+#: (ORDER NO, payment_tag, INVOICE NO) in one task / one broadcast,
+#: near the practical ceiling for both. Biased low on purpose:
+#: flipping early costs two extra small shuffles, flipping late
+#: funnels the group set through one task.
+TWO_PHASE_SOURCE_BYTES = 256 << 20
+
+#: Row-count fallback bound for lineages whose plan-time stats are
+#: unknown (Catalyst reports Long.MaxValue for e.g. Python-sourced
+#: local relations): two cheap count jobs instead of the free
+#: estimate. Same ceiling rationale as the byte form.
+TWO_PHASE_GROUP_ROWS = 2_000_000
+
+_STATS_UNKNOWN = (1 << 63) - 1
 
 #: invoice-line column order shared by the four branches (the
 #: reference aligns the four CTEs' shapes so UNION works positionally;
@@ -579,6 +591,7 @@ def assign_invoice_numbers(
     invoice_start_id: int,
     groups: DataFrame | None = None,
     two_phase: bool = False,
+    final_sort: bool = True,
 ) -> DataFrame:
     """Date-window the invoice lines and attach one consecutive
     invoice number per (ORDER NO, payment_tag) group, starting at
@@ -607,6 +620,14 @@ def assign_invoice_numbers(
     group keys from the six-join view; when omitted they are
     computed from ``invoice_view`` itself.
 
+    ``final_sort=False`` drops the closing cosmetic
+    ``ORDER BY (INVOICE NO, CUSTOMER NAME)`` — a global range sort
+    of the full result (~2.2 s of q20 at sf0.1, and the widest
+    shuffle of the pipeline at scale). The sort exists for the
+    reference's CSV file order (``db.py:480-483``); consumers that
+    aggregate or re-shuffle the lines anyway (the verify suite, the
+    upsert sink) should skip it.
+
     ``two_phase=True`` swaps the single-partition numbering window
     for :func:`~shopify_db_spark.operators.numbering.global_row_numbers`
     (range-partition → local row_number → offset join) — the 100×
@@ -616,7 +637,7 @@ def assign_invoice_numbers(
     small-cardinality default because at one-row-per-invoice scale
     the window is cheaper than two extra shuffles.
     :func:`build_invoices` picks the path automatically from a cheap
-    upper bound on group cardinality (``TWO_PHASE_GROUP_THRESHOLD``).
+    upper bound on group cardinality (``TWO_PHASE_SOURCE_BYTES``).
 
     The broadcast of the numbered-group side (see the inline note)
     is only applied on the windowed path: flipping to two-phase
@@ -704,7 +725,10 @@ def assign_invoice_numbers(
             for c in out_cols
         ]
     )
-    return matched.unionByName(null_padded).orderBy("INVOICE NO", "CUSTOMER NAME")
+    out = matched.unionByName(null_padded)
+    if final_sort:
+        out = out.orderBy("INVOICE NO", "CUSTOMER NAME")
+    return out
 
 
 def build_invoices(
@@ -713,6 +737,7 @@ def build_invoices(
     to_date: datetime.date | str,
     invoice_start_id: int = 1,
     two_phase: bool | None = None,
+    final_sort: bool = True,
 ) -> DataFrame:
     """End-to-end: view + numbering (the reference's
     ``tripletex-generate`` path, SURVEY §3.2). The group keys come
@@ -720,17 +745,31 @@ def build_invoices(
     not twice.
 
     ``two_phase=None`` (default) auto-selects the numbering path:
-    group cardinality is upper-bounded by ``|orders| + |refunds|``
-    (every payment group maps to one rank-1-paid order, every refund
-    group to one refunds row — see :func:`invoice_groups`), two
-    metadata-cheap parquet row counts that never scan data. Above
-    ``TWO_PHASE_GROUP_THRESHOLD`` the single-partition numbering
-    window would funnel the whole group set through one task, so the
-    two-phase numbering takes over; below it the window is cheaper
-    (two fewer shuffles). Explicit True/False overrides."""
+    group cardinality is upper-bounded by the orders + refunds
+    inputs (every payment group maps to one rank-1-paid order, every
+    refund group to one refunds row — see :func:`invoice_groups`),
+    sized via Catalyst's plan-time ``sizeInBytes`` estimate — a
+    driver-side statistic, no job runs and nothing is scanned
+    (counting the mapped frames would execute their whole lineage:
+    measured ~2 s per q20 run). Above ``TWO_PHASE_SOURCE_BYTES`` the
+    single-partition numbering window would funnel the whole group
+    set through one task, so the two-phase numbering takes over;
+    below it the window is cheaper (two fewer shuffles). Lineages
+    whose stats Catalyst cannot estimate (Long.MaxValue sentinel,
+    e.g. Python local relations) fall back to two count jobs against
+    ``TWO_PHASE_GROUP_ROWS``. Explicit True/False overrides."""
     if two_phase is None:
-        bound = tables["orders"].count() + tables["refunds"].count()
-        two_phase = bound > TWO_PHASE_GROUP_THRESHOLD
+        sizes = [
+            int(
+                tables[t]._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            for t in ("orders", "refunds")
+        ]
+        if any(s >= _STATS_UNKNOWN for s in sizes):
+            rows = tables["orders"].count() + tables["refunds"].count()
+            two_phase = rows > TWO_PHASE_GROUP_ROWS
+        else:
+            two_phase = sum(sizes) > TWO_PHASE_SOURCE_BYTES
     return assign_invoice_numbers(
         tripletex_invoice(tables),
         from_date,
@@ -738,4 +777,5 @@ def build_invoices(
         invoice_start_id,
         two_phase=two_phase,
         groups=invoice_groups(tables, from_date, to_date),
+        final_sort=final_sort,
     )

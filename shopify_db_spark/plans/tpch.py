@@ -61,32 +61,51 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Operator coverage: P3 date predicate (pushed to the parquet
     scan), A2/A4 grouped sums + exact count-distinct, F9 HALF_UP
     rounding, decimal-exact money math (reference money semantics,
-    ``setup.sql:365-369``). One shuffle (the groupBy), partial aggs
-    map-side; at 100 TB this stays a single-pass scan+agg.
+    ``setup.sql:365-369``).
+
+    The DISTINCT aggregate runs as its own aggregation joined back
+    on the (tiny) group key instead of inside the sums' ``agg``: a
+    mixed list makes Catalyst Expand-duplicate every input row to
+    give the distinct its own grouping lane, doubling the shuffled
+    rows *with the decimal expressions already materialized on them*
+    (measured 2×: 2.2 s mixed → 1.0 s split at sf0.1 — and at scale
+    the split shuffles sum partials + a (group, orderkey) pre-agg
+    instead of 2× the fact rows). Each side keeps its own pruned
+    single-pass scan+agg shape.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            "l_orderkey",
-            dec("l_quantity").alias("qty_d"),
-            dec("l_extendedprice").alias("price_d"),
-            _discount_factor().alias("disc_f"),
-            _tax_factor().alias("tax_f"),
-        )
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            money_out(F.sum("qty_d")).alias("sum_qty"),
-            money_out(F.sum("price_d")).alias("sum_base_price"),
-            money_out(F.sum(F.col("price_d") * F.col("disc_f"))).alias("sum_disc_price"),
-            money_out(
-                F.sum(F.col("price_d") * F.col("disc_f") * F.col("tax_f"))
-            ).alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-        )
+    base = li.filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_orderkey",
+        dec("l_quantity").alias("qty_d"),
+        dec("l_extendedprice").alias("price_d"),
+        _discount_factor().alias("disc_f"),
+        _tax_factor().alias("tax_f"),
+    )
+    sums = base.groupBy("l_returnflag", "l_linestatus").agg(
+        money_out(F.sum("qty_d")).alias("sum_qty"),
+        money_out(F.sum("price_d")).alias("sum_base_price"),
+        money_out(F.sum(F.col("price_d") * F.col("disc_f"))).alias("sum_disc_price"),
+        money_out(
+            F.sum(F.col("price_d") * F.col("disc_f") * F.col("tax_f"))
+        ).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    dist = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    return sums.join(dist, ["l_returnflag", "l_linestatus"]).select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "count_order",
+        "n_orders",
     )
 
 

@@ -48,10 +48,10 @@ def test_invoice_two_phase_flag_equivalence(spark):
 
 def test_invoice_auto_two_phase_threshold(spark, monkeypatch):
     """The default (two_phase=None) flips to two-phase numbering once
-    the cheap |orders|+|refunds| upper bound crosses the threshold,
-    and the resulting plan routes the group numbering through the
-    range-partitioned path instead of a single-partition window over
-    the group set."""
+    the plan-time size estimate of the group-key sources (orders +
+    refunds) crosses the byte threshold, and the resulting plan
+    routes the group numbering through the range-partitioned path
+    instead of a single-partition window over the group set."""
     from shopify_db_spark.plans import invoice as inv
 
     tables = build_tables(spark)
@@ -62,7 +62,11 @@ def test_invoice_auto_two_phase_threshold(spark, monkeypatch):
     small_plan = small._jdf.queryExecution().optimizedPlan().toString()
     assert "__local_rn" not in small_plan
 
-    monkeypatch.setattr(inv, "TWO_PHASE_GROUP_THRESHOLD", 0)
+    # Fixture tables are Python local relations (stats unknown), so
+    # the auto path takes the count fallback; zero both bounds so
+    # either route flips.
+    monkeypatch.setattr(inv, "TWO_PHASE_SOURCE_BYTES", 0)
+    monkeypatch.setattr(inv, "TWO_PHASE_GROUP_ROWS", 0)
     auto = inv.build_invoices(tables, FROM_DATE, TO_DATE, START_ID)
     auto_plan = auto._jdf.queryExecution().optimizedPlan().toString()
     # Two-phase markers present; the group set is range-partitioned.
