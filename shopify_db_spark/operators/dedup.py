@@ -105,6 +105,60 @@ def minhash_signatures(
     )
 
 
+def banded_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_seeds: int = DEFAULT_SEEDS,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """(doc_id, minhashes, band, band_key): the banded-LSH index rows
+    of each document — one row per band, the signature array riding
+    along so candidate scoring never joins back to a signature table.
+    Shared by the batch pair generator (:func:`minhash_lsh_pairs`)
+    and the incremental index (``plans.streamops`` q73)."""
+    sig = minhash_signatures(doc_shingles(docs, id_col, text_col), n_seeds)
+    n_bands = (n_seeds + band_size - 1) // band_size
+
+    def band_key(b: int):
+        entries = F.array(
+            *[
+                F.concat_ws(
+                    ":", F.lit(s), F.col("minhashes")[s]
+                )
+                for s in range(b * band_size, min((b + 1) * band_size, n_seeds))
+            ]
+        )
+        return F.md5(F.concat_ws("|", F.array_sort(entries)))
+
+    return sig.select(
+        "doc_id",
+        "minhashes",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_key(b).alias("band_key")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "minhashes", "bk.band", "bk.band_key")
+
+
+def signature_agreement(a_minhashes: Column, b_minhashes: Column, n_seeds: int) -> Column:
+    """Fraction of agreeing signature positions — the inline Jaccard
+    estimate used wherever two signature arrays meet."""
+    agree = F.size(
+        F.filter(
+            F.zip_with(a_minhashes, b_minhashes, lambda x, y: (x == y).cast("int")),
+            lambda e: e == 1,
+        )
+    )
+    return agree.cast("double") / F.lit(float(n_seeds))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -120,34 +174,7 @@ def minhash_lsh_pairs(
     signature array rides along the band explode and the bucket
     join, so candidates are scored inline — no join back to a cached
     signature table."""
-    sig = minhash_signatures(doc_shingles(docs, id_col, text_col), n_seeds)
-    n_bands = (n_seeds + band_size - 1) // band_size
-
-    def band_key(b: int):
-        entries = F.array(
-            *[
-                F.concat_ws(
-                    ":", F.lit(s), F.col("minhashes")[s]
-                )
-                for s in range(b * band_size, min((b + 1) * band_size, n_seeds))
-            ]
-        )
-        return F.md5(F.concat_ws("|", F.array_sort(entries)))
-
-    bands = sig.select(
-        "doc_id",
-        "minhashes",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), band_key(b).alias("band_key")
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "minhashes", "bk.band", "bk.band_key")
+    bands = banded_minhash(docs, id_col, text_col, n_seeds, band_size)
     # degenerate-bucket guard: boilerplate shingles put thousands of
     # docs in one bucket → quadratic pair blowup; cap and drop.
     bucket_sizes = bands.groupBy("band", "band_key").agg(
@@ -158,16 +185,6 @@ def minhash_lsh_pairs(
         ["band", "band_key"],
     )
     a, b = bands.alias("a"), bands.alias("b")
-    agree = F.size(
-        F.filter(
-            F.zip_with(
-                F.col("a.minhashes"),
-                F.col("b.minhashes"),
-                lambda x, y: (x == y).cast("int"),
-            ),
-            lambda e: e == 1,
-        )
-    )
     return (
         a.join(
             b,
@@ -178,7 +195,9 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (agree.cast("double") / F.lit(float(n_seeds))).alias("est_jaccard"),
+            signature_agreement(
+                F.col("a.minhashes"), F.col("b.minhashes"), n_seeds
+            ).alias("est_jaccard"),
         )
         .distinct()
     )

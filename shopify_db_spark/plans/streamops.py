@@ -31,6 +31,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shopify_db_spark.operators.dedup import banded_minhash, signature_agreement
 from shopify_db_spark.operators.upsert import upsert
 from shopify_db_spark.plans.catalog import query
 from shopify_db_spark.sources.tables import load_table
@@ -310,5 +311,157 @@ def q60_stateful_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
         return run_bounded(tracked, mode="append")
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
+_Q73_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+),
+salted AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+  FROM shingles, UNNEST(generate_series(0, 7)) AS s(seed)
+),
+sig AS (
+  SELECT doc_id, seed, MIN(h) AS minhash FROM salted GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS INT) AS band,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+                        ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)) AS band_key
+  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 2) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS late_id, b.doc_id AS early_id
+  FROM bands a
+  JOIN bands b ON b.band = a.band AND b.band_key = a.band_key
+   AND (b.doc_id % 3 < a.doc_id % 3
+        OR (b.doc_id % 3 = a.doc_id % 3 AND b.doc_id < a.doc_id))
+),
+scored AS (
+  SELECT late_id, early_id,
+         CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+             / 8 AS est_j
+  FROM cand
+  JOIN sig sa ON sa.doc_id = late_id
+  JOIN sig sb ON sb.doc_id = early_id AND sb.seed = sa.seed
+  GROUP BY late_id, early_id
+),
+dups AS (
+  SELECT late_id, MIN(early_id) AS dup_of
+  FROM scored WHERE est_j >= 0.5 GROUP BY late_id
+)
+SELECT d.doc_id,
+       CAST(d.doc_id % 3 AS BIGINT) AS batch_no,
+       (dup.late_id IS NOT NULL) AS is_dup,
+       dup.dup_of
+FROM documents d LEFT JOIN dups dup ON dup.late_id = d.doc_id
+"""
+
+
+@query("q73_incremental_dedup", oracle=_Q73_ORACLE)
+def q73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection over a GROWING corpus — the
+    100 TB ingestion shape: new documents are deduplicated against
+    everything already ingested without ever re-scanning the
+    existing corpus. Documents arrive as three deterministic
+    micro-batches (``batch_no = doc_id % 3``); each ``foreachBatch``
+    computes the batch's banded MinHash rows (``operators.dedup.
+    banded_minhash`` — the SAME signature family as batch q26),
+    probes the accumulated signature INDEX on (band, band_key) plus
+    the batch's own earlier rows, marks a document duplicate when
+    any earlier-arrived document agrees on ≥ 4/8 signature positions
+    (est-Jaccard ≥ 0.5), then appends the batch to the index. Only
+    signatures accumulate — documents are seen once, and the index
+    is O(corpus × bands) signature rows, equi-joined per batch.
+
+    Arrival order is (batch_no, doc_id), which is NOT doc_id order
+    (doc 5 arrives in batch 2, doc 6 in batch 0), so the result is a
+    genuine function of ingestion history — the oracle replays the
+    same order-dependent contract as one SQL query: duplicate iff an
+    LSH bucket is shared with any earlier-arrived doc at est ≥ 0.5,
+    ``dup_of`` the minimum such doc id. Production variants bound
+    the per-bucket index size exactly as q26's ``max_bucket`` cap;
+    omitted here so the oracle is the exact full-recall spec.
+
+    Returns (doc_id, batch_no, is_dup, dup_of)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 3).alias("batch_no")
+    )
+    stream_dir = _write_batch_files(docs, "batch_no", 3)
+
+    empty_index = spark.createDataFrame(
+        [],
+        "doc_id long, minhashes array<string>, band int, band_key string",
+    )
+    state = {"index": empty_index, "out": None}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bands = banded_minhash(
+            batch_df, "doc_id", "text", n_seeds=8, band_size=2
+        ).localCheckpoint()
+        # earlier-arrived probe targets: the whole index (strictly
+        # earlier batches) plus same-batch rows with a smaller id
+        def probe(targets: DataFrame, same_batch: bool) -> DataFrame:
+            cond = (F.col("a.band") == F.col("b.band")) & (
+                F.col("a.band_key") == F.col("b.band_key")
+            )
+            if same_batch:
+                cond = cond & (F.col("b.doc_id") < F.col("a.doc_id"))
+            return (
+                bands.alias("a")
+                .join(targets.alias("b"), cond)
+                .select(
+                    F.col("a.doc_id").alias("late_id"),
+                    F.col("b.doc_id").alias("early_id"),
+                    signature_agreement(
+                        F.col("a.minhashes"), F.col("b.minhashes"), 8
+                    ).alias("est_j"),
+                )
+            )
+
+        pairs = probe(state["index"], False).unionByName(probe(bands, True))
+        dups = (
+            pairs.filter(F.col("est_j") >= 0.5)
+            .groupBy("late_id")
+            .agg(F.min("early_id").alias("dup_of"))
+        )
+        out = (
+            batch_df.select("doc_id", "batch_no")
+            .join(dups, F.col("doc_id") == F.col("late_id"), "left")
+            .select(
+                "doc_id",
+                "batch_no",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of",
+            )
+        )
+        state["out"] = (
+            out if state["out"] is None else state["out"].unionByName(out)
+        ).localCheckpoint()
+        state["index"] = (
+            state["index"].unionByName(bands.select(*state["index"].columns))
+        ).localCheckpoint()
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return state["out"]
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)

