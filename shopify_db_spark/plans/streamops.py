@@ -100,27 +100,12 @@ def q49_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = _order_updates(load_table(spark, sf_dir, "orders"))
     schema = updates.schema
 
-    workdir = tempfile.mkdtemp(prefix="stream_merge_")
-    stream_dir = os.path.join(workdir, "in")
+    # one parquet file per micro-batch, mtimes strictly increasing so
+    # the file source's oldest-first order equals batch_no order
+    stream_dir = _write_batch_files(updates, "batch_no", N_BATCHES)
+    workdir = os.path.dirname(stream_dir)
     ckpt_dir = os.path.join(workdir, "ckpt")
-    os.makedirs(stream_dir)
     try:
-        # one parquet file per micro-batch, mtimes strictly
-        # increasing so the file source's oldest-first order equals
-        # batch_no order
-        base = 1_600_000_000
-        for b in range(N_BATCHES):
-            part_dir = os.path.join(workdir, f"part{b}")
-            updates.filter(F.col("batch_no") == b).coalesce(1).write.parquet(
-                part_dir
-            )
-            src = next(
-                f for f in os.listdir(part_dir) if f.endswith(".parquet")
-            )
-            dst = os.path.join(stream_dir, f"batch-{b}.parquet")
-            shutil.move(os.path.join(part_dir, src), dst)
-            os.utime(dst, (base + 100 * b, base + 100 * b))
-
         state = {"df": spark.createDataFrame([], schema)}
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -155,14 +140,27 @@ def _write_batch_files(df: DataFrame, batch_col: str, n_batches: int) -> str:
     (``maxFilesPerTrigger=1``, oldest first) replays exactly one
     batch per trigger in batch order — the determinism q49 pioneered,
     shared by every bounded-stream gate query. Returns the stream
-    input directory (caller removes the parent workdir)."""
+    input directory (caller removes the parent workdir).
+
+    ONE write job for all batches: a duplicate of the batch column
+    becomes the ``partitionBy`` key (so ``batch_col`` itself stays in
+    the files) and the pre-write hash repartition on it puts each
+    value in exactly one task → exactly one file per directory. The
+    per-batch filter+coalesce(1) loop this replaces ran ``n_batches``
+    full scans of the upstream plan."""
     workdir = tempfile.mkdtemp(prefix="stream_gate_")
     stream_dir = os.path.join(workdir, "in")
     os.makedirs(stream_dir)
+    split_dir = os.path.join(workdir, "split")
+    (
+        df.withColumn("__split", F.col(batch_col))
+        .repartition(n_batches, F.col("__split"))
+        .write.partitionBy("__split")
+        .parquet(split_dir)
+    )
     base = 1_600_000_000
     for b in range(n_batches):
-        part_dir = os.path.join(workdir, f"part{b}")
-        df.filter(F.col(batch_col) == b).coalesce(1).write.parquet(part_dir)
+        part_dir = os.path.join(split_dir, f"__split={b}")
         src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
         dst = os.path.join(stream_dir, f"batch-{b}.parquet")
         shutil.move(os.path.join(part_dir, src), dst)
