@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the algebraic core.
+
+The reference ships no tests at all (SURVEY §5); beyond the oracle
+differential and golden fixtures, the operators with algebraic
+contracts get randomized-model checks: the upsert MERGE against a
+dict-model of Postgres ``ON CONFLICT DO UPDATE`` with partial SET
+lists, and two-phase global numbering against the single-window
+definition. Examples are kept few and frames small — each example
+runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover - hypothesis is baked into the image
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from shopify_db_spark.operators.numbering import global_row_numbers
+from shopify_db_spark.operators.upsert import upsert
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# (key, value, frozen_value) rows; tight key range forces conflicts
+_row = st.tuples(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=-50, max_value=50),
+    st.integers(min_value=-50, max_value=50),
+)
+_frames = st.tuples(st.lists(_row, max_size=12), st.lists(_row, max_size=12))
+
+
+def _model_upsert(existing: list, updates: list) -> dict:
+    """Dict model of the MERGE: matched keys take the update's value
+    but keep the old frozen column; the within-batch winner among
+    duplicate update keys is the highest (v, f) — dedup_updates'
+    descending sort over the non-key columns."""
+    state = {}
+    for k, v, f in existing:
+        state[k] = (v, f)  # base is assumed key-unique (enforced below)
+    winners: dict[int, tuple] = {}
+    for k, v, f in updates:
+        if k not in winners or (v, f) > winners[k]:
+            winners[k] = (v, f)
+    for k, (v, f) in winners.items():
+        if k in state:
+            state[k] = (v, state[k][1])  # frozen col keeps old value
+        else:
+            state[k] = (v, f)
+    return state
+
+
+@_SETTINGS
+@given(_frames)
+def test_upsert_matches_dict_model(spark, frames):
+    existing_rows, update_rows = frames
+    # base table must be key-unique (it is the accumulated state)
+    seen = {}
+    for k, v, f in existing_rows:
+        seen[k] = (k, v, f)
+    existing_rows = list(seen.values())
+
+    schema = "k long, v long, f long"
+    base = spark.createDataFrame(existing_rows or [], schema)
+    upd = spark.createDataFrame(update_rows or [], schema)
+    got = {
+        r["k"]: (r["v"], r["f"])
+        for r in upsert(base, upd, keys=["k"], frozen_cols=["f"]).collect()
+    }
+    assert got == _model_upsert(existing_rows, update_rows)
+
+
+@_SETTINGS
+@given(_frames)
+def test_upsert_idempotent(spark, frames):
+    """Applying the same (deduped) batch twice equals applying once —
+    replayed ingest pages must be harmless."""
+    existing_rows, update_rows = frames
+    seen = {}
+    for k, v, f in existing_rows:
+        seen[k] = (k, v, f)
+    schema = "k long, v long, f long"
+    base = spark.createDataFrame(list(seen.values()) or [], schema)
+    upd = spark.createDataFrame(update_rows or [], schema)
+    once = upsert(base, upd, keys=["k"], frozen_cols=["f"])
+    twice = upsert(once, upd, keys=["k"], frozen_cols=["f"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
+    )
+)
+def test_global_row_numbers_matches_window(spark, ids):
+    """Two-phase numbering must equal the single-window ROW_NUMBER
+    for ANY key multiset (ties order arbitrarily in both forms, so
+    keys are de-duplicated to keep the contract exact)."""
+    ids = sorted(set(ids))
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    got = global_row_numbers(df, ["k"], col_name="rn", start=7, num_partitions=4)
+    want = df.withColumn(
+        "rn", (F.lit(7) + F.row_number().over(Window.orderBy("k")) - 1).cast("long")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
