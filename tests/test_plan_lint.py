@@ -37,3 +37,40 @@ def test_no_accidental_cross_join(spark, name):
     if name in CROSS_JOIN_OK:
         return  # bounded by construction; documented at the call site
     assert not flags, f"{name} plans a cross join: {flags}"
+
+
+#: queries whose physical plans legitimately contain Exchange
+#: SinglePartition nodes, with the bound that keeps each safe at
+#: scale. Every entry is (max occurrences, why it is bounded).
+SINGLE_PARTITION_OK = {
+    "q06_orderkey_gaps": (1, "final scalar aggregate over partial aggs"),
+    "q08_group_numbering": (1, "numbering window over the group side only"),
+    "q12_global_aggregates": (1, "final scalar aggregate over partial aggs"),
+    "q20_invoice_pipeline": (2, "invoice-group numbering window (auto two-phase above TWO_PHASE_SOURCE_BYTES) + group distinct"),
+    "q48_hourly_gapfill": (1, "hour-grid generation, dimension-sized"),
+    "q52_length_deciles": (1, "two-phase NTILE offsets, #partitions rows"),
+    "q58_sequence_packing": (1, "two-phase prefix-sum offsets, #partitions rows"),
+    "q70_mixture_weights": (1, "partitionless window over per-source rows"),
+    "q71_shuffle_split": (1, "two-phase numbering offsets, #partitions rows"),
+}
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_no_unexpected_single_partition_exchange(spark, name):
+    """Every Exchange SinglePartition in a catalog plan must be a
+    known bounded shape (scalar aggregate, group-cardinality window,
+    partition-count offset frame) — an unexpected one means a new
+    query funnels data-sized input through one task."""
+    plan = (
+        load_all()[name]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Exchange SinglePartition")
+    allowed, _why = SINGLE_PARTITION_OK.get(name, (0, "no global stage"))
+    assert n <= allowed, (
+        f"{name}: {n} SinglePartition exchange(s), allowlist permits "
+        f"{allowed} — justify the bound or restructure the plan"
+    )
