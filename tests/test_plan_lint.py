@@ -1,7 +1,8 @@
 """Plan lint over the whole catalog: no accidental cartesian products
-or nested-loop joins. The allowlist names the queries whose plans
-legitimately contain a bounded cross join (brute-force cosine
-baseline; IVF's n x K centroid-scoring pass)."""
+or nested-loop joins, and no unexpected single-partition exchanges.
+The allowlists name the queries whose plans legitimately contain a
+bounded cross join (brute-force cosine baseline; IVF's n x K
+centroid-scoring pass) or a bounded global stage."""
 
 from __future__ import annotations
 
@@ -19,16 +20,27 @@ CROSS_JOIN_OK = {
 
 ALL = sorted(load_all())
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _plan(spark, name: str) -> str:
+    """Physical plan per query, computed once per session — the
+    streaming gate queries actually RUN their bounded stream when
+    invoked, so each lint sharing the plan matters."""
+    if name not in _PLAN_CACHE:
+        _PLAN_CACHE[name] = (
+            load_all()[name]
+            .fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    return _PLAN_CACHE[name]
+
 
 @pytest.mark.parametrize("name", ALL)
 def test_no_accidental_cross_join(spark, name):
-    plan = (
-        load_all()[name]
-        .fn(spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    plan = _plan(spark, name)
     flags = [
         f
         for f in ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -61,14 +73,7 @@ def test_no_unexpected_single_partition_exchange(spark, name):
     known bounded shape (scalar aggregate, group-cardinality window,
     partition-count offset frame) — an unexpected one means a new
     query funnels data-sized input through one task."""
-    plan = (
-        load_all()[name]
-        .fn(spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    n = plan.count("Exchange SinglePartition")
+    n = _plan(spark, name).count("Exchange SinglePartition")
     allowed, _why = SINGLE_PARTITION_OK.get(name, (0, "no global stage"))
     assert n <= allowed, (
         f"{name}: {n} SinglePartition exchange(s), allowlist permits "
