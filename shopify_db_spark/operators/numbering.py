@@ -41,7 +41,61 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["global_row_numbers", "global_running_sum", "global_ntile"]
+__all__ = [
+    "global_row_numbers",
+    "global_running_sum",
+    "global_ntile",
+    "needs_two_phase",
+    "TWO_PHASE_SOURCE_BYTES",
+    "TWO_PHASE_GROUP_ROWS",
+]
+
+#: Above this much estimated source data behind a numbering's group
+#: keys (Catalyst plan-time ``sizeInBytes`` — no job runs) a
+#: single-partition numbering window and a broadcast of the numbered
+#: side stop being safe; callers flip to the two-phase numbering.
+#: 256 MiB of source rows is ≳2M groups — ~100 MB of keys in one
+#: task / one broadcast, near the practical ceiling for both. Biased
+#: low on purpose: flipping early costs two extra small shuffles,
+#: flipping late funnels the group set through one task.
+TWO_PHASE_SOURCE_BYTES = 256 << 20
+
+#: Row-count fallback bound for lineages whose plan-time stats are
+#: unknown (Catalyst reports Long.MaxValue for e.g. Python-sourced
+#: local relations): cheap count jobs instead of the free estimate.
+#: Same ceiling rationale as the byte form.
+TWO_PHASE_GROUP_ROWS = 2_000_000
+
+_STATS_UNKNOWN = (1 << 63) - 1
+
+
+def needs_two_phase(
+    sources: list[DataFrame],
+    byte_bound: int | None = None,
+    row_bound: int | None = None,
+) -> bool:
+    """Plan-time decision: should a numbering over a group set that
+    is upper-bounded by ``sources`` use the two-phase formulation?
+
+    Uses Catalyst's free ``sizeInBytes`` estimate (driver-side, no
+    job); lineages Catalyst cannot size (Long.MaxValue sentinel)
+    fall back to count jobs against ``row_bound``. Shared by
+    ``plans.invoice.build_invoices`` and the standalone numbering
+    demo ``plans.tpch.q08`` so every numbering site auto-escapes the
+    single-partition window the same way."""
+    # bounds resolved at CALL time (module globals, not def-time
+    # defaults) so tests/operators can tune them via the module
+    if byte_bound is None:
+        byte_bound = TWO_PHASE_SOURCE_BYTES
+    if row_bound is None:
+        row_bound = TWO_PHASE_GROUP_ROWS
+    sizes = [
+        int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        for df in sources
+    ]
+    if any(s >= _STATS_UNKNOWN for s in sizes):
+        return sum(df.count() for df in sources) > row_bound
+    return sum(sizes) > byte_bound
 
 
 def global_row_numbers(

@@ -317,13 +317,19 @@ def q43_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
         .alias("approx_p50_p95"),
-    )
+    ).withColumnRenamed("event_type", "et_s")
     exact_pctl = base.groupBy("event_type").agg(
         F.expr(exact_p.format(q=0.5)).alias("exact_p50"),
         F.expr(exact_p.format(q=0.95)).alias("exact_p95"),
-    )
-    agged = exact_counts.join(sketches, "event_type").join(
-        exact_pctl, "event_type"
+    ).withColumnRenamed("event_type", "et_p")
+    # eqNullSafe: a NULL event_type group must survive the
+    # split-aggregation joins (see tpch.py q01 — same pattern)
+    agged = (
+        exact_counts.join(
+            sketches, F.col("event_type").eqNullSafe(F.col("et_s"))
+        )
+        .join(exact_pctl, F.col("event_type").eqNullSafe(F.col("et_p")))
+        .drop("et_s", "et_p")
     )
 
     def within(approx: F.Column, exact: F.Column, rel: float) -> F.Column:

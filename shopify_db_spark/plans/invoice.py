@@ -55,25 +55,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-#: Above this much estimated source data behind the invoice-group
-#: keys (orders + refunds, Catalyst plan-time ``sizeInBytes`` — no
-#: job runs) the single-partition numbering window and the broadcast
-#: of the numbered side stop being safe, and :func:`build_invoices`
-#: flips to the two-phase numbering of ``operators.numbering``.
-#: 256 MiB of order/refund rows is ≳2M invoice groups — ~100 MB of
-#: (ORDER NO, payment_tag, INVOICE NO) in one task / one broadcast,
-#: near the practical ceiling for both. Biased low on purpose:
-#: flipping early costs two extra small shuffles, flipping late
-#: funnels the group set through one task.
-TWO_PHASE_SOURCE_BYTES = 256 << 20
-
-#: Row-count fallback bound for lineages whose plan-time stats are
-#: unknown (Catalyst reports Long.MaxValue for e.g. Python-sourced
-#: local relations): two cheap count jobs instead of the free
-#: estimate. Same ceiling rationale as the byte form.
-TWO_PHASE_GROUP_ROWS = 2_000_000
-
-_STATS_UNKNOWN = (1 << 63) - 1
+# The two-phase numbering bounds and the plan-time decision now live
+# in ``operators.numbering`` (shared with plans.tpch q08); re-exported
+# here because the invoice pipeline is where they were first derived.
+from shopify_db_spark.operators.numbering import (  # noqa: E402
+    TWO_PHASE_GROUP_ROWS,
+    TWO_PHASE_SOURCE_BYTES,
+    needs_two_phase,
+)
 
 #: invoice-line column order shared by the four branches (the
 #: reference aligns the four CTEs' shapes so UNION works positionally;
@@ -697,8 +686,9 @@ def assign_invoice_numbers(
     # stats sit behind a window over a union of joins, so neither
     # static planning nor AQE infers that; without the hint the full
     # line side shuffles on the group key (observed SortMergeJoin at
-    # sf0.1). The hint is dropped on the two-phase path: cardinality
-    # above TWO_PHASE_GROUP_THRESHOLD exceeds broadcastable size.
+    # sf0.1). The hint is dropped on the two-phase path: source bytes /
+    # group rows above TWO_PHASE_SOURCE_BYTES / TWO_PHASE_GROUP_ROWS
+    # exceed broadcastable size.
     non_null = numbered.filter(F.col("ORDER NO").isNotNull())
     if not two_phase:
         non_null = F.broadcast(non_null)
@@ -759,17 +749,13 @@ def build_invoices(
     e.g. Python local relations) fall back to two count jobs against
     ``TWO_PHASE_GROUP_ROWS``. Explicit True/False overrides."""
     if two_phase is None:
-        sizes = [
-            int(
-                tables[t]._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-            for t in ("orders", "refunds")
-        ]
-        if any(s >= _STATS_UNKNOWN for s in sizes):
-            rows = tables["orders"].count() + tables["refunds"].count()
-            two_phase = rows > TWO_PHASE_GROUP_ROWS
-        else:
-            two_phase = sum(sizes) > TWO_PHASE_SOURCE_BYTES
+        # bounds passed explicitly so this module's (patchable)
+        # globals stay authoritative for the invoice pipeline
+        two_phase = needs_two_phase(
+            [tables["orders"], tables["refunds"]],
+            byte_bound=TWO_PHASE_SOURCE_BYTES,
+            row_bound=TWO_PHASE_GROUP_ROWS,
+        )
     return assign_invoice_numbers(
         tripletex_invoice(tables),
         from_date,

@@ -159,11 +159,27 @@ def _write_batch_files(df: DataFrame, batch_col: str, n_batches: int) -> str:
         .parquet(split_dir)
     )
     base = 1_600_000_000
+    empty_src = None
     for b in range(n_batches):
         part_dir = os.path.join(split_dir, f"__split={b}")
-        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
         dst = os.path.join(stream_dir, f"batch-{b}.parquet")
-        shutil.move(os.path.join(part_dir, src), dst)
+        if os.path.isdir(part_dir):
+            src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+            shutil.move(os.path.join(part_dir, src), dst)
+        else:
+            # a batch value with zero rows produces no partition dir;
+            # replay an empty file with the full schema so the trigger
+            # sequence (and batch numbering) is unchanged
+            if empty_src is None:
+                empty_dir = os.path.join(workdir, "empty")
+                df.limit(0).coalesce(1).write.parquet(empty_dir)
+                empty_src = os.path.join(
+                    empty_dir,
+                    next(
+                        f for f in os.listdir(empty_dir) if f.endswith(".parquet")
+                    ),
+                )
+            shutil.copy(empty_src, dst)
         os.utime(dst, (base + 100 * b, base + 100 * b))
     return stream_dir
 

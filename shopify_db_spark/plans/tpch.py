@@ -94,10 +94,20 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_charge"),
         F.count(F.lit(1)).alias("count_order"),
     )
-    dist = base.groupBy("l_returnflag", "l_linestatus").agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    dist = (
+        base.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .withColumnRenamed("l_returnflag", "rf_d")
+        .withColumnRenamed("l_linestatus", "ls_d")
     )
-    return sums.join(dist, ["l_returnflag", "l_linestatus"]).select(
+    # eqNullSafe so a NULL-keyed group survives the split-aggregation
+    # join (null != null under a plain inner equi-join); still planned
+    # as a hash-keyed equi-join (EqualNullSafe is an extractable key)
+    return sums.join(
+        dist,
+        F.col("l_returnflag").eqNullSafe(F.col("rf_d"))
+        & F.col("l_linestatus").eqNullSafe(F.col("ls_d")),
+    ).select(
         "l_returnflag",
         "l_linestatus",
         "sum_qty",
@@ -375,12 +385,26 @@ def q08_group_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIGHT join with start-offset arithmetic — the invoice-numbering
     shape standalone (reference J5+W2+F12, ``db.py:458-469``). The
     single-partition window runs on the distinct-group side only
-    (small), never on the fact rows."""
+    (~#customers rows) — and, like ``build_invoices``, auto-escapes
+    to the two-phase numbering (``operators.numbering``) when the
+    plan-time size of the bounding source says the group set has
+    outgrown one task."""
+    from shopify_db_spark.operators.numbering import (
+        global_row_numbers,
+        needs_two_phase,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
-    groups = (
-        orders.select("o_custkey", "o_orderstatus")
-        .distinct()
-        .withColumn(
+    distinct_groups = orders.select("o_custkey", "o_orderstatus").distinct()
+    if needs_two_phase([orders]):
+        groups = global_row_numbers(
+            distinct_groups,
+            ["o_custkey", "o_orderstatus"],
+            col_name="group_no",
+            start=1000,
+        ).withColumn("group_no", F.col("group_no").cast("int"))
+    else:
+        groups = distinct_groups.withColumn(
             "group_no",
             (
                 F.lit(1000)
@@ -388,7 +412,6 @@ def q08_group_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 1
             ).cast("int"),
         )
-    )
     return (
         orders.alias("o")
         .join(groups.alias("g"), ["o_custkey", "o_orderstatus"], "right")

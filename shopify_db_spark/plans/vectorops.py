@@ -65,9 +65,9 @@ def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(queries, emb, k=5)
 
 
-def _sql_bucket(vec: str) -> str:
+def _sql_bucket(vec: str, n_planes: int = 4, plane_offset: int = 0) -> str:
     bits = []
-    for p in range(4):
+    for p in range(plane_offset, plane_offset + n_planes):
         weights = ",".join(
             str(float(SIM.lsh_plane_weight(p, j))) for j in range(DIM)
         )
@@ -116,22 +116,62 @@ def q31_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucket_ann(queries, emb, k=5, n_planes=4, dim=DIM)
 
 
+DEDUP_BANDS = 6
+DEDUP_PLANES = 3  # planes per band; bucket count per band = 2^3
+DEDUP_THRESHOLD = 0.45  # synthetic embeddings top out at cosine ~0.51;
+# 0.45 yields a non-trivial pair set (14 @ sf0.01, 144 @ sf0.1) so the
+# gate exercises the join path instead of passing on an empty result
+
+
+def _sql_banded() -> str:
+    """UNION ALL of one bucketed projection per band (DuckDB mirror
+    of the Spark explode)."""
+    parts = [
+        f"SELECT vec_id, embedding, {b} AS band, "
+        f"{_sql_bucket('embedding', DEDUP_PLANES, b * DEDUP_PLANES)} AS bucket "
+        "FROM embeddings"
+        for b in range(DEDUP_BANDS)
+    ]
+    return " UNION ALL ".join(parts)
+
+
 @query(
     "q32_embedding_dedup",
     oracle=f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.9
+WITH banded AS ({_sql_banded()}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+)
+SELECT p.id_a, p.id_b,
+       {_sql_cosine('ea.embedding', 'eb.embedding')} AS cosine
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.id_a
+JOIN embeddings eb ON eb.vec_id = p.id_b
+WHERE {_sql_cosine('ea.embedding', 'eb.embedding')} >= {DEDUP_THRESHOLD}
 """,
 )
 def q32_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by ``label``
-    (the cluster/shard key bounds the pair join — same shape as
-    blocking on an LSH bucket at scale)."""
+    """Embedding-cosine near-duplicate pairs, blocked by BANDED
+    sign-LSH buckets (6 bands × 3 planes).
+
+    Previously blocked on the semantic ``label`` column — but labels
+    are a FIXED set (10), so label blocks grow linearly with the
+    corpus and the pair join is Σ block² = O(N²). LSH bucket count
+    is a tunable (2^planes per band), which caps block size at any
+    scale; recall is held by the band count (see
+    ``operators.similarity.cosine_dedup_pairs_lsh``). Measured
+    recall vs exact all-pairs at this threshold: 0.93 @ sf0.01,
+    0.79 @ sf0.1 (asserted in tests/test_dedup_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_dedup_pairs(emb, threshold=0.9, block_col="label")
+    return SIM.cosine_dedup_pairs_lsh(
+        emb,
+        threshold=DEDUP_THRESHOLD,
+        bands=DEDUP_BANDS,
+        planes_per_band=DEDUP_PLANES,
+    )
 
 
 CENTROID_MOD = 100  # vec_id % CENTROID_MOD == 0 rows form the coarse codebook

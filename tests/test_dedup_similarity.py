@@ -98,6 +98,62 @@ def test_lsh_ann_recall_on_near_copy(spark, vectors):
     assert out and out[0]["neighbor_id"] == 100
 
 
+def test_lsh_dedup_finds_near_copy(spark, vectors):
+    """The banded sign-LSH pair generator must surface a near-copy
+    pair: identical-direction vectors collide in every band."""
+    from shopify_db_spark.operators.similarity import cosine_dedup_pairs_lsh
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_dedup_pairs_lsh(
+            vectors, threshold=0.99, bands=4, planes_per_band=2, dim=8
+        ).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] > 0.999
+
+
+def test_lsh_dedup_recall(spark):
+    """Recall of q32's banded LSH blocking vs the exact all-pairs
+    ground truth on the real sf0.001 embeddings (500 vectors). The
+    measured value with 6 bands x 3 planes at threshold 0.45 is
+    0.93; assert a margin below it so plane-weight tweaks that crater
+    recall fail loudly."""
+    from shopify_db_spark.operators.similarity import (
+        as_double,
+        cosine,
+        cosine_dedup_pairs_lsh,
+    )
+    from shopify_db_spark.plans.vectorops import (
+        DEDUP_BANDS,
+        DEDUP_PLANES,
+        DEDUP_THRESHOLD,
+    )
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= DEDUP_THRESHOLD)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dedup_pairs_lsh(
+            emb,
+            threshold=DEDUP_THRESHOLD,
+            bands=DEDUP_BANDS,
+            planes_per_band=DEDUP_PLANES,
+        ).collect()
+    }
+    assert exact, "ground truth unexpectedly empty — threshold drifted"
+    assert got <= exact  # LSH can only miss, never invent pairs
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"banded-LSH recall {recall:.3f} below floor"
+
+
 def test_ivf_ann_recall_on_near_copy(spark, vectors):
     from shopify_db_spark.operators.similarity import ivf_ann
 

@@ -194,3 +194,27 @@ def test_stateful_user_activity_timeout_emission(spark, tmp_path):
     assert str(rows[7]["first_ts"]) == "2024-01-01 10:00:00"
     assert str(rows[7]["last_ts"]) == "2024-01-01 10:05:00"
     assert rows[8]["n_events"] == 1
+
+
+def test_write_batch_files_tolerates_empty_batch(spark):
+    """A batch_no value with zero rows must still yield a replayable
+    (empty, full-schema) file — partitionBy writes no directory for
+    an absent partition value, which used to raise."""
+    import os
+    import shutil
+
+    from shopify_db_spark.plans.streamops import _write_batch_files
+
+    df = spark.createDataFrame([(0, "a"), (2, "b")], "batch_no int, v string")
+    stream_dir = _write_batch_files(df, "batch_no", 3)
+    try:
+        assert sorted(os.listdir(stream_dir)) == [
+            "batch-0.parquet",
+            "batch-1.parquet",
+            "batch-2.parquet",
+        ]
+        empty = spark.read.parquet(os.path.join(stream_dir, "batch-1.parquet"))
+        assert empty.count() == 0
+        assert empty.columns == ["batch_no", "v"]
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)

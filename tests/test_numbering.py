@@ -102,3 +102,24 @@ def test_running_sum_matches_single_window(spark):
     w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
     want = df.withColumn("rs", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long"))
     assert sorted(got.collect()) == sorted(want.collect())
+
+def test_q08_auto_two_phase_escape(spark, monkeypatch):
+    """q08's standalone group numbering must auto-escape the
+    single-partition window exactly like build_invoices: zeroing the
+    shared bounds flips it to the range-partitioned two-phase path
+    with identical output."""
+    from shopify_db_spark.operators import numbering as num
+    from shopify_db_spark.plans.tpch import q08_group_numbering
+    from tests.conftest import SF_SMOKE
+
+    small = q08_group_numbering(spark, SF_SMOKE)
+    assert "__local_rn" not in small._jdf.queryExecution().optimizedPlan().toString()
+
+    monkeypatch.setattr(num, "TWO_PHASE_SOURCE_BYTES", 0)
+    monkeypatch.setattr(num, "TWO_PHASE_GROUP_ROWS", 0)
+    auto = q08_group_numbering(spark, SF_SMOKE)
+    auto_plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "__local_rn" in auto_plan
+    assert "rangepartitioning" in auto_plan.lower()
+    key = lambda r: tuple((c, str(v)) for c, v in sorted(r.asDict().items()))  # noqa: E731
+    assert sorted(map(key, auto.collect())) == sorted(map(key, small.collect()))

@@ -56,7 +56,7 @@ def test_no_accidental_cross_join(spark, name):
 #: scale. Every entry is (max occurrences, why it is bounded).
 SINGLE_PARTITION_OK = {
     "q06_orderkey_gaps": (1, "final scalar aggregate over partial aggs"),
-    "q08_group_numbering": (1, "numbering window over the group side only"),
+    "q08_group_numbering": (1, "numbering window over the group side only (auto two-phase above TWO_PHASE_SOURCE_BYTES, needs_two_phase)"),
     "q12_global_aggregates": (1, "final scalar aggregate over partial aggs"),
     "q20_invoice_pipeline": (2, "invoice-group numbering window (auto two-phase above TWO_PHASE_SOURCE_BYTES) + group distinct"),
     "q48_hourly_gapfill": (1, "hour-grid generation, dimension-sized"),
@@ -65,6 +65,26 @@ SINGLE_PARTITION_OK = {
     "q70_mixture_weights": (1, "partitionless window over per-source rows"),
     "q71_shuffle_split": (1, "two-phase numbering offsets, #partitions rows"),
 }
+
+
+def test_q32_pair_join_is_bucket_keyed(spark):
+    """q32's near-dup pair join must be an equi-join whose keys
+    include the LSH ``bucket`` column (plus band). Blocking on a
+    fixed semantic column (label) made the join Σ block² = O(N²);
+    this pins the scale-safe shape so a catalog edit can't silently
+    reintroduce it."""
+    import re
+
+    plan = _plan(spark, "q32_embedding_dedup")
+    join_headers = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", ln)
+    ]
+    pair_joins = [ln for ln in join_headers if "id_a" in ln or "bucket" in ln]
+    assert any("bucket" in ln for ln in pair_joins), (
+        "q32 pair join lost its LSH bucket equi-key:\n" + "\n".join(join_headers)
+    )
 
 
 @pytest.mark.parametrize("name", ALL)
