@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from shopify_db_spark.sources import json_ingest as ji
 from shopify_db_spark.sources import shopify_api as api
+from shopify_db_spark.sources import spark_datasource as dsrc
 from shopify_db_spark.sources.store import CommerceStore
 
 
@@ -54,16 +55,16 @@ def ingest_products_payload(store: CommerceStore, raw_products: DataFrame) -> No
     store.upsert("product_variants", ji.normalize_product_variants(raw_products))
 
 
-def refund_order_ids(store: CommerceStore) -> list[int]:
+def refund_order_ids(store: CommerceStore) -> DataFrame:
     """Orders whose financial_status mentions a refund (reference
-    ``shopifydb.py:91-92`` substring filter)."""
-    rows = (
+    ``shopifydb.py:91-92`` substring filter) — as a DataFrame so the
+    per-order refund fetch fans out on executors instead of
+    collecting ids to the driver."""
+    return (
         store.read("orders")
         .filter(F.col("financial_status").contains("refund"))
         .select("id")
-        .collect()
     )
-    return [r["id"] for r in rows]
 
 
 def shopify_update(
@@ -73,10 +74,15 @@ def shopify_update(
     base_url: str,
     created_at_min: str | None = None,
     created_at_max: str | None = None,
+    sub_fetch_partitions: int | None = None,
 ) -> None:
     """Full API sync (reference ``shopifydb.py:56-94``): customers,
     products+variants, orders (3 tables), then per-order transactions
-    and per-refund-order refunds."""
+    and per-refund-order refunds. The per-order fetches fan out on
+    executors (``sources.spark_datasource.fetch_sub_resource``);
+    ``sub_fetch_partitions`` caps the concurrent task count against
+    the store's API rate limit (None = inherit the id frame's
+    partitioning)."""
     customers = [
         r
         for page in api.fetch_all(
@@ -111,30 +117,39 @@ def shopify_update(
         )
         for r in page
     ]
-    if orders:
-        ingest_orders_payload(store, _raw_df(spark, orders, ji.RAW_ORDER))
+    raw_orders = _raw_df(spark, orders, ji.RAW_ORDER) if orders else None
+    if raw_orders is not None:
+        ingest_orders_payload(store, raw_orders)
 
-    order_ids = [o["id"] for o in orders]
-    txn_rows: list[dict] = []
-    for oid, body in api.fetch_per_order(
-        http_get, base_url, order_ids, "transactions", api.TRANSACTION_FIELDS
-    ):
-        for txn in body.get("transactions", []):
-            txn_rows.append({**txn, "order_id": oid})
-    if txn_rows:
-        store.upsert(
-            "transactions",
-            ji.normalize_transactions(_raw_df(spark, txn_rows, ji.RAW_TRANSACTION)),
+    # Per-order N+1 sub-fetches run as executor tasks over id
+    # partitions (mapInPandas) — the order-id sets are never
+    # collected to the driver. The sequential reference loop is
+    # shopify.py:391-393,438-440.
+    client_factory = lambda: (http_get, base_url)  # noqa: E731
+
+    def _sub_fetch(ids: DataFrame, endpoint: str, fields: list[str]) -> DataFrame:
+        raw = dsrc.fetch_sub_resource(
+            ids, endpoint, fields, client_factory, num_partitions=sub_fetch_partitions
+        ).select("value")
+        # One materialization: the HTTP fetch must run exactly once
+        # even though upsert's merge reads the update side twice.
+        return raw.persist()
+
+    if raw_orders is not None:
+        txns = _sub_fetch(
+            raw_orders.select("id"), "transactions", api.TRANSACTION_FIELDS
         )
+        if not txns.isEmpty():
+            store.upsert(
+                "transactions",
+                ji.normalize_transactions(ji.parse_raw(spark, txns, ji.RAW_TRANSACTION)),
+            )
+        txns.unpersist()
 
-    refund_rows: list[dict] = []
-    for oid, body in api.fetch_per_order(
-        http_get, base_url, refund_order_ids(store), "refunds", api.REFUND_FIELDS
-    ):
-        for refund in body.get("refunds", []):
-            refund_rows.append({**refund, "order_id": oid})
-    if refund_rows:
-        ingest_refunds_payload(store, _raw_df(spark, refund_rows, ji.RAW_REFUND))
+    refunds = _sub_fetch(refund_order_ids(store), "refunds", api.REFUND_FIELDS)
+    if not refunds.isEmpty():
+        ingest_refunds_payload(store, ji.parse_raw(spark, refunds, ji.RAW_REFUND))
+    refunds.unpersist()
 
 
 def ingest_from_json_dir(spark: SparkSession, store: CommerceStore, json_dir: str) -> None:

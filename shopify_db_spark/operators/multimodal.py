@@ -98,6 +98,31 @@ def decode_media(content: bytes, kind: str):  # pragma: no cover - stub
     )
 
 
+def pil_image_decoder(content: bytes, kind: str) -> list[float]:
+    """Real-codec adapter for the injectable boundary: decodes image
+    blobs with PIL into a FEATURE_DIM grayscale thumbnail vector
+    (deterministic — nearest-neighbour resample, no dithering).
+    Non-image kinds fall back to :func:`fake_decode`. Import is
+    lazy and failure maps to ``NotImplementedError`` so environments
+    without PIL degrade exactly like :func:`decode_media`; the
+    integration test (``tests/test_multimodal_streaming.py``) skips
+    itself when PIL is absent and proves the swap-one-function
+    contract when present."""
+    if kind != "image":
+        return fake_decode(content, kind)
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "PIL is not installed; inject another decoder or use fake_decode"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(content)).convert("L")
+    thumb = img.resize((FEATURE_DIM, 1), resample=Image.NEAREST)
+    return [p / 255.0 for p in thumb.getdata()]
+
+
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes, str], list[float]] = fake_decode,

@@ -38,8 +38,11 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+from collections.abc import Callable
 from dataclasses import dataclass
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 _FIELD_LISTS = {
@@ -119,6 +122,88 @@ class ShopifyReader(DataSourceReader):
                 created = (record.get("created_at") or "")[:10]
                 if created and partition.start <= created < partition.end:
                     yield (line.rstrip("\n"),)
+
+
+ClientFactory = Callable[[], tuple]
+"""() -> (HttpGet, base_url): built ON THE EXECUTOR, once per task.
+
+Cloudpickled with the fetch function, so closures over credentials
+(``shopify_api.make_client`` output wrapped in a lambda) and test
+fakes both work; what must NOT cross the wire is a live socket/
+session object — construct those inside the factory."""
+
+
+def fetch_sub_resource(
+    order_ids: DataFrame,
+    endpoint: str,
+    fields: list[str],
+    client_factory: ClientFactory,
+    id_col: str = "id",
+    records_key: str | None = None,
+    max_workers: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Executor-parallel per-order sub-resource fetch — the scale
+    path for the reference's sequential N+1 loop
+    (``shopify.py:391-393,438-440``).
+
+    The order-id side stays a DataFrame end-to-end: ids are never
+    collected to the driver. Each task receives an Arrow batch of
+    ids (``mapInPandas``), builds one API client, and walks its ids
+    through a bounded thread pool (the per-id ``GET
+    orders/{id}/{endpoint}.json`` is IO-bound and rate-limited, so
+    threads-within-a-task is the right concurrency, multiplied by
+    task parallelism across executors). Output is one row per
+    sub-record — ``(order_id, value)`` with ``value`` the raw JSON
+    string and ``order_id`` injected, exactly the shape
+    ``json_ingest.parse_raw`` + the normalizers consume, so API,
+    file, and streaming ingest share one typed pipeline.
+
+    At 1000-executor scale: ``num_partitions`` bounds the number of
+    concurrent page loops against the store's rate limit; each task
+    holds only its id batch and the in-flight bodies, so memory is
+    O(batch), not O(orders).
+    """
+    key = records_key or endpoint
+
+    ids = order_ids.select(F.col(id_col).cast("long").alias("order_id"))
+    if num_partitions is not None:
+        ids = ids.repartition(num_partitions)
+
+    def fetch(batches):
+        import pandas as pd
+
+        from shopify_db_spark.sources import shopify_api as api
+
+        http_get, base_url = client_factory()
+        from concurrent.futures import ThreadPoolExecutor
+
+        for pdf in batches:
+            oids = [int(x) for x in pdf["order_id"]]
+            if not oids:
+                continue
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                bodies = list(
+                    pool.map(
+                        lambda oid: (
+                            oid,
+                            api.fetch_single(
+                                http_get, base_url, oid, endpoint, fields
+                            ),
+                        ),
+                        oids,
+                    )
+                )
+            rows = [
+                (oid, json.dumps({**rec, "order_id": oid}))
+                for oid, body in bodies
+                for rec in body.get(key, [])
+            ]
+            yield pd.DataFrame(rows, columns=["order_id", "value"]).astype(
+                {"order_id": "int64", "value": "object"}
+            )
+
+    return ids.mapInPandas(fetch, schema="order_id long, value string")
 
 
 class ShopifyDataSource(DataSource):

@@ -218,3 +218,51 @@ def test_write_batch_files_tolerates_empty_batch(spark):
         assert empty.columns == ["batch_no", "v"]
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
+def test_pil_decoder_integration(spark):
+    """The swap-one-function codec contract with a REAL library:
+    PNGs generated and decoded by PIL flow through the same
+    mapInPandas plumbing as fake_decode. Skips when PIL is absent
+    (this container ships without image codecs)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from shopify_db_spark.operators import multimodal as mm
+
+    def png_bytes(gray: int) -> bytes:
+        buf = io.BytesIO()
+        Image.new("L", (32, 32), color=gray).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png_bytes(0), None),
+        (2, "image", png_bytes(255), None),
+        (3, "audio", b"\x00\x01\x02", None),  # non-image falls back
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in mm.extract_features(media, decoder=mm.pil_image_decoder).collect()
+    }
+    assert feats[1] == pytest.approx([0.0] * mm.FEATURE_DIM)
+    assert feats[2] == pytest.approx([1.0] * mm.FEATURE_DIM)
+    assert feats[3] == pytest.approx(mm.fake_decode(b"\x00\x01\x02", "audio"))
+
+
+def test_pil_decoder_absent_degrades_like_stub():
+    """Without PIL the adapter raises NotImplementedError for image
+    blobs (the decode_media contract) and still fake-decodes
+    non-image kinds."""
+    from shopify_db_spark.operators import multimodal as mm
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL installed; absence path not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        mm.pil_image_decoder(b"\x89PNG", "image")
+    assert mm.pil_image_decoder(b"xyz", "audio") == mm.fake_decode(b"xyz", "audio")
