@@ -225,52 +225,44 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     carries its own ``conv(substr(md5(...)))`` chain and codegen CSE
     does not reliably collapse them (measured 2.4× slower at sf0.1);
     split in two, CollapseProject keeps the hash columns because
-    re-inlining would duplicate a non-cheap expression 32×."""
+    re-inlining would duplicate a non-cheap expression 32×.
+
+    The per-bit expressions are built as SQL *strings* through
+    ``selectExpr``/``F.expr`` rather than stacked Column operations:
+    with 64 charge + 64 sum + 64 pack expressions, every Column
+    method is a py4j round trip and the Column-built plan costs
+    ~2 s of driver time per construction; the string form is one
+    JVM parse per select (measured 4.6× faster to build, byte-
+    identical signatures — the two forms parse to the same
+    expression tree)."""
     toks = doc_shingles(docs, id_col, text_col, n=1)
     if hash_family == "xxhash64":
-        hashed = toks.select(
-            "doc_id", F.xxhash64(F.col("shingle")).alias("h0")
-        )
-        bit = [
-            F.shiftright(F.col("h0"), i).bitwiseAND(F.lit(1)) for i in range(bits)
-        ]
+        hashed = toks.selectExpr("doc_id", "xxhash64(shingle) AS h0")
+        bit = [f"(shiftright(h0, {i}) & 1)" for i in range(bits)]
     elif hash_family == "md5":
         if bits > 64:
             raise ValueError("md5 family packs at most 64 bits (two hex halves)")
-        hexd = F.md5(F.col("shingle"))
-        hashed = toks.select(
+        hashed = toks.selectExpr(
             "doc_id",
             *[
-                F.conv(F.substring(hexd, 1 + 8 * j, 8), 16, 10)
-                .cast("long")
-                .alias(f"h{j}")
+                f"cast(conv(substring(md5(shingle), {1 + 8 * j}, 8), 16, 10)"
+                f" as long) AS h{j}"
                 for j in range(2)
             ],
         )
-        bit = [
-            F.shiftright(F.col(f"h{i // 32}"), i % 32).bitwiseAND(F.lit(1))
-            for i in range(bits)
-        ]
+        bit = [f"(shiftright(h{i // 32}, {i % 32}) & 1)" for i in range(bits)]
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    charges = hashed.select(
-        "doc_id",
-        *[(bit[i] * 2 - 1).alias(f"b{i}") for i in range(bits)],
+    charges = hashed.selectExpr(
+        "doc_id", *[f"{bit[i]} * 2 - 1 AS b{i}" for i in range(bits)]
     )
     summed = charges.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
+        *[F.expr(f"sum(b{i}) AS b{i}") for i in range(bits)]
     )
-    packed = functools.reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.shiftleft(
-                F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-                i,
-            )
-        ),
-        range(1, bits),
-        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    packed = " | ".join(
+        f"shiftleft(cast(b{i} > 0 as long), {i})" for i in range(bits)
     )
-    return summed.select("doc_id", packed.alias("simhash"))
+    return summed.selectExpr("doc_id", f"({packed}) AS simhash")
 
 
 def _simhash_blocks(max_hamming: int, bits: int) -> list[tuple[int, int]]:
@@ -305,8 +297,17 @@ def simhash_pairs(
     buckets stay small); candidates must agree on at least one
     (block_idx, block_value) key. Dedup of multi-block collisions
     happens on (doc_a, doc_b) AFTER the cheap bit_count hamming
-    filter, so the shuffle dedups survivor pairs only."""
-    sh = simhash(docs, id_col, text_col, bits, hash_family)
+    filter, so the shuffle dedups survivor pairs only.
+
+    The signature table is persisted before the self-join: AQE
+    plans the pair join as broadcast (the signature side is tiny —
+    8 bytes/doc), and a BroadcastExchange build side cannot reuse
+    the probe side's exchange, so without the persist the whole
+    tokenize→md5→64-sum lineage executes twice (measured ~40% of
+    query time at sf0.1). Persisting the post-aggregation frame
+    caches #docs×16-byte rows — negligible at any scale where the
+    pair join itself is feasible."""
+    sh = simhash(docs, id_col, text_col, bits, hash_family).persist()
     blocks = sh.select(
         "doc_id",
         "simhash",

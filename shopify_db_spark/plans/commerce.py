@@ -153,19 +153,30 @@ FROM_DATE, TO_DATE, START_ID = "1995-01-01", "2001-12-31", 1
 
 
 def commerce_tables_from_benchmark(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, cache: bool = True
 ) -> dict[str, DataFrame]:
     """Materialize the mapping layer on Spark: register the source
-    tables as views, then evaluate each commerce CTE. Catalyst prunes
-    the unused CTEs of each statement. (Measured: persisting these
-    blocks column pruning into the mapping and costs more than the
-    occasional re-derivation saves — they stay lazy.)"""
+    tables as views, then evaluate each commerce CTE.
+
+    The mapped frames are persisted (MEMORY_AND_DISK) by default:
+    the invoice pipeline references them from every branch — the
+    lazy form re-derives the mapping 28× per q20 run (28 orders
+    scans in the executed plan; measured 0.75 s slower at sf0.1
+    despite persist blocking column pruning, reversing the round-2
+    measurement taken before the branch count grew). This also
+    mirrors the reference, where these ARE materialized Postgres
+    tables, not views; at 100 TB the same role is played by writing
+    the mapping layer to a staging location once per sync. Pass
+    ``cache=False`` for one-shot consumers."""
     for name in ("orders", "customer", "lineitem"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    return {
+    out = {
         name: spark.sql(f"WITH {MAPPING_CTES.strip()}\nSELECT * FROM {cte}")
         for name, cte in TABLE_MAP.items()
     }
+    if cache:
+        out = {name: df.persist() for name, df in out.items()}
+    return out
 
 
 @query(
