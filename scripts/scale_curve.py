@@ -71,7 +71,7 @@ DEFAULT_QUERIES = [
     "q28_winnow_fingerprints",
     "q32_embedding_dedup",
     "q50_dup_clusters",
-    "q72_duplicate_spans",
+    "q72_dup_spans",
     "q73_incremental_dedup",
 ]
 

@@ -159,19 +159,17 @@ def q32_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Previously blocked on the semantic ``label`` column — but labels
     are a FIXED set (10), so label blocks grow linearly with the
-    corpus and the pair join is Σ block² = O(N²). LSH bucket count
-    is a tunable (2^planes per band), which caps block size at any
-    scale; recall is held by the band count (see
-    ``operators.similarity.cosine_dedup_pairs_lsh``). Measured
-    recall vs exact all-pairs at this threshold: 0.93 @ sf0.01,
-    0.79 @ sf0.1 (asserted in tests/test_dedup_similarity.py)."""
+    corpus and the pair join is Σ block² = O(N²). Banding is
+    AUTO-SCALED from the corpus size (``similarity.auto_lsh_params``
+    — planes per band grow with log N so bucket sizes stay bounded;
+    fixed banding is itself Θ(N²), measured 7.2 s → 41 s for a 3×
+    corpus on the scale curve). At gate SF (≤2k vectors) the auto
+    parameters resolve to exactly 6 bands × 3 planes — the constants
+    the static oracle mirrors. Measured recall vs exact all-pairs at
+    this threshold: 0.93 @ sf0.01, 0.79 @ sf0.1 (asserted in
+    tests/test_dedup_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_dedup_pairs_lsh(
-        emb,
-        threshold=DEDUP_THRESHOLD,
-        bands=DEDUP_BANDS,
-        planes_per_band=DEDUP_PLANES,
-    )
+    return SIM.cosine_dedup_pairs_lsh(emb, threshold=DEDUP_THRESHOLD)
 
 
 CENTROID_MOD = 100  # vec_id % CENTROID_MOD == 0 rows form the coarse codebook

@@ -240,3 +240,70 @@ def test_incremental_dedup_matches_arrival_order(spark):
     for r in out:
         if r["dup_of"] is not None:
             assert rows[r["dup_of"]]["doc_id"] == r["dup_of"]
+
+
+def test_auto_lsh_params_anchor_and_growth():
+    """Auto-banding must resolve to the oracle's (6 bands, 3 planes)
+    at gate corpus sizes, grow planes with log N (bounded buckets),
+    and grow bands to hold recall as planes rise."""
+    from shopify_db_spark.operators.similarity import auto_lsh_params
+
+    # gate anchors: sf0.001/sf0.01 have 500 vectors, sf0.1 has 2000
+    assert auto_lsh_params(500, 0.45) == (6, 3)
+    assert auto_lsh_params(2000, 0.45) == (6, 3)
+    # planes grow ~log2(N/256): bucket count scales with the corpus
+    b20k, r20k = auto_lsh_params(20_000, 0.45)
+    assert r20k == 7
+    b2m, r2m = auto_lsh_params(2_000_000, 0.45)
+    assert r2m > r20k
+    # bands rise to hold recall when planes rise
+    assert b2m > b20k > 6
+    # a selective (realistic) threshold needs far fewer bands
+    b_sel, r_sel = auto_lsh_params(2_000_000, 0.9)
+    assert r_sel == r2m and b_sel < b2m
+
+
+def test_lsh_dedup_candidate_join_is_slim(spark):
+    """The (band, bucket) self-join and pair dedup must carry id
+    columns only — vectors join back for scoring AFTER candidate
+    dedup (a fat pair shuffle was the dominant scale cost)."""
+    from shopify_db_spark.operators.similarity import cosine_dedup_pairs_lsh
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = cosine_dedup_pairs_lsh(emb, threshold=0.45)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the dedup aggregate keys on the bare id pair; if vectors rode
+    # the candidate join the aggregate would carry array columns
+    import re
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate" in ln]
+    assert agg_lines, plan
+    assert not any("va" in ln or "vb" in ln for ln in agg_lines), (
+        "candidate dedup carries vector columns:\n" + "\n".join(agg_lines)
+    )
+
+
+def test_cosine_arrow_matches_hof(spark):
+    """The Arrow-vectorized bulk scorer agrees with the sequential
+    HOF cosine to fp round-off on real embeddings."""
+    from shopify_db_spark.operators.similarity import (
+        as_double,
+        cosine,
+        cosine_arrow,
+    )
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double("embedding").alias("vb"))
+    pairs = (
+        a.withColumn("k", F.col("id_a") % 8)
+        .join(b.withColumn("k", F.col("id_b") % 8), "k")
+        .limit(5000)
+    )
+    worst = pairs.select(
+        F.abs(
+            cosine(F.col("va"), F.col("vb")) - cosine_arrow(F.col("va"), F.col("vb"))
+        ).alias("d")
+    ).agg(F.max("d").alias("m")).collect()[0]["m"]
+    assert worst < 1e-12
