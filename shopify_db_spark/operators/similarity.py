@@ -140,13 +140,24 @@ def lsh_bucket(
 ) -> Column:
     """Sign-bit bucket string over ``n_planes`` integer-weight
     hyperplanes starting at global plane index ``plane_offset``
-    (bands reuse this with disjoint offsets)."""
+    (bands reuse this with disjoint offsets).
+
+    Each plane's weight array is parsed from ONE SQL string
+    (``F.expr("array(...)")``) instead of ``dim`` stacked ``F.lit``
+    calls — with auto-scaled banding the total weight-literal count
+    is dim × planes × bands (tens of thousands at large corpus
+    parameters) and per-literal py4j calls dominate plan
+    construction. The parsed tree is identical (double literals
+    either way). The vector is widened to double once, shared by
+    every plane's projection."""
+    dv = as_double(vec)
     bits = []
     for p in range(plane_offset, plane_offset + n_planes):
-        weights = F.array(
-            *[F.lit(float(lsh_plane_weight(p, j))) for j in range(dim)]
+        ws = ", ".join(
+            f"{float(lsh_plane_weight(p, j))}D" for j in range(dim)
         )
-        proj = dot(as_double(vec), weights)
+        weights = F.expr(f"array({ws})")
+        proj = dot(dv, weights)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
