@@ -99,3 +99,16 @@ def test_no_unexpected_single_partition_exchange(spark, name):
         f"{name}: {n} SinglePartition exchange(s), allowlist permits "
         f"{allowed} — justify the bound or restructure the plan"
     )
+
+
+def test_q20_mapping_layer_is_cached(spark):
+    """The invoice pipeline references the commerce mapping frames
+    from every branch — ~28 re-derivations per run when lazy
+    (measured 0.75 s slower at sf0.1 and strictly worse at scale).
+    Guard that the mapped tables stay persisted: the executed plan
+    must read them through InMemoryTableScan."""
+    plan = _plan(spark, "q20_invoice_pipeline")
+    assert "InMemory" in plan, (
+        "q20 no longer reads the mapping layer from cache — "
+        "commerce_tables_from_benchmark(cache=...) regressed"
+    )
