@@ -30,6 +30,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from shopify_db_spark.operators.dedup import banded_minhash, signature_agreement
 from shopify_db_spark.operators.upsert import upsert
@@ -400,28 +401,63 @@ def q73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine function of ingestion history — the oracle replays the
     same order-dependent contract as one SQL query: duplicate iff an
     LSH bucket is shared with any earlier-arrived doc at est ≥ 0.5,
-    ``dup_of`` the minimum such doc id. Production variants bound
-    the per-bucket index size exactly as q26's ``max_bucket`` cap;
-    omitted here so the oracle is the exact full-recall spec.
+    ``dup_of`` the minimum such doc id. The production per-bucket
+    index cap exists as ``incremental_minhash_dedup(max_bucket=K)``;
+    the catalog query runs uncapped so the oracle is the exact
+    full-recall spec.
 
     Returns (doc_id, batch_no, is_dup, dup_of)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 3).alias("batch_no")
     )
-    stream_dir = _write_batch_files(docs, "batch_no", 3)
+    return incremental_minhash_dedup(spark, docs, n_batches=3)
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_batches: int,
+    threshold: float = 0.5,
+    n_seeds: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The q73 engine as a reusable operator: stream ``docs``
+    (``doc_id, text, batch_no``) as micro-batches in ``batch_no``
+    order, dedupe each batch against the accumulated banded-MinHash
+    index, return (doc_id, batch_no, is_dup, dup_of).
+
+    ``max_bucket`` is the production guard against degenerate
+    buckets (boilerplate text putting an unbounded fraction of the
+    corpus behind one (band, band_key)): the index keeps only the
+    ``max_bucket`` EARLIEST-arrived rows per bucket — arrival order
+    (batch_no, doc_id), the same order ``dup_of`` resolves to, so
+    for buckets under the cap the result is identical to the
+    uncapped spec, and over the cap later arrivals in a degenerate
+    bucket match its earliest members (still flagged dups) while
+    the per-batch probe join stays bounded. The cap here re-windows
+    the index per batch (keyed window — no single-partition stage);
+    the large-scale refinement is to cap only appended rows against
+    per-bucket counts, which never re-shuffles settled buckets."""
+    stream_dir = _write_batch_files(docs, "batch_no", n_batches)
 
     empty_index = spark.createDataFrame(
         [],
-        "doc_id long, minhashes array<string>, band int, band_key string",
+        "doc_id long, minhashes array<string>, band int, band_key string,"
+        " batch_no long",
     )
     state = {"index": empty_index, "out": None}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        bands = banded_minhash(
-            batch_df, "doc_id", "text", n_seeds=8, band_size=2
-        ).localCheckpoint()
+        bands = (
+            banded_minhash(
+                batch_df, "doc_id", "text", n_seeds=n_seeds, band_size=band_size
+            )
+            .join(batch_df.select("doc_id", "batch_no"), "doc_id")
+            .localCheckpoint()
+        )
         # earlier-arrived probe targets: the whole index (strictly
         # earlier batches) plus same-batch rows with a smaller id
         def probe(targets: DataFrame, same_batch: bool) -> DataFrame:
@@ -437,14 +473,14 @@ def q73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("a.doc_id").alias("late_id"),
                     F.col("b.doc_id").alias("early_id"),
                     signature_agreement(
-                        F.col("a.minhashes"), F.col("b.minhashes"), 8
+                        F.col("a.minhashes"), F.col("b.minhashes"), n_seeds
                     ).alias("est_j"),
                 )
             )
 
         pairs = probe(state["index"], False).unionByName(probe(bands, True))
         dups = (
-            pairs.filter(F.col("est_j") >= 0.5)
+            pairs.filter(F.col("est_j") >= threshold)
             .groupBy("late_id")
             .agg(F.min("early_id").alias("dup_of"))
         )
@@ -461,9 +497,19 @@ def q73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["out"] = (
             out if state["out"] is None else state["out"].unionByName(out)
         ).localCheckpoint()
-        state["index"] = (
-            state["index"].unionByName(bands.select(*state["index"].columns))
-        ).localCheckpoint()
+        new_index = state["index"].unionByName(
+            bands.select(*state["index"].columns)
+        )
+        if max_bucket is not None:
+            w = Window.partitionBy("band", "band_key").orderBy(
+                "batch_no", "doc_id"
+            )
+            new_index = (
+                new_index.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= max_bucket)
+                .drop("__rn")
+            )
+        state["index"] = new_index.localCheckpoint()
 
     try:
         q = (

@@ -307,3 +307,34 @@ def test_cosine_arrow_matches_hof(spark):
         ).alias("d")
     ).agg(F.max("d").alias("m")).collect()[0]["m"]
     assert worst < 1e-12
+
+
+def test_incremental_dedup_bucket_cap(spark):
+    """max_bucket bounds the per-bucket index without changing the
+    dup verdicts on a degenerate corpus: every identical later doc
+    still resolves to the earliest arrival even when the bucket
+    holds far more rows than the cap."""
+    from shopify_db_spark.plans.streamops import incremental_minhash_dedup
+
+    # 30 identical docs (one degenerate bucket per band) + 3 unique
+    rows = [(i, "same boilerplate text repeated here", i % 3) for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} with its own words", i) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, batch_no long")
+
+    capped = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(
+            spark, docs, n_batches=3, max_bucket=2
+        ).collect()
+    }
+    uncapped = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(spark, docs, n_batches=3).collect()
+    }
+    assert set(capped) == set(uncapped) == {r[0] for r in rows}
+    for d in capped.values():
+        assert capped[d["doc_id"]]["is_dup"] == uncapped[d["doc_id"]]["is_dup"]
+        assert capped[d["doc_id"]]["dup_of"] == uncapped[d["doc_id"]]["dup_of"]
+    # the earliest arrival (batch 0, min id = doc 0) is everyone's keeper
+    assert capped[3]["dup_of"] == 0 and capped[29]["is_dup"]
+    assert not capped[100]["is_dup"]
