@@ -114,3 +114,55 @@ def test_global_row_numbers_matches_window(spark, ids):
         "rn", (F.lit(7) + F.row_number().over(Window.orderBy("k")) - 1).cast("long")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------- #
+# dedup-family algebraic contracts                                 #
+# ---------------------------------------------------------------- #
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+_doc_tokens = st.lists(_word, min_size=1, max_size=10)
+
+
+@_SETTINGS
+@given(docs=st.lists(_doc_tokens, min_size=1, max_size=4))
+def test_simhash_is_set_semantic(spark, docs):
+    """SimHash hashes the DISTINCT unigram set (doc_shingles
+    distincts), so token order and repetition must not change the
+    signature — the invariant that makes the sketch stable under
+    re-chunking/re-serialization of the same content."""
+    from shopify_db_spark.operators.dedup import simhash
+
+    rows = []
+    for i, toks in enumerate(docs):
+        original = " ".join(toks)
+        permuted_dup = " ".join(list(reversed(toks)) + toks)
+        rows += [(2 * i, original), (2 * i + 1, permuted_dup)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(df, hash_family="md5").collect()}
+    for i in range(len(docs)):
+        assert sig[2 * i] == sig[2 * i + 1]
+
+
+@_SETTINGS
+@given(docs=st.lists(_doc_tokens, min_size=2, max_size=4))
+def test_exact_dedup_normalization_invariance(spark, docs):
+    """The exact-dedup fingerprint must identify texts that differ
+    only in case/whitespace, and the keeper is always the minimum
+    doc id of the group."""
+    from shopify_db_spark.operators.dedup import exact_dedup
+
+    rows = []
+    for i, toks in enumerate(docs):
+        original = " ".join(toks)
+        noisy = ("  " + "   ".join(t.upper() for t in toks) + " \t ")
+        rows += [(2 * i, original), (2 * i + 1, noisy)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    # every even id keeps its pair; group sizes total the corpus
+    distinct_texts = {" ".join(t) for t in docs}
+    assert sum(by_keep.values()) == len(rows)
+    assert len(by_keep) == len(distinct_texts)
+    for keep in by_keep:
+        assert keep % 2 == 0, "keeper must be the lower (even) id of its pair"
