@@ -73,6 +73,14 @@ DEFAULT_QUERIES = [
     "q50_dup_clusters",
     "q72_dup_spans",
     "q73_incremental_dedup",
+    # second batch: events / joins / text / packaging families
+    "q14_sessionize",
+    "q16_json_extract",
+    "q40_term_stats",
+    "q44_asof_config",
+    "q45_promo_range_join",
+    "q58_sequence_packing",
+    "q71_shuffle_split",
 ]
 
 
