@@ -464,6 +464,75 @@ def ivf_ann(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    sub_planes: int = 0,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse codebook,
+    compare pairs only WITHIN a cluster, and drop every item that has
+    a near-duplicate (cosine ≥ ``threshold``) of lower id in its
+    cluster. Returns one row per input vector:
+    ``(vec_id, centroid_id, kept boolean)`` — the curation decision,
+    not just the pair list (contrast :func:`cosine_dedup_pairs_lsh`,
+    which emits pairs).
+
+    Scale design: the codebook broadcasts in :func:`ivf_assign`
+    (coarse codebooks are fixed-size or sublinear — SemDeDup uses
+    ~10⁵ clusters for billions of docs; :func:`kmeans_codebook`
+    supplies a trained one). The pair join is an equi-join on
+    ``centroid_id``, so pair work is Σ cluster² — bounded when
+    cluster sizes are; for skewed clusters pass ``sub_planes`` > 0
+    to sub-split every cluster by a sign-LSH bucket
+    (:func:`lsh_bucket`), which caps block size at the standard LSH
+    recall trade. Keep-lowest-id is a deterministic, engine-portable
+    stand-in for SemDeDup's keep-closest-to-centroid policy (ties in
+    float distance are engine-dependent; ids are not)."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    if sub_planes > 0:
+        assigned = assigned.withColumn(
+            "sub_bucket", lsh_bucket(F.col("v"), sub_planes, dim)
+        )
+    block = ["centroid_id"] + (["sub_bucket"] if sub_planes > 0 else [])
+    a = assigned.select(
+        *block,
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    b = assigned.select(
+        *block,
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    dropped = (
+        a.join(b, block)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "centroid_id", F.col("__drop").isNull().alias("kept")
+        )
+    )
+
+
 def kmeans_codebook(
     vectors: DataFrame,
     k: int = 16,

@@ -221,3 +221,51 @@ def q38_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return SIM.ivf_ann(queries, emb, centroids, k=5)
+
+
+SEMDEDUP_THRESHOLD = 0.45  # synthetic embeddings top out ~0.51 cosine;
+# matches q32's threshold so the two dedup tiers are comparable
+
+
+@query(
+    "q74_semantic_dedup",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE r = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id
+                 AND a.vec_id < b.vec_id
+  WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS kept
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+""",
+)
+def q74_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (arXiv:2303.09540): the
+    curation DECISION layer above q32's pair list. Embeddings are
+    assigned to a coarse codebook cell (deterministic subset codebook
+    here, ``kmeans_codebook`` in production), pairs are scored only
+    within a cell, and every vector with a lower-id near-duplicate
+    (cosine >= threshold) in its cell is marked ``kept = false``.
+    One row per input vector. The codebook broadcasts; the pair join
+    is an equi-join on ``centroid_id`` (plus an optional sign-LSH
+    sub-bucket via ``sub_planes`` for skewed cells — exercised in
+    tests/test_dedup_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    return SIM.semantic_dedup(emb, centroids, threshold=SEMDEDUP_THRESHOLD)
