@@ -184,3 +184,19 @@ def lang_id(col: Column) -> Column:
     form — hot paths project score columns and use
     :func:`lang_id_from_scores`."""
     return lang_id_from_scores(lang_scores(col))
+
+
+def md5_bucket(col: Column, salt: str, m: int) -> Column:
+    """Engine-portable uniform hash bucket in [0, m): the integer
+    value of the first 8 md5 hex digits of ``salt || ':' || col``,
+    mod ``m``. md5 hex is identical across Spark / DuckDB / Postgres
+    (same property :func:`fingerprint` relies on), so bucket sets
+    built by one engine can be probed by another — the primitive
+    under the Bloom-style membership filter (q75). 8 hex digits =
+    32 bits, exact in BIGINT on both engines."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), col)), 1, 8), 16, 10
+        ).cast("long")
+        % m
+    )

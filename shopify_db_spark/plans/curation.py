@@ -784,3 +784,105 @@ def q72_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.duplicate_spans(docs, k=_Q72_K)
+
+
+# ---------------------------------------------------------------------------
+# q75: Bloom-style decontamination — the fixed-size-metadata variant
+# of q53. Two salted md5 hash functions over 2^20 buckets; a training
+# shingle is flagged when BOTH its buckets appear in the benchmark
+# bucket set. k=2, m=2^20: false-positive rate (1-e^{-kn/m})^k ≈
+# 4e-6 at n=1k benchmark shingles, 4e-2 at n=100k.
+_BLOOM_M = 1 << 20
+
+
+def _sql_bucket75(salt: int, expr: str = "shingle") -> str:
+    return (
+        f"('0x' || substr(md5('{salt}:' || {expr}), 1, 8))::BIGINT % {_BLOOM_M}"
+    )
+
+
+_Q75_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 7, 1))) AS u(i)
+),
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % 50 = 0
+),
+b0 AS (SELECT DISTINCT {_sql_bucket75(0)} AS bucket FROM bench),
+b1 AS (SELECT DISTINCT {_sql_bucket75(1)} AS bucket FROM bench),
+train AS (
+  SELECT doc_id,
+         {_sql_bucket75(0)} AS h0,
+         {_sql_bucket75(1)} AS h1
+  FROM shingles WHERE doc_id % 50 <> 0
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN b0.bucket IS NOT NULL AND b1.bucket IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN b0.bucket IS NOT NULL AND b1.bucket IS NOT NULL
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS flag_rate
+FROM train t
+LEFT JOIN b0 ON b0.bucket = t.h0
+LEFT JOIN b1 ON b1.bucket = t.h1
+GROUP BY t.doc_id
+"""
+
+
+@query("q75_bloom_decontamination", oracle=_Q75_ORACLE)
+def q75_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style benchmark decontamination: q53 probes the exact
+    benchmark shingle SET (broadcast of full shingle strings); this
+    variant probes a 2-hash bucket membership structure
+    (``functions.text.md5_bucket``, k=2 salted hashes over 2^20
+    buckets) — the structure a 100 TB pipeline actually ships, since
+    its size is bounded by m (integers) regardless of how large the
+    benchmark shingle strings are, and it can be built once and
+    reused across corpus shards / engines (md5 is portable). A
+    shingle is flagged when both its buckets are present; false
+    positives are the documented Bloom trade ((1-e^{-kn/m})^k — zero
+    at gate SF, asserted against q53's exact counts in
+    tests/test_curation_extras.py). Both probe joins broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = DD.doc_shingles(docs, "doc_id", "text", n=8)
+    bench = (
+        shingles.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    b0 = (
+        bench.select(
+            TX.md5_bucket(F.col("shingle"), "0", _BLOOM_M).alias("h0")
+        )
+        .distinct()
+        .withColumn("__hit0", F.lit(1))
+    )
+    b1 = (
+        bench.select(
+            TX.md5_bucket(F.col("shingle"), "1", _BLOOM_M).alias("h1")
+        )
+        .distinct()
+        .withColumn("__hit1", F.lit(1))
+    )
+    train = shingles.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        TX.md5_bucket(F.col("shingle"), "0", _BLOOM_M).alias("h0"),
+        TX.md5_bucket(F.col("shingle"), "1", _BLOOM_M).alias("h1"),
+    )
+    flagged = (
+        F.col("__hit0").isNotNull() & F.col("__hit1").isNotNull()
+    ).cast("int")
+    return (
+        train.join(F.broadcast(b0), "h0", "left")
+        .join(F.broadcast(b1), "h1", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(flagged).alias("n_flagged"),
+            (F.sum(flagged).cast("double") / F.count(F.lit(1))).alias(
+                "flag_rate"
+            ),
+        )
+    )

@@ -338,3 +338,30 @@ def test_incremental_dedup_bucket_cap(spark):
     # the earliest arrival (batch 0, min id = doc 0) is everyone's keeper
     assert capped[3]["dup_of"] == 0 and capped[29]["is_dup"]
     assert not capped[100]["is_dup"]
+
+
+def test_semantic_dedup_drops_near_copy(spark, vectors):
+    from shopify_db_spark.operators.similarity import semantic_dedup
+
+    centroids = vectors.filter(F.col("vec_id").isin(0, 20))
+    out = semantic_dedup(vectors, centroids, threshold=0.999, dim=8)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == vectors.count()          # one decision per vector
+    assert rows[0]["kept"] is True               # lowest id in the dup set
+    assert rows[100]["kept"] is False            # its near-copy is dropped
+    assert rows[100]["centroid_id"] == rows[0]["centroid_id"]
+
+
+def test_semantic_dedup_sub_planes_keeps_shape(spark, vectors):
+    """The skew escape (LSH sub-bucket inside each cluster) must keep
+    one-row-per-vector semantics and still catch the near-copy, which
+    shares every projection sign with its original."""
+    from shopify_db_spark.operators.similarity import semantic_dedup
+
+    centroids = vectors.filter(F.col("vec_id").isin(0, 20))
+    out = semantic_dedup(
+        vectors, centroids, threshold=0.999, sub_planes=2, dim=8
+    )
+    rows = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert len(rows) == vectors.count()
+    assert rows[0] is True and rows[100] is False
