@@ -560,3 +560,87 @@ def kmeans_codebook(
     return vectors.sparkSession.createDataFrame(
         centers, f"{id_col} long, {vec_col} array<double>"
     )
+
+
+def sparse_cosine_topk(
+    terms: DataFrame,
+    k: int = 3,
+    df_cap: int = 64,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    tf_col: str = "tf",
+) -> DataFrame:
+    """Sparse cosine top-k over a (doc, term, tf) posting table —
+    text-side retrieval next to the dense-embedding tiers. The dot
+    products are INTEGER sums (Σ tf_a·tf_b), so scores are exact and
+    order-independent — no float-summation drift between engines or
+    partitionings; only the final ``dot / (‖a‖·‖b‖)`` is floating.
+
+    Scale shape: the classic inverted-index self-join. Per-term join
+    fan-out is df², so total candidate work is Σ_term df² — bounded
+    by pruning terms with document frequency above ``df_cap`` (the
+    stop-term / prefix-filtering bound; hot terms carry no ranking
+    signal and are what makes naive term joins quadratic). Norms are
+    defined over the SAME capped term space so the metric stays an
+    actual cosine. Returns (doc_id, neighbor_id, cosine, rank ≤ k);
+    docs sharing no surviving term emit no rows."""
+    df_counts = terms.groupBy(term_col).agg(F.count(F.lit(1)).alias("__df"))
+    pruned = (
+        terms.join(
+            F.broadcast(df_counts.filter(F.col("__df") <= df_cap)), term_col
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(term_col).alias("term"),
+            F.col(tf_col).cast("long").alias("tf"),
+        )
+    )
+    norms = pruned.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a = pruned.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tf_a")
+    )
+    b = pruned.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    sym = dots.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "dot",
+    ).unionAll(
+        dots.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "dot",
+        )
+    )
+    na = norms.select(F.col("doc_id"), F.col("nrm").alias("na"))
+    nb = norms.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        sym.join(na, "doc_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "doc_id",
+            "neighbor_id",
+            (F.col("dot").cast("double") / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )

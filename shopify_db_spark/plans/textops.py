@@ -572,3 +572,90 @@ def q47_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q76: shingle-space sparse cosine retrieval. Word-level postings are
+# useless on this corpus (31-term vocabulary, df ≈ 0.8N — every term
+# is a stop term); 3-token shingles are selective (measured max df 7
+# at sf0.01), which is exactly the point of the df_cap bound.
+_Q76_N = 3
+_Q76_DF_CAP = 64
+_Q76_K = 3
+
+_Q76_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+terms AS (
+  SELECT doc_id, array_to_string(t[i:i+{_Q76_N - 1}], ' ') AS term,
+         COUNT(*) AS tf
+  FROM toks,
+       UNNEST(generate_series(1, GREATEST(len(t) - {_Q76_N - 1}, 1))) AS u(i)
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+),
+pruned AS (
+  SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf
+  FROM terms t JOIN dfreq d ON d.term = t.term
+  WHERE d.df <= {_Q76_DF_CAP}
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+  FROM pruned GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM pruned a JOIN pruned b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, dot FROM dots
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, dot FROM dots
+),
+scored AS (
+  SELECT s.doc_id, s.neighbor_id,
+         CAST(s.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+  FROM sym s
+  JOIN norms na ON na.doc_id = s.doc_id
+  JOIN norms nb ON nb.doc_id = s.neighbor_id
+)
+SELECT doc_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_Q76_K}
+"""
+
+
+@query("q76_sparse_cosine_retrieval", oracle=_Q76_ORACLE)
+def q76_sparse_cosine_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse text retrieval: top-3 most-similar documents per
+    document by cosine over 3-token-shingle count vectors
+    (``operators.similarity.sparse_cosine_topk``). The inverted-index
+    complement to the dense-embedding tiers (q30–q32): dot products
+    are integer sums (engine-exact), and the posting self-join is
+    bounded by the ``df_cap`` stop-term prune — Σ_term df² with
+    df ≤ 64, the prefix-filtering idea that keeps term joins from
+    going quadratic on hot terms at 100 TB."""
+    from shopify_db_spark.operators.similarity import sparse_cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            "doc_id", TX.tokens(F.col("text")).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                TX.shingles_of_tokens(F.col("toks"), _Q76_N)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return sparse_cosine_topk(terms, k=_Q76_K, df_cap=_Q76_DF_CAP)
