@@ -13,6 +13,7 @@ def load_all() -> dict[str, "QuerySpec"]:
         curation,
         eventops,
         legacy,
+        linkage,
         mediaops,
         streamops,
         textops,
