@@ -483,3 +483,57 @@ def q48_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+@query(
+    "q78_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                  '__start') AS from_state,
+         event_type AS to_state
+  FROM events
+),
+counts AS (
+  SELECT from_state, to_state, COUNT(*) AS n_transitions
+  FROM seq GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_state) AS DOUBLE)
+         AS prob
+FROM counts
+""",
+)
+def q78_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (behavioral model features / next-event priors): lag
+    per user (ties break by event_id), synthetic ``__start`` state
+    for each user's first event, transition counts, and row-
+    normalized probabilities. Scale: one shuffle on ``user_id`` for
+    the lag, one hash aggregate to the |states|² count table —
+    the normalizing window then runs on that dimension-sized table,
+    partitioned by ``from_state``. The probability is a ratio of
+    exact counts, so it is engine-deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.coalesce(
+            F.lag("event_type").over(w), F.lit("__start")
+        ).alias("from_state"),
+        F.col("event_type").alias("to_state"),
+    )
+    counts = seq.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm_w = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm_w).cast("double")
+        ).alias("prob"),
+    )

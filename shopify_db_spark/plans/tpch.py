@@ -755,3 +755,55 @@ def q46_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q79_rolling_revenue",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS order_date,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS epoch_day,
+         CAST(o_totalprice AS DECIMAL(12,4)) AS price_d
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, order_date,
+       CAST(ROUND(SUM(price_d) OVER w, 2) AS DOUBLE) AS revenue_7d,
+       COUNT(*) OVER w AS n_orders_7d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def q79_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 7-day revenue and order count — the
+    time-decayed feature window every churn/LTV model starts from.
+    A RANGE frame over integer epoch-days (both engines agree on
+    day arithmetic; a timestamp RANGE frame would drag interval
+    semantics in), partitioned by customer — no global window. The
+    rolling sum aggregates DECIMAL(12,4) (``functions.parity``), so
+    the result is exact under any frame evaluation order; same-day
+    orders are RANGE peers and included deterministically."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("epoch_day"),
+        dec("o_totalprice").alias("price_d"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_date",
+        money_out(F.sum("price_d").over(w)).alias("revenue_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
