@@ -886,3 +886,70 @@ def q75_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q80: deterministic weighted sampling (Efraimidis–Spirakis 2006):
+# key = u^(1/w) with u uniform — taking the top-k keys per stratum is
+# a weighted sample WITHOUT replacement. u comes from the portable
+# md5 bucket (so re-runs and engines agree); we rank by the monotone
+# transform ln(u)/w and never OUTPUT the float key, so the compare
+# hashes only ids/ints (float keys differ in last-ulp libm rounding
+# across engines; the RANKING is stable because key spacing across
+# docs is astronomically larger than 1 ulp).
+_Q80_K = 5
+
+
+def _sql_es_key() -> str:
+    u = (
+        f"(({_sql_bucket75('es', 'CAST(doc_id AS VARCHAR)')}) + 0.5) "
+        f"/ {_BLOOM_M}.0"
+    )
+    return f"ln({u}) / n_chars"
+
+
+_Q80_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars, {_sql_es_key()} AS es_key
+  FROM documents
+)
+SELECT source, doc_id, n_chars AS weight, CAST(rank AS INT) AS sample_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY es_key DESC, doc_id ASC) AS rank
+  FROM keyed
+) WHERE rank <= {_Q80_K}
+"""
+
+
+@query("q80_weighted_sample", oracle=_Q80_ORACLE)
+def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: the
+    Efraimidis–Spirakis one-pass scheme (key = u^(1/w), top-k keys)
+    with the uniform drawn from the portable md5 hash of the doc id
+    — so the sample is reproducible across runs, engines, and
+    retried tasks, the same no-``rand()`` discipline as q51, but
+    WEIGHTED (here w = n_chars: longer docs proportionally more
+    likely — swap in a quality score in production). Top-5 per
+    source stratum; keys are compared via the monotone ln(u)/w
+    transform and not emitted (cross-engine libm ulp). Scale: one
+    keyed top-k — no global sort, no single partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        TX.md5_bucket(F.col("doc_id").cast("string"), "es", _BLOOM_M)
+        + F.lit(0.5)
+    ) / F.lit(float(_BLOOM_M))
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("es_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= _Q80_K)
+        .select("source", "doc_id", "weight", "sample_rank")
+    )

@@ -537,3 +537,69 @@ def q78_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(norm_w).cast("double")
         ).alias("prob"),
     )
+
+
+@query(
+    "q81_scd2_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_no
+  FROM ordered
+),
+intervals AS (
+  SELECT user_id, event_type AS state, CAST(run_no AS INT) AS run_no,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, event_type, run_no
+)
+SELECT user_id, state, run_no, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_no)
+           AS valid_to,
+       n_events
+FROM intervals
+""",
+)
+def q81_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 intervalization: collapse each user's event-type
+    sequence into validity intervals [valid_from, valid_to) — the
+    gaps-and-islands build that turns an append-only change log into
+    the slowly-changing dimension q44's as-of join consumes
+    (valid_to NULL = current state). Change detection via lag,
+    run ids via running sum, interval bounds via lead — all three
+    windows and the aggregate share ONE shuffle on ``user_id``
+    (run_no ordering is a subsort of the event ordering). Ties on
+    ``ts`` break by ``event_id``."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.withColumn(
+        "run_no",
+        F.sum(changed)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    intervals = runs.groupBy(
+        "user_id", F.col("event_type").alias("state"), "run_no"
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    iw = Window.partitionBy("user_id").orderBy("run_no")
+    return intervals.select(
+        "user_id",
+        "state",
+        "run_no",
+        "valid_from",
+        F.lead("valid_from").over(iw).alias("valid_to"),
+        "n_events",
+    )
