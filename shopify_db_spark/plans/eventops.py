@@ -603,3 +603,55 @@ def q81_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(iw).alias("valid_to"),
         "n_events",
     )
+
+
+@query(
+    "q83_hopping_window",
+    oracle="""
+WITH hopped AS (
+  SELECT TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800
+                             - k.k * 1800 AS BIGINT)) AS window_start,
+         event_type, user_id, value
+  FROM events, UNNEST(generate_series(0, 1)) AS k(k)
+)
+SELECT window_start,
+       window_start + INTERVAL 60 MINUTE AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE)
+           AS total_value
+FROM hopped
+GROUP BY window_start, event_type
+""",
+)
+def q83_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate: 60-minute windows every
+    30 minutes, so each event lands in exactly two windows — the
+    overlap q15's tumbling windows cannot express (native
+    ``F.window(ts, '60 minutes', '30 minutes')``; Catalyst plans the
+    two-fold assignment as one Expand, not a join). The oracle
+    mirrors the assignment arithmetic explicitly (window starts are
+    the slide-aligned epoch grid). Everything stays TIMESTAMP_NTZ on
+    both engines; the value sum is DECIMAL-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "60 minutes", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_out(F.sum(dec("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )

@@ -807,3 +807,101 @@ def q79_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_out(F.sum("price_d").over(w)).alias("revenue_7d"),
         F.count(F.lit(1)).over(w).alias("n_orders_7d"),
     )
+
+
+_Q82_MIN_SUPPORT = 2
+
+
+@query(
+    "q82_basket_pairs",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_counts AS (
+  SELECT l_partkey, COUNT(*) AS n_orders_part FROM items GROUP BY l_partkey
+),
+total AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_Q82_MIN_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.support,
+       ca.n_orders_part AS n_orders_a,
+       cb.n_orders_part AS n_orders_b,
+       (CAST(p.support AS DOUBLE) * CAST(t.n_orders AS DOUBLE))
+         / (CAST(ca.n_orders_part AS DOUBLE)
+            * CAST(cb.n_orders_part AS DOUBLE)) AS lift,
+       CAST(p.support AS DOUBLE) / CAST(ca.n_orders_part AS DOUBLE)
+           AS confidence_a_to_b
+FROM pairs p
+JOIN part_counts ca ON ca.l_partkey = p.part_a
+JOIN part_counts cb ON cb.l_partkey = p.part_b
+CROSS JOIN total t
+""",
+)
+def q82_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs over order line items:
+    co-occurrence support, lift, and confidence for every part pair
+    bought together in ≥ 2 orders — the frequent-itemset/
+    recommendation primitive the catalog lacked. Scale shape: the
+    pair join is WITHIN-basket (equi-join on ``l_orderkey``), so
+    fan-out is Σ_order (basket size)² — bounded by the max basket
+    (13 here; real carts are small constants), never #parts². The
+    per-part counts broadcast back onto the (already aggregated)
+    pair table, and all measures are ratios of exact counts. The
+    order total is a metadata scalar (one count job) embedded as a
+    literal — no cross join against the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    part_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_orders_part")
+    )
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _Q82_MIN_SUPPORT)
+    )
+    ca = part_counts.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("n_orders_part").alias("n_orders_a"),
+    )
+    cb = part_counts.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("n_orders_part").alias("n_orders_b"),
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "n_orders_a",
+            "n_orders_b",
+            (
+                (F.col("support").cast("double") * F.lit(float(n_orders)))
+                / (
+                    F.col("n_orders_a").cast("double")
+                    * F.col("n_orders_b").cast("double")
+                )
+            ).alias("lift"),
+            (
+                F.col("support").cast("double")
+                / F.col("n_orders_a").cast("double")
+            ).alias("confidence_a_to_b"),
+        )
+    )
