@@ -81,6 +81,11 @@ DEFAULT_QUERIES = [
     "q45_promo_range_join",
     "q58_sequence_packing",
     "q71_shuffle_split",
+    # third batch: round-5 retrieval/linkage tier
+    "q74_semantic_dedup",
+    "q75_bloom_decontamination",
+    "q76_sparse_cosine_retrieval",
+    "q82_basket_pairs",
 ]
 
 
