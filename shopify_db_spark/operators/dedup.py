@@ -473,3 +473,111 @@ def duplicate_spans(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         (F.max("run_len") + (k - 1)).cast("long").alias("max_span_tokens"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Global set-similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin scheme — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): exact n-gram-shingle Jaccard ≥ ``threshold`` over the
+    WHOLE corpus, no blocking column required.
+
+    Why this exists next to :func:`ngram_jaccard_pairs`: the blocked
+    variant only compares documents sharing a block key, so its
+    completeness depends on the blocking being semantically safe;
+    the un-blocked exact join is Σ_shingle df² — quadratic on hot
+    shingles. Prefix filtering is the published exact-and-bounded
+    answer: order each document's shingle set by ascending global
+    frequency (rarest first, ties by shingle), take only the first
+    ``|S| - ceil(t·|S|) + 1`` elements as the candidate-generating
+    prefix — any pair with Jaccard ≥ t MUST share a prefix element
+    under a common total order — then verify candidates exactly.
+    Candidate volume is driven by RARE-shingle postings (the prefix
+    excludes exactly the hot tail), which is what keeps the join
+    from going quadratic at corpus scale.
+
+    Plan: shingles → global df (broadcast) → per-doc frequency-
+    sorted array (one hash aggregate) → prefix explode → equi-join
+    on prefix shingle + Jaccard length filter (t·max ≤ min) →
+    distinct candidate pairs → exact verify via ``array_intersect``
+    on the two materialized shingle arrays. Returns
+    (doc_a, doc_b, n_a, n_b, n_inter, jaccard)."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(F.broadcast(dfreq), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("ord_structs")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("ord_structs"), lambda s: s["shingle"]).alias(
+                "shingle_arr"
+            ),
+            F.size("ord_structs").alias("n_sh"),
+        )
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice(F.col("shingle_arr"), 1, prefix_len)).alias(
+            "shingle"
+        ),
+    )
+    pa = prefixes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    pb = prefixes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b").cast("double")
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    va = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle_arr").alias("arr_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    vb = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle_arr").alias("arr_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("n_inter"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard"
+    )

@@ -659,3 +659,62 @@ def q76_sparse_cosine_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     return sparse_cosine_topk(terms, k=_Q76_K, df_cap=_Q76_DF_CAP)
+
+
+# ---------------------------------------------------------------------------
+# q84: prefix-filtered global Jaccard self-join. The ORACLE is the
+# BRUTE-FORCE all-pairs inverted-index join (no prefix scheme), so
+# the gate independently proves the prefix filter's completeness —
+# any candidate the prefix scheme misses hash-mismatches here.
+_Q84_T = 0.5
+
+_Q84_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(i.n_inter AS DOUBLE)
+         / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE)
+        / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= {_Q84_T}
+"""
+
+
+@query("q84_prefix_filter_jaccard", oracle=_Q84_ORACLE)
+def q84_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact-Jaccard near-dup pairs (threshold 0.5) WITHOUT a
+    blocking column, via prefix filtering (AllPairs/PPJoin —
+    ``operators.dedup.prefix_filter_jaccard_pairs``). q25's exact
+    tier only meets documents sharing a block key; this is the
+    published complete-and-bounded global scheme: candidates come
+    from rarest-first prefixes (the hot shingle tail generates NO
+    candidates), verified exactly. The oracle is the brute-force
+    inverted-index join, so the gate checks completeness against an
+    independent formulation, not a mirror of the same algorithm."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = DD.prefix_filter_jaccard_pairs(docs, n=3, threshold=_Q84_T)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        "jaccard",
+    )

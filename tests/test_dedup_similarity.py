@@ -365,3 +365,38 @@ def test_semantic_dedup_sub_planes_keeps_shape(spark, vectors):
     rows = {r["vec_id"]: r["kept"] for r in out.collect()}
     assert len(rows) == vectors.count()
     assert rows[0] is True and rows[100] is False
+
+
+def test_prefix_filter_jaccard_complete_vs_bruteforce(spark, corpus):
+    """Prefix filtering must find EXACTLY the pairs the naive
+    all-pairs Jaccard finds — completeness is the theorem the
+    operator rests on (q84's gate checks it at sf0.01; this pins it
+    on a corpus with exact/near/disjoint structure)."""
+    from shopify_db_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            corpus, n=3, threshold=0.3
+        ).collect()
+    }
+    # brute force in python over the same shingle definition
+    from shopify_db_spark.functions.text import tokens, shingles_of_tokens
+    import itertools
+
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in corpus.select(
+            "doc_id",
+            shingles_of_tokens(tokens(F.col("text")), 3).alias("sh"),
+        ).collect()
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        jac = inter / len(sh[a] | sh[b])
+        if jac >= 0.3:
+            expect[(a, b)] = jac
+    assert set(out) == set(expect)
+    for k in expect:
+        assert abs(out[k] - expect[k]) < 1e-12
