@@ -953,3 +953,54 @@ def q80_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= _Q80_K)
         .select("source", "doc_id", "weight", "sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q85: cross-source duplication matrix — the dedup DIAGNOSTIC:
+# which sources duplicate which (mirror sites, syndication, scraped
+# re-posts). Reuses q27's SimHash pair generator verbatim so the
+# matrix is a pure roll-up of an already-gated pair set.
+_Q85_ORACLE = f"""
+WITH pairs AS ({_Q27_ORACLE})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs,
+       CAST(COUNT(DISTINCT p.doc_a) AS BIGINT) AS n_left_docs,
+       CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_right_docs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY source_a, source_b
+"""
+
+
+@query("q85_cross_source_dups", oracle=_Q85_ORACLE)
+def q85_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: SimHash near-dup pairs
+    (q27's generator, unchanged) labeled with each side's source and
+    rolled up to (source_a ≤ source_b) counts — the report that says
+    which ingest feeds mirror each other, and the first thing a
+    corpus owner asks of a dedup run. The doc→source join hashes on
+    doc ids (dimension-sized output); no new pair generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.simhash_pairs(docs, max_hamming=4, hash_family="md5")
+    src = docs.select("doc_id", "source")
+    la = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    lb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_a").alias("n_left_docs"),
+            F.countDistinct("doc_b").alias("n_right_docs"),
+        )
+    )

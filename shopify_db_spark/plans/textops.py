@@ -718,3 +718,108 @@ def q84_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inter").cast("bigint").alias("n_inter"),
         "jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# q86: count-min sketch over the corpus term stream. d=3 salted md5
+# rows × w=16 buckets — w deliberately smaller than the vocabulary so
+# collisions actually happen and the min-over-rows recovery is
+# exercised (estimate ≥ exact always; equality unless ALL 3 rows
+# collide the term with another). The sketch is a (row, bucket, n)
+# table: mergeable across corpus shards by simple addition — the
+# property that makes CMS the scale answer for per-term counting
+# when the long-tail vocabulary cannot be held exactly.
+_Q86_D = 3
+_Q86_W = 16
+
+
+def _sql_cms_bucket(salt: str, expr: str = "term") -> str:
+    return (
+        f"('0x' || substr(md5('{salt}:' || {expr}), 1, 8))::BIGINT"
+        f" % {_Q86_W}"
+    )
+
+
+_Q86_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+counts AS (
+  SELECT u.term, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM toks, UNNEST(t) AS u(term)
+  GROUP BY u.term
+),
+cms AS (
+  SELECT j.j,
+         CASE j.j WHEN 0 THEN {_sql_cms_bucket('cms0')}
+                  WHEN 1 THEN {_sql_cms_bucket('cms1')}
+                  ELSE {_sql_cms_bucket('cms2')} END AS bucket,
+         CAST(SUM(exact_count) AS BIGINT) AS n
+  FROM counts, UNNEST(generate_series(0, {_Q86_D - 1})) AS j(j)
+  GROUP BY 1, 2
+)
+SELECT c.term, c.exact_count,
+       LEAST(e0.n, e1.n, e2.n) AS cms_estimate,
+       LEAST(e0.n, e1.n, e2.n) >= c.exact_count AS overestimates
+FROM counts c
+JOIN cms e0 ON e0.j = 0 AND e0.bucket = {_sql_cms_bucket('cms0', 'c.term')}
+JOIN cms e1 ON e1.j = 1 AND e1.bucket = {_sql_cms_bucket('cms1', 'c.term')}
+JOIN cms e2 ON e2.j = 2 AND e2.bucket = {_sql_cms_bucket('cms2', 'c.term')}
+"""
+
+
+@query("q86_count_min_sketch", oracle=_Q86_ORACLE)
+def q86_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term counting: 3 salted-md5 hash rows × 16
+    buckets built from the corpus term stream, probed for every
+    term and compared against the exact counts (``overestimates``
+    must be uniformly true — the CMS guarantee). Deterministic
+    (portable md5 buckets — no RNG), and the sketch table is
+    mergeable across shards by addition, which is why a 100 TB
+    pipeline ships the sketch, not the vocabulary. Sketch build is
+    one aggregate over per-term counts; probes are broadcast joins
+    against the 48-row sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(TX.tokens(F.col("text")).alias("toks"))
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    salts = [f"cms{j}" for j in range(_Q86_D)]
+    cms = (
+        counts.select(
+            "exact_count",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            TX.md5_bucket(
+                                F.col("term"), salts[j], _Q86_W
+                            ).alias("bucket"),
+                        )
+                        for j in range(_Q86_D)
+                    ]
+                )
+            ).alias("jb"),
+        )
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .agg(F.sum("exact_count").alias("n"))
+    )
+    probed = counts
+    ests = []
+    for j in range(_Q86_D):
+        cj = cms.filter(F.col("j") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("n").alias(f"e{j}")
+        )
+        probed = probed.withColumn(
+            f"b{j}", TX.md5_bucket(F.col("term"), salts[j], _Q86_W)
+        ).join(F.broadcast(cj), f"b{j}")
+        ests.append(F.col(f"e{j}"))
+    return probed.select(
+        "term",
+        "exact_count",
+        F.least(*ests).alias("cms_estimate"),
+        (F.least(*ests) >= F.col("exact_count")).alias("overestimates"),
+    )
