@@ -99,3 +99,33 @@ def q77_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "canonical_b",
         )
     )
+
+
+@query(
+    "q89_orc_roundtrip",
+    oracle="""
+SELECT doc_id, lang, source, n_chars FROM documents
+""",
+)
+def q89_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC storage round-trip: write the documents metadata columns
+    to ORC (Spark-native columnar alternative to Parquet — the
+    format boundary an engine meets in Hive-era data lakes), read
+    them back with an explicit schema, and return the rows. The
+    oracle reads the same rows from the Parquet source, so the gate
+    certifies lossless type round-tripping (BIGINT/VARCHAR) through
+    the second columnar format. The write is partitioned (no
+    coalesce(1) — ORC interchange at scale is a sharded directory,
+    unlike the reference's single-file CSV contract)."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_orc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    docs.write.mode("overwrite").orc(out)
+    return spark.read.schema(docs.schema).orc(out)

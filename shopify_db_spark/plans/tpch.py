@@ -905,3 +905,53 @@ def q82_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("confidence_a_to_b"),
         )
     )
+
+
+@query(
+    "q88_incremental_agg",
+    oracle="""
+SELECT o_custkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q88_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a distributive aggregate:
+    the per-customer revenue view is maintained as BASE partial
+    aggregates (orders with ``o_orderkey % 10 != 0`` — the
+    already-materialized state) merged with a DELTA batch's partial
+    aggregates (``% 10 = 0`` — the new arrivals), by unioning the
+    two partial-agg tables and re-aggregating the SUMs/COUNTs.
+    Update cost is delta-sized + view-sized — the base FACTS are
+    never re-scanned, which is the whole point at 100 TB (this is
+    what the streaming foreachBatch MERGE in ``streaming.jobs`` does
+    per micro-batch; here it is the batch-declarative form). The
+    oracle is the full recompute over all orders — the gate proves
+    merge ≡ recompute. Decimal partials make the merge exact under
+    any combine order."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.sum(dec("o_totalprice")).alias("rev_d"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev_d").alias("rev_d"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+    return merged.select(
+        "o_custkey",
+        money_out(F.col("rev_d")).alias("revenue"),
+        "n_orders",
+    )

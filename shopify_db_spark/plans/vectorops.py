@@ -269,3 +269,72 @@ def q74_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
     return SIM.semantic_dedup(emb, centroids, threshold=SEMDEDUP_THRESHOLD)
+
+
+_Q87_TOL = 1e-3
+
+
+@query(
+    "q87_embedding_audit",
+    oracle=f"""
+WITH stats AS (
+  SELECT label,
+         {_sql_dot('embedding', 'embedding')} AS sq_norm,
+         len(list_filter(embedding, x -> NOT isfinite(x))) AS n_bad,
+         len(list_filter(embedding, x -> x = 0)) AS n_zero
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN abs(sqrt(sq_norm) - 1.0) <= {_Q87_TOL}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unit_norm,
+       CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonfinite,
+       CAST(SUM(CASE WHEN n_zero = {DIM} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_all_zero,
+       MIN(sqrt(sq_norm)) AS min_norm,
+       MAX(sqrt(sq_norm)) AS max_norm
+FROM stats
+GROUP BY label
+""",
+)
+def q87_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column quality audit, per label: unit-norm conformance
+    (|‖v‖−1| ≤ 1e-3), non-finite components, all-zero vectors, and
+    the norm envelope — the pre-flight check before any ANN/dedup
+    run (a single NaN silently poisons every cosine it touches).
+    Norms use the sequential-fold dot product (bit-identical across
+    engines) and the per-label aggregates are counts and MIN/MAX —
+    both order-independent, so no float-summation drift. One
+    map-side projection + one hash aggregate; no joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = SIM.as_double(F.col("embedding"))
+    sq = SIM.dot(dv, dv)
+    nrm = F.sqrt(sq)
+    n_bad = F.size(
+        F.filter(
+            F.col("embedding"),
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
+    n_zero = F.size(F.filter(F.col("embedding"), lambda x: x == 0))
+    stats = emb.select(
+        "label",
+        nrm.alias("nrm"),
+        n_bad.alias("n_bad"),
+        n_zero.alias("n_zero"),
+    )
+    return stats.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.when(F.abs(F.col("nrm") - 1.0) <= _Q87_TOL, 1).otherwise(0)
+        ).alias("n_unit_norm"),
+        F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0)).alias(
+            "n_nonfinite"
+        ),
+        F.sum(F.when(F.col("n_zero") == DIM, 1).otherwise(0)).alias(
+            "n_all_zero"
+        ),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
