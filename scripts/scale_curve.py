@@ -86,6 +86,7 @@ DEFAULT_QUERIES = [
     "q75_bloom_decontamination",
     "q76_sparse_cosine_retrieval",
     "q82_basket_pairs",
+    "q84_prefix_filter_jaccard",
 ]
 
 

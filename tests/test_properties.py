@@ -166,3 +166,79 @@ def test_exact_dedup_normalization_invariance(spark, docs):
     assert len(by_keep) == len(distinct_texts)
     for keep in by_keep:
         assert keep % 2 == 0, "keeper must be the lower (even) id of its pair"
+
+
+@_SETTINGS
+@given(docs=st.lists(_doc_tokens, min_size=2, max_size=5))
+def test_prefix_filter_jaccard_is_complete(spark, docs):
+    """Prefix filtering must reproduce brute-force Jaccard exactly
+    for ANY corpus — the AllPairs completeness theorem, checked
+    end-to-end (n=1 unigram shingles so the model is trivial)."""
+    from shopify_db_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(df, n=1, threshold=0.4).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        jac = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if jac >= 0.4:
+            want[(a, b)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+@_SETTINGS
+@given(
+    posting=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # doc
+            st.integers(min_value=0, max_value=7),   # term index
+            st.integers(min_value=1, max_value=4),   # tf
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_sparse_cosine_matches_numpy_model(spark, posting):
+    """sparse_cosine_topk with an unreachable df_cap must equal the
+    dense numpy cosine for any posting multiset (duplicates
+    collapse by max — construction detail of the strategy)."""
+    import numpy as np
+
+    from shopify_db_spark.operators.similarity import sparse_cosine_topk
+
+    cells = {}
+    for doc, term, tf in posting:
+        cells[(doc, term)] = max(cells.get((doc, term), 0), tf)
+    rows = [(d, f"t{t}", tf) for (d, t), tf in cells.items()]
+    df = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    got = {
+        (r["doc_id"], r["neighbor_id"]): r["cosine"]
+        for r in sparse_cosine_topk(df, k=100, df_cap=10_000).collect()
+    }
+    docs = sorted({d for d, _ in cells})
+    vecs = {
+        d: np.array([cells.get((d, t), 0) for t in range(8)], dtype=float)
+        for d in docs
+    }
+    for a in docs:
+        for b in docs:
+            if a == b:
+                continue
+            dot = float(vecs[a] @ vecs[b])
+            if dot == 0.0:
+                assert (a, b) not in got
+            else:
+                want = dot / (
+                    float(np.sqrt(vecs[a] @ vecs[a]))
+                    * float(np.sqrt(vecs[b] @ vecs[b]))
+                )
+                assert abs(got[(a, b)] - want) < 1e-9
