@@ -524,6 +524,9 @@ def prefix_filter_jaccard_pairs(
             ),
             F.size("ord_structs").alias("n_sh"),
         )
+        # three consumers (prefix explode + both verify sides): persist
+        # so the shingle/df/sort aggregation pipeline runs once
+        .persist()
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1

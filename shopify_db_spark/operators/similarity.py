@@ -585,6 +585,14 @@ def sparse_cosine_topk(
     actual cosine. Returns (doc_id, neighbor_id, cosine, rank ≤ k);
     docs sharing no surviving term emit no rows."""
     df_counts = terms.groupBy(term_col).agg(F.count(F.lit(1)).alias("__df"))
+    # NOT persisted, deliberately: the posting table has three
+    # consumers (norms + both join sides), but each needs a different
+    # column subset and persisting the fat (doc, term-string, tf)
+    # rows blocks Catalyst's per-consumer pruning — measured SLOWER
+    # on the scale curve (x10 9.9 s → 13.9 s) than recomputing the
+    # cheap projection. Contrast prefix_filter_jaccard_pairs, whose
+    # shared frame hides an expensive sort aggregate and does win
+    # from persisting.
     pruned = (
         terms.join(
             F.broadcast(df_counts.filter(F.col("__df") <= df_cap)), term_col
