@@ -22,3 +22,60 @@ def test_bloom_matches_exact_contamination(spark):
     }
     assert set(exact) == set(bloom)
     assert exact == bloom
+
+
+def test_count_min_sketch_merges_by_addition(spark):
+    """The CMS scale contract: sketches built on disjoint corpus
+    shards, merged by per-cell addition, must equal the sketch built
+    on the union — and point estimates from the merged sketch still
+    dominate exact counts."""
+    from pyspark.sql import functions as F
+
+    from shopify_db_spark.functions.text import md5_bucket
+
+    rows_a = [(1, "a b a c"), (2, "b c d")]
+    rows_b = [(3, "a d d e"), (4, "e e b a")]
+    D, W = 3, 4
+
+    def cms(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        counts = (
+            df.select(F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = {}
+        for j in range(D):
+            cells = (
+                counts.select(
+                    md5_bucket(F.col("term"), f"cms{j}", W).alias("b"),
+                    "n",
+                )
+                .groupBy("b")
+                .agg(F.sum("n").alias("n"))
+                .collect()
+            )
+            for r in cells:
+                out[(j, r["b"])] = out.get((j, r["b"]), 0) + r["n"]
+        return out
+
+    merged = cms(rows_a)
+    for k, v in cms(rows_b).items():
+        merged[k] = merged.get(k, 0) + v
+    full = cms(rows_a + rows_b)
+    assert merged == full
+    # point estimates dominate exact counts
+    exact = {}
+    for _i, text in rows_a + rows_b:
+        for t in text.split():
+            exact[t] = exact.get(t, 0) + 1
+    import hashlib
+
+    for term, n in exact.items():
+        ests = []
+        for j in range(D):
+            h = int(
+                hashlib.md5(f"cms{j}:{term}".encode()).hexdigest()[:8], 16
+            ) % W
+            ests.append(full.get((j, h), 0))
+        assert min(ests) >= n
