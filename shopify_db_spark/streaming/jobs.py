@@ -92,6 +92,38 @@ def windowed_event_counts(
     )
 
 
+def hopping_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows with a late-data
+    watermark: the streaming twin of catalog q83, exactly as
+    :func:`windowed_event_counts` is q15's. Each event lands in
+    window/slide overlapping windows (one Expand in the micro-batch
+    plan — no self-join); state size grows by the same factor, which
+    is the documented cost of overlap in Structured Streaming."""
+    events, was_ntz = _as_event_time(events)
+    start = F.col("window.start")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).alias("total_value_d"),
+        )
+        .select(
+            (start.cast("timestamp_ntz") if was_ntz else start).alias(
+                "window_start"
+            ),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.round(F.col("total_value_d"), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
 def sessionized_events(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

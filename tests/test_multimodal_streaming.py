@@ -266,3 +266,34 @@ def test_pil_decoder_absent_degrades_like_stub():
     with pytest.raises(NotImplementedError):
         mm.pil_image_decoder(b"\x89PNG", "image")
     assert mm.pil_image_decoder(b"xyz", "audio") == mm.fake_decode(b"xyz", "audio")
+
+
+def test_hopping_counts_match_batch(spark):
+    """Streaming hopping windows (60 min / 30 min slide) must equal
+    the batch sliding-window aggregation — and carry 2x the window
+    assignments of the tumbling twin (each event in exactly two
+    windows at this window:slide ratio)."""
+    streamed = SJ.run_bounded(
+        SJ.hopping_event_counts(SJ.stream_events(spark, SF_SMOKE))
+    )
+    batch_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    batch = (
+        batch_events.groupBy(
+            F.window("ts", "1 hour", "30 minutes"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).alias("total_value_d"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round(F.col("total_value_d"), 2).cast("double").alias("total_value"),
+        )
+    )
+    problems = compare_frames(streamed.toPandas(), batch.toPandas())
+    assert not problems, "; ".join(problems)
+    n_total = batch_events.count()
+    assigned = sum(r["n_events"] for r in streamed.collect())
+    assert assigned == 2 * n_total
