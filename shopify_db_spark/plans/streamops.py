@@ -525,3 +525,115 @@ def incremental_minhash_dedup(
         return state["out"]
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q90: incremental count-min sketch — the streaming maintenance of
+# q86's sketch. Each micro-batch's term counts are added into the
+# accumulated (row, bucket) cells; because CMS merges by per-cell
+# addition, the final state must equal the batch sketch over the
+# whole corpus, which is exactly what the oracle computes.
+_Q90_D = 3
+_Q90_W = 16
+
+
+def _q90_cms_bucket_sql(salt: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}:' || term), 1, 8))::BIGINT % {_Q90_W}"
+    )
+
+
+_Q90_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                      ' ') AS t
+  FROM documents
+),
+counts AS (
+  SELECT u.term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks, UNNEST(t) AS u(term)
+  GROUP BY u.term
+)
+SELECT CAST(j.j AS INT) AS j,
+       CASE j.j WHEN 0 THEN {_q90_cms_bucket_sql('cms0')}
+                WHEN 1 THEN {_q90_cms_bucket_sql('cms1')}
+                ELSE {_q90_cms_bucket_sql('cms2')} END AS bucket,
+       CAST(SUM(n) AS BIGINT) AS n
+FROM counts, UNNEST(generate_series(0, {_Q90_D - 1})) AS j(j)
+GROUP BY 1, 2
+"""
+
+
+@query("q90_incremental_cms", oracle=_Q90_ORACLE)
+def q90_incremental_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental count-min sketch over a document stream: three
+    deterministic micro-batches (``doc_id % 3``), each batch's term
+    counts hashed into (row, bucket) cells and ADDED to the
+    accumulated sketch state inside ``foreachBatch`` — per-batch
+    work is batch-sized, state is the fixed 3×16-cell sketch, and
+    the corpus is never re-scanned (q73's ingestion shape applied
+    to the sketch tier). The oracle builds the sketch over the whole
+    corpus in one shot; merge-by-addition makes the two identical —
+    the mergeability contract, gate-checked."""
+    from shopify_db_spark.functions.text import md5_bucket, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 3).alias("batch_no")
+    )
+    stream_dir = _write_batch_files(docs, "batch_no", 3)
+    empty = spark.createDataFrame([], "j int, bucket long, n long")
+    state = {"cells": empty}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        counts = (
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cells = (
+            counts.select(
+                "n",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                md5_bucket(
+                                    F.col("term"), f"cms{j}", _Q90_W
+                                ).alias("bucket"),
+                            )
+                            for j in range(_Q90_D)
+                        ]
+                    )
+                ).alias("jb"),
+            )
+            .groupBy(
+                F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+            )
+            .agg(F.sum("n").alias("n"))
+        )
+        state["cells"] = (
+            state["cells"]
+            .unionByName(cells)
+            .groupBy("j", "bucket")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint()
+        )
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return state["cells"]
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
