@@ -149,3 +149,71 @@ def dup_clusters(
             (F.col("node") == F.col("component")).alias("keep"),
         )
     )
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank in scaled INTEGER arithmetic: ranks are maintained as
+    ``pr × scale`` BIGINTs, per-neighbor contributions are integer
+    floor-divisions ``pr DIV degree``, and the damping step is
+    ``(1-d)·scale + (d_pct · Σ contrib) DIV 100``. Every operation is
+    exact 64-bit integer math, so the result is bit-identical across
+    engines, partitionings, and re-runs — float PageRank sums
+    contributions in nondeterministic order, which is fine for
+    production ranking but cannot be hash-compared against an oracle
+    (swap the casts for doubles when parity is not contractual; the
+    plan shape is identical).
+
+    ``edges`` must contain BOTH directions of each undirected edge
+    (and no duplicates). Plan per iteration: one join of the rank
+    table onto the edge list keyed on ``src`` + one aggregate on
+    ``dst`` — the standard message-passing shape; the edge table is
+    reused across iterations (persist it at the call site for >3
+    iterations), and lineage is truncated per round the same way
+    :func:`connected_components` does. Dangling nodes (no out-edges)
+    are impossible with symmetric edges.
+
+    Returns (node, degree, pr) with ``pr`` at the final iteration."""
+    out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    ranks = out_deg.withColumn("pr", F.lit(scale).cast("long"))
+    base = int(round((100 - damping_pct) / 100 * scale))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias(src_col), "pr", "degree"
+                ),
+                src_col,
+            )
+            .select(
+                F.col(dst_col).alias("node"),
+                # SQL `div`: exact 64-bit integer division — Column `/`
+                # would round-trip through DOUBLE
+                F.expr("pr div degree").cast("long").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            out_deg.join(contribs, "node", "left")
+            .select(
+                "node",
+                "degree",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(in_sum, 0L)) div 100"
+                    )
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -955,3 +955,168 @@ def q88_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_out(F.col("rev_d")).alias("revenue"),
         "n_orders",
     )
+
+
+def _q91_iter_sql(prev: str, name: str) -> str:
+    return f"""
+{name} AS (
+  SELECT d.node, d.degree,
+         CAST(150000 + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.pr // p.degree) AS BIGINT) AS in_sum
+    FROM edges e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = d.node
+)"""
+
+
+_Q91_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+prs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb
+  HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM prs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM prs
+),
+deg AS (
+  SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src
+),
+pr0 AS (
+  SELECT node, degree, CAST(1000000 AS BIGINT) AS pr FROM deg
+),{_q91_iter_sql('pr0', 'pr1')},{_q91_iter_sql('pr1', 'pr2')},{_q91_iter_sql('pr2', 'pr3')}
+SELECT node, degree, pr FROM pr3
+"""
+
+
+@query("q91_copurchase_pagerank", oracle=_Q91_ORACLE)
+def q91_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (q82's support ≥ 2 pairs,
+    symmetrized): which products sit at the center of the bought-
+    together network — the item-importance prior for
+    recommendations. Three message-passing iterations in SCALED
+    INTEGER arithmetic (``operators.graph.integer_pagerank``), so
+    ranks are bit-exact on any engine/partitioning and the unrolled
+    SQL oracle can hash-match; production swaps doubles in with the
+    same plan shape. Per iteration: one src-keyed join + one
+    dst-keyed aggregate, lineage checkpoint-truncated — the
+    iterative-graph shape q50's components already use."""
+    from shopify_db_spark.operators.graph import integer_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .persist()
+    )
+    return integer_pagerank(edges, iterations=3)
+
+
+_Q92_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+             AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+             AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INT)
+             AS r_tile,
+         CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS INT)
+             AS f_tile,
+         CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS INT)
+             AS m_tile
+  FROM rfm
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_tile, f_tile, m_tile,
+       'R' || r_tile || 'F' || f_tile || 'M' || m_tile AS segment
+FROM scored
+"""
+
+
+@query("q92_rfm_segments", oracle=_Q92_ORACLE)
+def q92_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days since
+    last order, relative to the corpus max date), frequency, and
+    DECIMAL-exact monetary total, each bucketed into exact quintiles
+    with the two-phase NTILE (``operators.numbering.global_ntile`` —
+    three semantically global NTILEs, ZERO single-partition windows;
+    the oracle's plain ``NTILE(5) OVER (ORDER BY ...)`` pins the
+    bucket boundaries exactly). Ties break on customer key. The
+    corpus max date is a metadata scalar (one min/max-only jobs).
+    Output carries the composite 'R#F#M#' segment label downstream
+    marketing systems key on."""
+    from shopify_db_spark.operators.numbering import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    max_date = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("m")
+    ).collect()[0]["m"]
+    # persisted: three independent NTILE pipelines re-read it; tiling
+    # dimensions independently over slim projections (then joining on
+    # the customer key) keeps each two-phase NTILE's bounded offset
+    # stage shallow — CHAINING the ntiles multiplies the upstream
+    # lineage into every offset computation (measured: 21
+    # single-partition stages chained vs 3 independent)
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(max_date).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        money_out(F.sum(dec("o_totalprice"))).alias("monetary"),
+    ).persist()
+
+    def tile_on(metric: str, name: str) -> DataFrame:
+        slim = rfm.select("o_custkey", metric)
+        return global_ntile(
+            slim, [metric, "o_custkey"], 5, col_name=name
+        ).select("o_custkey", name)
+
+    tiled = (
+        rfm.join(tile_on("recency_days", "r_tile"), "o_custkey")
+        .join(tile_on("frequency", "f_tile"), "o_custkey")
+        .join(tile_on("monetary", "m_tile"), "o_custkey")
+    )
+    return tiled.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.col("r_tile").cast("int").alias("r_tile"),
+        F.col("f_tile").cast("int").alias("f_tile"),
+        F.col("m_tile").cast("int").alias("m_tile"),
+        F.concat(
+            F.lit("R"),
+            F.col("r_tile").cast("int"),
+            F.lit("F"),
+            F.col("f_tile").cast("int"),
+            F.lit("M"),
+            F.col("m_tile").cast("int"),
+        ).alias("segment"),
+    )
