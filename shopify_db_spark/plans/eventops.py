@@ -655,3 +655,83 @@ def q83_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q93_touch_attribution",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IN ('click', 'view') THEN event_id END
+             AS touch_id,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END
+             AS touch_kind,
+         CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts
+  FROM events
+),
+carried AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(touch_id IGNORE NULLS) OVER w AS touch_event_id,
+         last_value(touch_kind IGNORE NULLS) OVER w AS touch_type,
+         last_value(touch_ts IGNORE NULLS) OVER w AS touch_ts
+  FROM marked
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, touch_event_id, touch_type,
+       touch_event_id IS NOT NULL
+         AND epoch_us(ts) - epoch_us(touch_ts) <= 86400000000
+         AS attributed
+FROM carried
+WHERE event_type = 'purchase'
+""",
+)
+def q93_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is attributed
+    to the user's most recent preceding click/view, provided it
+    happened within a 24 h lookback — the conditional-carry-forward
+    window (``last(..., ignorenulls=True)``) that powers attribution,
+    propensity features, and session stitching. One shuffle on
+    ``user_id``; the 24 h check compares MICROSECOND instants
+    (whole-second casts would misclassify the boundary, q14's
+    lesson). Ties on ``ts`` break by ``event_id``; a purchase with
+    no prior touch gets ``attributed = false`` and null touch
+    columns."""
+    ev = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(is_touch, F.col("event_id")).alias("touch_id"),
+        F.when(is_touch, F.col("event_type")).alias("touch_kind"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts_raw"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = marked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last("touch_id", ignorenulls=True).over(w).alias("touch_event_id"),
+        F.last("touch_kind", ignorenulls=True).over(w).alias("touch_type"),
+        F.last("touch_ts_raw", ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    touch_micros = F.unix_micros(F.col("touch_ts").cast("timestamp"))
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "touch_event_id",
+        "touch_type",
+        (
+            F.col("touch_event_id").isNotNull()
+            & ((micros - touch_micros) <= 86_400_000_000)
+        ).alias("attributed"),
+    )

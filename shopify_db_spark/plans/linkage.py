@@ -129,3 +129,43 @@ def q89_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs.write.mode("overwrite").orc(out)
     return spark.read.schema(docs.schema).orc(out)
+
+
+@query(
+    "q94_schema_evolution",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 0 THEN n_chars END AS n_chars
+FROM documents
+""",
+)
+def q94_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across ingest batches: an early batch wrote
+    (doc_id, lang), a later batch added the ``n_chars`` column; the
+    engine must read the union of both with ``mergeSchema`` and
+    null-fill the missing column for old rows — the additive-column
+    evolution every long-lived lake table goes through. The oracle
+    states the expected semantics directly on the source table.
+    (Type-CHANGING evolution is deliberately out of scope — Spark
+    mergeSchema rejects it; new names + backfill is the documented
+    path.)"""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_evolve_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang").write.parquet(
+        os.path.join(root, "batch=0")
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    ).write.parquet(os.path.join(root, "batch=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "batch=0"), os.path.join(root, "batch=1")
+    )
+    return merged.select("doc_id", "lang", "n_chars")
