@@ -169,3 +169,207 @@ def q94_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "batch=0"), os.path.join(root, "batch=1")
     )
     return merged.select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q95: snapshot diff. Two deterministic "table versions" are derived
+# from orders (A drops o_orderkey % 97 = 0; B drops % 93 = 0 and
+# bumps the price of % 89 = 0 rows), so all three change classes are
+# non-empty. Values are compared as DECIMALs/atoms with IS DISTINCT
+# FROM — never via stringified floats (engine float formatting is
+# not a stable contract).
+
+
+@query(
+    "q95_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,4)) AS price_d
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,4))
+           + CASE WHEN o_orderkey % 89 = 0
+                  THEN CAST(1 AS DECIMAL(12,4))
+                  ELSE CAST(0 AS DECIMAL(12,4)) END AS price_d
+  FROM orders WHERE o_orderkey % 93 <> 0
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       CAST(ROUND(a.price_d, 2) AS DOUBLE) AS old_price,
+       CAST(ROUND(b.price_d, 2) AS DOUBLE) AS new_price
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.price_d IS DISTINCT FROM b.price_d
+   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+""",
+)
+def q95_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot diff: the added/removed/changed changelog
+    between two versions of a table — the data-regression detector
+    every pipeline wants between runs, and the input to incremental
+    downstream refresh. One full-outer join on the key; non-key
+    columns compared with null-safe inequality on their native
+    types (decimal for money), never stringified. At scale the join
+    hashes on the key and unchanged rows are dropped before any
+    output materializes."""
+    from shopify_db_spark.functions.parity import dec, dlit, money_out
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderstatus").alias("status_a"),
+        dec("o_totalprice").alias("price_a"),
+    )
+    b = orders.filter(F.col("o_orderkey") % 93 != 0).select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderstatus").alias("status_b"),
+        (
+            dec("o_totalprice")
+            + F.when(F.col("o_orderkey") % 89 == 0, dlit(1)).otherwise(
+                dlit(0)
+            )
+        ).alias("price_b"),
+    )
+    joined = a.join(b, F.col("key_a") == F.col("key_b"), "full_outer")
+    differs = (
+        F.col("key_a").isNull()
+        | F.col("key_b").isNull()
+        | ~F.col("price_a").eqNullSafe(F.col("price_b"))
+        | ~F.col("status_a").eqNullSafe(F.col("status_b"))
+    )
+    return joined.filter(differs).select(
+        F.coalesce(F.col("key_a"), F.col("key_b")).alias("o_orderkey"),
+        F.when(F.col("key_a").isNull(), "added")
+        .when(F.col("key_b").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        money_out(F.col("price_a")).alias("old_price"),
+        money_out(F.col("price_b")).alias("new_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96: FK-containment profiling over the schema's candidate edges.
+_Q96_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _q96_edge_sql(child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{child}' AS child_table, '{ck}' AS child_col,
+       '{parent}' AS parent_table, '{pk}' AS parent_col,
+       (SELECT COUNT(DISTINCT {ck}) FROM {child}
+        WHERE {ck} IS NOT NULL) AS n_child_distinct,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT c.{ck} AS v FROM {child} c
+          WHERE c.{ck} IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM {parent} p
+                            WHERE p.{pk} = c.{ck})
+       )) AS n_orphans"""
+
+
+_Q96_ORACLE = (
+    "SELECT child_table, child_col, parent_table, parent_col,\n"
+    "       CAST(n_child_distinct AS BIGINT) AS n_child_distinct,\n"
+    "       CAST(n_orphans AS BIGINT) AS n_orphans,\n"
+    "       1.0 - CAST(n_orphans AS DOUBLE)"
+    " / CAST(n_child_distinct AS DOUBLE) AS containment\n"
+    "FROM (\n"
+    + "\nUNION ALL\n".join(
+        _q96_edge_sql(*e) for e in _Q96_EDGES
+    )
+    + "\n)"
+)
+
+
+@query("q96_fk_profile", oracle=_Q96_ORACLE)
+def q96_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profiling: for every declared candidate
+    FK edge, the distinct child-key count, the orphan count (child
+    values with no parent — a LEFT ANTI join on the distinct key
+    set, so the probe is key-cardinality-sized, not row-sized), and
+    the containment ratio. Containment = 1.0 certifies the edge;
+    anything lower localizes broken ingestion. The reference
+    enforces FKs in Postgres DDL (setup.sql); on a lake engine
+    integrity is a measured property, and this is the measurement
+    (q18's anti-join checks generalized to a schema-wide profile)."""
+    rows = []
+    for child, ck, parent, pk in _Q96_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        child_keys = (
+            c.select(F.col(ck).alias("v")).filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        n_distinct = child_keys.count()
+        n_orphans = child_keys.join(
+            p.select(F.col(pk).alias("v")).distinct(), "v", "left_anti"
+        ).count()
+        rows.append(
+            (
+                child,
+                ck,
+                parent,
+                pk,
+                n_distinct,
+                n_orphans,
+                1.0 - (float(n_orphans) / float(n_distinct)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "child_table string, child_col string, parent_table string,"
+        " parent_col string, n_child_distinct long, n_orphans long,"
+        " containment double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97: per-column profile of a table in ONE aggregate pass.
+_Q97_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+_Q97_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       (SELECT COUNT(*) FROM documents) AS n_rows,
+       (SELECT COUNT(*) FROM documents WHERE {c} IS NULL) AS n_null,
+       (SELECT COUNT(DISTINCT {c}) FROM documents) AS n_distinct"""
+    for c in _Q97_COLS
+)
+
+
+@query("q97_column_profile", oracle=_Q97_ORACLE)
+def q97_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (row count, null count, distinct
+    count per column) — the first query any engine runs against an
+    unfamiliar table, and the statistics layer cost-based decisions
+    feed on. ONE aggregate pass computes every column's stats
+    (Catalyst plans the multi-distinct via Expand — no per-column
+    scans), then the single stats row is melted to one row per
+    column with ``stack``. Output is schema-sized; the scan is the
+    only data-sized stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _Q97_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"dist_{c}"))
+    stats = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in _Q97_COLS
+    )
+    return stats.selectExpr(
+        "n_rows",
+        f"stack({len(_Q97_COLS)}, {stack_args})"
+        " AS (column_name, n_null, n_distinct)",
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
