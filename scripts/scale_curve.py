@@ -87,6 +87,7 @@ DEFAULT_QUERIES = [
     "q76_sparse_cosine_retrieval",
     "q82_basket_pairs",
     "q84_prefix_filter_jaccard",
+    "q91_copurchase_pagerank",
 ]
 
 
