@@ -373,3 +373,132 @@ def q97_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_Q97_COLS)}, {stack_args})"
         " AS (column_name, n_null, n_distinct)",
     ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+# ---------------------------------------------------------------------------
+# q98: right-to-be-forgotten impact plan. Forget-set: customers with
+# c_custkey % 250 = 0; deletion propagates along the FK graph
+# (customer → orders → lineitem), and the plan reports how many rows
+# each table loses, in dependency order.
+
+
+@query(
+    "q98_cascade_delete_plan",
+    oracle="""
+SELECT 'customer' AS table_name, CAST(0 AS INT) AS depth,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey % 250 = 0)
+           AS n_rows
+UNION ALL
+SELECT 'orders', CAST(1 AS INT),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey % 250 = 0))
+UNION ALL
+SELECT 'lineitem', CAST(2 AS INT),
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey % 250 = 0)))
+""",
+)
+def q98_cascade_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade-delete impact plan (the GDPR/right-to-be-forgotten
+    pre-flight): given a forget-set of customers, count the rows
+    each downstream table loses when the deletion propagates along
+    the FK graph — customer → orders → lineitem, in dependency
+    order. Each hop is a LEFT SEMI join on the parent's key set
+    (key-sized build sides, fact tables never shuffled); the
+    reference delegates this to Postgres ``ON DELETE CASCADE``
+    (setup.sql FK clauses) — on a lake engine the cascade is an
+    explicit, auditable plan, and this query IS the audit. The
+    scalar counts are bounded single-partition finals (allowlisted
+    like q06/q12)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    forget = customer.filter(F.col("c_custkey") % 250 == 0).select(
+        "c_custkey"
+    )
+    doomed_orders = orders.join(
+        forget, orders["o_custkey"] == forget["c_custkey"], "left_semi"
+    )
+    doomed_lines = lineitem.join(
+        doomed_orders.select("o_orderkey"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def one(table: str, depth: int, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(table).alias("table_name"),
+            F.lit(depth).cast("int").alias("depth"),
+            "n_rows",
+        )
+
+    return (
+        one("customer", 0, forget)
+        .unionAll(one("orders", 1, doomed_orders))
+        .unionAll(one("lineitem", 2, doomed_lines))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99: categorical association via LIFT (n·N / (n_row · n_col)) —
+# deliberately NOT pmi = ln(lift): ln is not IEEE-correctly-rounded,
+# so cross-engine last-ulp drift would break the value hash, while
+# lift is a pure rational of exact counts (monotone in pmi, so
+# ranking/thresholding downstream is unchanged).
+
+
+@query(
+    "q99_category_association",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+),
+l AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+s AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source)
+SELECT c.lang, c.source, c.n, l.n_lang, s.n_source,
+       CAST(c.n AS DOUBLE) * (SELECT COUNT(*) FROM documents)
+         / (CAST(l.n_lang AS DOUBLE) * CAST(s.n_source AS DOUBLE)) AS lift
+FROM cells c
+JOIN l ON l.lang = c.lang
+JOIN s ON s.source = c.source
+""",
+)
+def q99_category_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association profile: the lang × source
+    contingency table with marginals and LIFT per cell — which
+    sources over/under-represent which languages, the skew signal
+    that drives mixture rebalancing (q70) and stratified sampling
+    (q51). One aggregate for cells, two dimension-sized marginal
+    aggregates broadcast back, and a metadata total embedded as a
+    literal. Lift is a ratio of exact counts (see module comment on
+    why not pmi)."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    l = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    return (
+        cells.join(F.broadcast(l), "lang")
+        .join(F.broadcast(s), "source")
+        .select(
+            "lang",
+            "source",
+            "n",
+            "n_lang",
+            "n_source",
+            (
+                F.col("n").cast("double")
+                * F.lit(float(total))
+                / (
+                    F.col("n_lang").cast("double")
+                    * F.col("n_source").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )

@@ -68,6 +68,7 @@ SINGLE_PARTITION_OK = {
     "q71_shuffle_split": (1, "two-phase numbering offsets, #partitions rows"),
     "q92_rfm_segments": (3, "three independent two-phase NTILE offset frames, #partitions rows each"),
     "q97_column_profile": (1, "final scalar aggregate over partial aggs (one stats row)"),
+    "q98_cascade_delete_plan": (3, "three per-table scalar count finals over partial aggs"),
 }
 
 
