@@ -1004,3 +1004,121 @@ def q85_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_b").alias("n_right_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q100: the corpus-ship capstone — the full prep chain as ONE plan:
+# q47 (quality gate → lang filter → exact dedup) → q53-style
+# decontamination (benchmark docs excluded, contaminated docs
+# dropped) → q58-style context-window packing over the survivors.
+# The oracle composes the SAME tested SQL fragments (q47's oracle is
+# read from the registry — textops is fully imported by now, see the
+# _Q27_ORACLE import at the top of this module).
+from shopify_db_spark.plans.catalog import QUERIES as _REGISTRY  # noqa: E402
+
+_Q47_ORACLE = _REGISTRY["q47_corpus_prep"].oracle
+
+_Q100_RATE = 0.2
+_Q100_WINDOW = 2048
+
+_Q100_ORACLE = f"""
+WITH prep AS ({_Q47_ORACLE}),
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 7, 1))) AS u(i)
+),
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % 50 = 0
+),
+rates AS (
+  SELECT s.doc_id,
+         CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*) AS cont_rate
+  FROM shingles s
+  JOIN prep p ON p.doc_id = s.doc_id
+  LEFT JOIN bench b ON b.shingle = s.shingle
+  GROUP BY s.doc_id
+),
+ship AS (
+  SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens, p.quality
+  FROM prep p JOIN rates r ON r.doc_id = p.doc_id
+  WHERE p.doc_id % 50 <> 0 AND r.cont_rate < {_Q100_RATE}
+),
+packed AS (
+  SELECT doc_id, n_tokens, quality,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM ship
+)
+SELECT doc_id, n_tokens, quality,
+       CAST(tok_start // {_Q100_WINDOW} AS BIGINT) AS pack_id,
+       CAST(tok_start % {_Q100_WINDOW} AS BIGINT) AS pack_offset,
+       (tok_start + n_tokens - 1) // {_Q100_WINDOW}
+         > tok_start // {_Q100_WINDOW} AS crosses_boundary
+FROM packed
+"""
+
+
+@query("q100_corpus_ship", oracle=_Q100_ORACLE)
+def q100_corpus_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: ship-ready training corpus in one composed
+    plan. q47's prep chain (quality gate → language filter → exact
+    dedup) feeds q53's decontamination (benchmark partition
+    excluded, docs over the contamination-rate threshold dropped),
+    and the survivors get q58's context-window packing layout
+    (two-phase prefix sum — no single-partition data window). Each
+    stage is an already-gated operator; this query proves they
+    COMPOSE — one documents lineage, the benchmark shingle set
+    broadcast, packing offsets from `global_running_sum`. The
+    oracle chains the same three tested SQL fragments verbatim."""
+    from shopify_db_spark.plans.textops import q47_corpus_prep
+
+    prep = q47_corpus_prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = DD.doc_shingles(docs, "doc_id", "text", n=8)
+    bench = (
+        shingles.filter(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    rates = (
+        shingles.join(prep.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cont_rate")
+        )
+    )
+    ship = (
+        prep.join(rates, "doc_id")
+        .filter(
+            (F.col("doc_id") % 50 != 0) & (F.col("cont_rate") < _Q100_RATE)
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+        )
+    )
+    summed = global_running_sum(
+        ship, ["doc_id"], "n_tokens", col_name="tok_start"
+    )
+    w = _Q100_WINDOW
+    start_pack = F.expr(f"tok_start DIV {w}")
+    end_pack = F.expr(f"(tok_start + n_tokens - 1) DIV {w}")
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        start_pack.cast("long").alias("pack_id"),
+        F.expr(f"tok_start % {w}").cast("long").alias("pack_offset"),
+        (end_pack > start_pack).alias("crosses_boundary"),
+    )

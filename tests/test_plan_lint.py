@@ -69,6 +69,7 @@ SINGLE_PARTITION_OK = {
     "q92_rfm_segments": (3, "three independent two-phase NTILE offset frames, #partitions rows each"),
     "q97_column_profile": (1, "final scalar aggregate over partial aggs (one stats row)"),
     "q98_cascade_delete_plan": (3, "three per-table scalar count finals over partial aggs"),
+    "q100_corpus_ship": (1, "two-phase prefix-sum offsets, #partitions rows (q58's bound)"),
 }
 
 
