@@ -97,3 +97,35 @@ def test_weighted_sample_is_deterministic_and_capped(spark):
         per_source.setdefault(src, []).append(rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_source.values())
     assert all(len(v) <= 5 for v in per_source.values())
+
+
+def test_integer_pagerank_star_graph(spark):
+    """On a star graph the hub must outrank every leaf, leaves must
+    tie exactly (integer arithmetic — no float jitter), and two runs
+    must be bit-identical."""
+    from shopify_db_spark.operators.graph import integer_pagerank
+
+    hub, leaves = 0, [1, 2, 3, 4]
+    edges = [(hub, l) for l in leaves] + [(l, hub) for l in leaves]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r for r in integer_pagerank(df, iterations=3).collect()}
+    leaf_prs = {out[l]["pr"] for l in leaves}
+    assert len(leaf_prs) == 1                      # exact tie
+    assert out[hub]["pr"] > leaf_prs.pop()
+    assert out[hub]["degree"] == 4
+    again = {r["node"]: r["pr"] for r in integer_pagerank(df, iterations=3).collect()}
+    assert again == {n: r["pr"] for n, r in out.items()}
+
+
+def test_snapshot_diff_emits_all_three_classes(spark):
+    qs = load_all()
+    rows = qs["q95_snapshot_diff"].fn(spark, SF_SMOKE).collect()
+    kinds = {r["change_type"] for r in rows}
+    assert kinds == {"added", "removed", "changed"}
+    for r in rows:
+        if r["change_type"] == "added":
+            assert r["old_price"] is None and r["new_price"] is not None
+        elif r["change_type"] == "removed":
+            assert r["new_price"] is None and r["old_price"] is not None
+        else:
+            assert r["old_price"] is not None and r["new_price"] is not None
