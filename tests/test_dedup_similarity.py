@@ -400,3 +400,22 @@ def test_prefix_filter_jaccard_complete_vs_bruteforce(spark, corpus):
     assert set(out) == set(expect)
     for k in expect:
         assert abs(out[k] - expect[k]) < 1e-12
+
+
+def test_semantic_dedup_with_trained_codebook(spark, vectors):
+    """The production configuration the q74 docstring prescribes:
+    semantic dedup over a KMeans-trained codebook. The near-copy
+    must still be dropped (it lands in its original's cell for ANY
+    codebook — their cosine to every centroid is near-identical),
+    and the decision stays one-row-per-vector."""
+    from shopify_db_spark.operators.similarity import (
+        kmeans_codebook,
+        semantic_dedup,
+    )
+
+    codebook = kmeans_codebook(vectors, k=4)
+    out = semantic_dedup(vectors, codebook, threshold=0.999, dim=8)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == vectors.count()
+    assert rows[0]["kept"] is True and rows[100]["kept"] is False
+    assert rows[100]["centroid_id"] == rows[0]["centroid_id"]
