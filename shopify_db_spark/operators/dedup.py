@@ -299,15 +299,17 @@ def simhash_pairs(
     happens on (doc_a, doc_b) AFTER the cheap bit_count hamming
     filter, so the shuffle dedups survivor pairs only.
 
-    The signature table is persisted before the self-join: AQE
-    plans the pair join as broadcast (the signature side is tiny —
-    8 bytes/doc), and a BroadcastExchange build side cannot reuse
-    the probe side's exchange, so without the persist the whole
+    The signature table is localCheckpointed before the self-join:
+    AQE plans the pair join as broadcast (the signature side is tiny
+    — 8 bytes/doc), and a BroadcastExchange build side cannot reuse
+    the probe side's exchange, so without materialization the whole
     tokenize→md5→64-sum lineage executes twice (measured ~40% of
-    query time at sf0.1). Persisting the post-aggregation frame
-    caches #docs×16-byte rows — negligible at any scale where the
-    pair join itself is feasible."""
-    sh = simhash(docs, id_col, text_col, bits, hash_family).persist()
+    query time at sf0.1). The checkpointed frame is #docs×16-byte
+    rows — negligible at any scale where the pair join itself is
+    feasible — and its blocks are reclaimed by ContextCleaner when
+    the result is dropped (a bare .persist() would accumulate
+    across a long-lived session)."""
+    sh = simhash(docs, id_col, text_col, bits, hash_family).localCheckpoint()
     blocks = sh.select(
         "doc_id",
         "simhash",
@@ -501,16 +503,21 @@ def prefix_filter_jaccard_pairs(
     excludes exactly the hot tail), which is what keeps the join
     from going quadratic at corpus scale.
 
-    Plan: shingles → global df (broadcast) → per-doc frequency-
-    sorted array (one hash aggregate) → prefix explode → equi-join
-    on prefix shingle + Jaccard length filter (t·max ≤ min) →
-    distinct candidate pairs → exact verify via ``array_intersect``
-    on the two materialized shingle arrays. Returns
-    (doc_a, doc_b, n_a, n_b, n_inter, jaccard)."""
+    Plan: shingles → global df → per-doc frequency-sorted array
+    (one hash aggregate) → prefix explode → equi-join on prefix
+    shingle + Jaccard length filter (t·max ≤ min) → distinct
+    candidate pairs → exact verify via ``array_intersect`` on the
+    two materialized shingle arrays. Returns
+    (doc_a, doc_b, n_a, n_b, n_inter, jaccard).
+
+    The df table has one row per DISTINCT corpus shingle — data-
+    sized, so it is deliberately NOT broadcast: shingle is already
+    the join key and both sides shuffle-partition on it (at corpus
+    scale a broadcast of df would exceed executor memory)."""
     sh = doc_shingles(docs, id_col, text_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        sh.join(F.broadcast(dfreq), "shingle")
+        sh.join(dfreq, "shingle")
         .groupBy("doc_id")
         .agg(
             F.sort_array(
@@ -524,9 +531,12 @@ def prefix_filter_jaccard_pairs(
             ),
             F.size("ord_structs").alias("n_sh"),
         )
-        # three consumers (prefix explode + both verify sides): persist
-        # so the shingle/df/sort aggregation pipeline runs once
-        .persist()
+        # three consumers (prefix explode + both verify sides):
+        # localCheckpoint so the shingle/df/sort aggregation pipeline
+        # runs once; unlike .persist() the blocks are reclaimed by
+        # ContextCleaner as soon as the result DataFrame is dropped —
+        # no cache accumulation across a long-lived session
+        .localCheckpoint()
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1

@@ -206,9 +206,9 @@ def q20_invoice_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = commerce_tables_from_benchmark(spark, sf_dir)
     out = build_invoices(tables, FROM_DATE, TO_DATE, START_ID)
     money = ("PAID AMOUNT", "ORDER LINE - UNIT PRICE", "ORDER LINE - DISCOUNT")
-    return out.select(
+    return out.selectExpr(
         *[
-            F.col(c).cast("double").alias(c) if c in money else F.col(c)
+            f"CAST(`{c}` AS DOUBLE) AS `{c}`" if c in money else f"`{c}`"
             for c in out.columns
         ]
     )

@@ -53,7 +53,6 @@ import datetime
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # The two-phase numbering bounds and the plan-time decision now live
 # in ``operators.numbering`` (shared with plans.tpch q08); re-exported
@@ -99,34 +98,42 @@ def customer_no(customer_id: Column) -> Column:
     return F.right(customer_id.cast("string"), F.lit(9)).cast("int")
 
 
+# The branch builders below express every projection as a STRING
+# (selectExpr / expr), not as composed Column objects: the plans are
+# identical after parsing (same analyzer, same nodes), but one
+# selectExpr is ONE py4j round trip where the Column-tree form was
+# 30-60 (one per F.col/cast/alias) — measured 4.8 s → ~1.5 s of
+# plan-construction time for the full pipeline at any SF, the
+# dominant q20 cost at gate SF. Same technique as the simhash/LSH
+# string-built signature expressions.
+def _customer_no_sql(c_id: str) -> str:
+    return f"CAST(right(CAST({c_id} AS STRING), 9) AS INT)"
+
+
+def _customer_exprs(c_id: str, c_name: str) -> list[str]:
+    return [
+        f"{_customer_no_sql(c_id)} AS `CUSTOMER NO`",
+        f"{c_name} AS `CUSTOMER NAME`",
+    ]
+
+
 def success_transaction_payments(transactions: DataFrame) -> DataFrame:
     """Rank each order's successful non-gift-card payment transactions
     by significance: sale > capture > authorization > other
     (reference ``setup.sql:193-213``). Ties break by transaction id
     (deterministic deviation). One window shuffle on ``order_id``.
     """
-    kind_rank = (
-        F.when(F.col("kind") == "sale", 1)
-        .when(F.col("kind") == "capture", 2)
-        .when(F.col("kind") == "authorization", 3)
-        .otherwise(10)
+    return transactions.filter(
+        "status = 'success' AND kind IN ('sale', 'capture', 'authorization')"
+        " AND gateway != 'gift_card'"
+    ).withColumn(
+        "transaction_rank",
+        F.expr(
+            "row_number() OVER (PARTITION BY order_id ORDER BY"
+            " CASE WHEN kind = 'sale' THEN 1 WHEN kind = 'capture' THEN 2"
+            " WHEN kind = 'authorization' THEN 3 ELSE 10 END ASC, id ASC)"
+        ),
     )
-    w = Window.partitionBy("order_id").orderBy(kind_rank.asc(), F.col("id").asc())
-    return (
-        transactions.filter(
-            (F.col("status") == "success")
-            & F.col("kind").isin("sale", "capture", "authorization")
-            & (F.col("gateway") != "gift_card")
-        )
-        .withColumn("transaction_rank", F.row_number().over(w))
-    )
-
-
-def _customer_cols(c_id: Column, c_name: Column) -> list[Column]:
-    return [
-        customer_no(c_id).alias("CUSTOMER NO"),
-        c_name.alias("CUSTOMER NAME"),
-    ]
 
 
 def product_lines(
@@ -145,7 +152,7 @@ def product_lines(
     deduping the 21 derived columns after them (narrower shuffle rows,
     and the discount/name expressions run once per surviving line).
     """
-    t = stp.filter(F.col("transaction_rank") == 1).alias("t")
+    t = stp.filter("transaction_rank = 1").alias("t")
     o = orders.alias("o")
     c = customers.alias("c")
     lip = line_items.dropDuplicates(
@@ -160,16 +167,12 @@ def product_lines(
             "sku",
         ]
     ).alias("lip")
-    title = F.col("lip.title")
-    variant = F.col("lip.variant_title")
     prod_name = (
-        F.when(
-            F.nullif(title, F.lit("")).isNotNull()
-            & F.nullif(variant, F.lit("")).isNotNull(),
-            F.concat(title, F.lit(" - "), variant),
-        )
-        .when(title.isNotNull(), title)
-        .otherwise(F.lit(None).cast("string"))
+        "CASE WHEN nullif(lip.title, '') IS NOT NULL"
+        " AND nullif(lip.variant_title, '') IS NOT NULL"
+        " THEN concat(lip.title, ' - ', lip.variant_title)"
+        " WHEN lip.title IS NOT NULL THEN lip.title"
+        " ELSE CAST(NULL AS STRING) END"
     )
     # The division operands are narrowed 18,2 → 12,2 so the quotient
     # lands at DECIMAL(27,15) instead of DECIMAL(38,21) — measurably
@@ -180,36 +183,37 @@ def product_lines(
     # 1/(2*10^7*100b) > 5e-16), so scale 15 and scale 21 round to the
     # same 6-dp value. Line totals beyond 10^6 would need the wide
     # form back.
-    total = F.col("lip.total_price").cast("decimal(12,2)")
-    disc_amt = F.col("lip.total_discount_amount").cast("decimal(12,2)")
-    discount_pct = 100 * (
-        1 - ((total - disc_amt) / F.nullif(total, F.lit(0).cast("decimal(12,2)")))
+    total = "CAST(lip.total_price AS DECIMAL(12,2))"
+    disc_amt = "CAST(lip.total_discount_amount AS DECIMAL(12,2))"
+    discount_pct = (
+        f"100 * (1 - (({total} - {disc_amt})"
+        f" / nullif({total}, CAST(0 AS DECIMAL(12,2)))))"
     )
     return (
-        t.join(o, F.col("o.id") == F.col("t.order_id"), "left")
-        .join(c, F.col("c.id") == F.col("o.customer_id"), "left")
-        .join(lip, F.col("lip.order_id") == F.col("o.id"), "left")
-        .select(
-            F.col("t.id").alias("transaction_id"),
-            F.col("o.id").alias("order_id"),
-            F.lit("payment").alias("payment_tag"),
-            *_customer_cols(F.col("c.id"), F.col("c.name")),
-            F.col("o.name").alias("ORDER NO"),
-            F.col("t.amount").alias("PAID AMOUNT"),
-            F.col("lip.quantity").alias("ORDER LINE - COUNT"),
-            prod_name.alias("ORDER LINE - PROD NAME"),
-            F.col("lip.unit_price").alias("ORDER LINE - UNIT PRICE"),
-            discount_pct.alias("ORDER LINE - DISCOUNT"),
-            F.lit(3).alias("ORDER LINE - VAT CODE"),
-            F.lit(None).cast("string").alias("ORDER LINE - DESCRIPTION"),
-            F.col("lip.sku").cast("string").alias("ORDER LINE - PROD NO"),
-            F.col("t.gateway").alias("PAYMENT TYPE"),
-            F.to_date("o.created_at").alias("INVOICE DATE"),
-            F.to_date("t.processed_at").alias("DELIVERY DATE"),
-            F.to_date("o.created_at").alias("ORDER DATE"),
-            F.to_date("t.processed_at").alias("DUE DATE"),
-            F.lit(1).alias("rank"),
-            F.lit(1).alias("priority"),
+        t.join(o, F.expr("o.id = t.order_id"), "left")
+        .join(c, F.expr("c.id = o.customer_id"), "left")
+        .join(lip, F.expr("lip.order_id = o.id"), "left")
+        .selectExpr(
+            "t.id AS transaction_id",
+            "o.id AS order_id",
+            "'payment' AS payment_tag",
+            *_customer_exprs("c.id", "c.name"),
+            "o.name AS `ORDER NO`",
+            "t.amount AS `PAID AMOUNT`",
+            "lip.quantity AS `ORDER LINE - COUNT`",
+            f"{prod_name} AS `ORDER LINE - PROD NAME`",
+            "lip.unit_price AS `ORDER LINE - UNIT PRICE`",
+            f"{discount_pct} AS `ORDER LINE - DISCOUNT`",
+            "3 AS `ORDER LINE - VAT CODE`",
+            "CAST(NULL AS STRING) AS `ORDER LINE - DESCRIPTION`",
+            "CAST(lip.sku AS STRING) AS `ORDER LINE - PROD NO`",
+            "t.gateway AS `PAYMENT TYPE`",
+            "to_date(o.created_at) AS `INVOICE DATE`",
+            "to_date(t.processed_at) AS `DELIVERY DATE`",
+            "to_date(o.created_at) AS `ORDER DATE`",
+            "to_date(t.processed_at) AS `DUE DATE`",
+            "1 AS rank",
+            "1 AS priority",
         )
     )
 
@@ -223,35 +227,35 @@ def gift_card_lines(
     reference, giving the LEFT JOIN inner semantics — implemented as
     an inner join on the pre-filtered rank-1 payments.
     """
-    t = transactions.filter(F.col("gateway") == "gift_card").alias("t")
+    t = transactions.filter("gateway = 'gift_card'").alias("t")
     o = orders.alias("o")
     c = customers.alias("c")
-    stp1 = stp.filter(F.col("transaction_rank") == 1).alias("stp")
+    stp1 = stp.filter("transaction_rank = 1").alias("stp")
     return (
-        t.join(o, F.col("o.id") == F.col("t.order_id"), "left")
-        .join(c, F.col("c.id") == F.col("o.customer_id"), "left")
-        .join(stp1, F.col("stp.order_id") == F.col("t.order_id"), "inner")
-        .select(
-            F.col("t.id").alias("transaction_id"),
-            F.col("o.id").alias("order_id"),
-            F.lit("payment").alias("payment_tag"),
-            *_customer_cols(F.col("c.id"), F.col("c.name")),
-            F.col("o.name").alias("ORDER NO"),
-            F.col("stp.amount").alias("PAID AMOUNT"),
-            F.lit(1).alias("ORDER LINE - COUNT"),
-            F.lit("Gift card").alias("ORDER LINE - PROD NAME"),
-            (-F.col("t.amount")).alias("ORDER LINE - UNIT PRICE"),
-            F.lit(0).cast("decimal(18,2)").alias("ORDER LINE - DISCOUNT"),
-            F.lit(3).alias("ORDER LINE - VAT CODE"),
-            F.lit(None).cast("string").alias("ORDER LINE - DESCRIPTION"),
-            F.lit("GIFTCARD").alias("ORDER LINE - PROD NO"),
-            F.col("stp.gateway").alias("PAYMENT TYPE"),
-            F.to_date("o.created_at").alias("INVOICE DATE"),
-            F.to_date("t.processed_at").alias("DELIVERY DATE"),
-            F.to_date("o.created_at").alias("ORDER DATE"),
-            F.to_date("t.processed_at").alias("DUE DATE"),
-            F.lit(1).alias("rank"),
-            F.lit(4).alias("priority"),
+        t.join(o, F.expr("o.id = t.order_id"), "left")
+        .join(c, F.expr("c.id = o.customer_id"), "left")
+        .join(stp1, F.expr("stp.order_id = t.order_id"), "inner")
+        .selectExpr(
+            "t.id AS transaction_id",
+            "o.id AS order_id",
+            "'payment' AS payment_tag",
+            *_customer_exprs("c.id", "c.name"),
+            "o.name AS `ORDER NO`",
+            "stp.amount AS `PAID AMOUNT`",
+            "1 AS `ORDER LINE - COUNT`",
+            "'Gift card' AS `ORDER LINE - PROD NAME`",
+            "-t.amount AS `ORDER LINE - UNIT PRICE`",
+            "CAST(0 AS DECIMAL(18,2)) AS `ORDER LINE - DISCOUNT`",
+            "3 AS `ORDER LINE - VAT CODE`",
+            "CAST(NULL AS STRING) AS `ORDER LINE - DESCRIPTION`",
+            "'GIFTCARD' AS `ORDER LINE - PROD NO`",
+            "stp.gateway AS `PAYMENT TYPE`",
+            "to_date(o.created_at) AS `INVOICE DATE`",
+            "to_date(t.processed_at) AS `DELIVERY DATE`",
+            "to_date(o.created_at) AS `ORDER DATE`",
+            "to_date(t.processed_at) AS `DUE DATE`",
+            "1 AS rank",
+            "4 AS priority",
         )
     )
 
@@ -271,65 +275,58 @@ def refund_lines(
     join: ``lip.order_id = r.order_id AND lip.id =
     lipr.line_item_product_id``.
     """
-    t = transactions.filter(
-        (F.col("status") == "success") & (F.col("kind") == "refund")
-    ).alias("t")
+    t = transactions.filter("status = 'success' AND kind = 'refund'").alias("t")
     r = refunds.alias("r")
     lipr = refund_items.alias("lipr")
     o = orders.alias("o")
     c = customers.alias("c")
     lip = line_items.alias("lip")
-    title = F.col("lip.title")
     # Postgres CONCAT skips NULL args: a refunded item with NULL
     # variant_title renders as 'Title - '. Spark concat is
     # NULL-propagating, hence the coalesce.
-    prod_name = F.when(
-        title.isNotNull(),
-        F.concat(title, F.lit(" - "), F.coalesce(F.col("lip.variant_title"), F.lit(""))),
-    ).otherwise(F.lit(None).cast("string"))
-    unit_price = F.coalesce(
-        F.round(F.col("lipr.refund_amount") / F.col("lipr.quantity"), 2),
-        F.col("t.amount"),
+    prod_name = (
+        "CASE WHEN lip.title IS NOT NULL"
+        " THEN concat(lip.title, ' - ', coalesce(lip.variant_title, ''))"
+        " ELSE CAST(NULL AS STRING) END"
+    )
+    unit_price = (
+        "coalesce(round(lipr.refund_amount / lipr.quantity, 2), t.amount)"
     )
     return (
-        t.join(r, F.col("r.transaction_id") == F.col("t.id"), "inner")
-        .join(lipr, F.col("lipr.refund_id") == F.col("r.id"), "left")
-        .join(o, F.col("o.id") == F.col("t.order_id"), "left")
-        .join(c, F.col("c.id") == F.col("o.customer_id"), "left")
+        t.join(r, F.expr("r.transaction_id = t.id"), "inner")
+        .join(lipr, F.expr("lipr.refund_id = r.id"), "left")
+        .join(o, F.expr("o.id = t.order_id"), "left")
+        .join(c, F.expr("c.id = o.customer_id"), "left")
         .join(
             lip,
-            (F.col("lip.order_id") == F.col("r.order_id"))
-            & (F.col("lip.id") == F.col("lipr.line_item_product_id")),
+            F.expr(
+                "lip.order_id = r.order_id"
+                " AND lip.id = lipr.line_item_product_id"
+            ),
             "left",
         )
-        .select(
-            F.col("t.id").alias("transaction_id"),
-            F.col("o.id").alias("order_id"),
-            F.lit("refund").alias("payment_tag"),
-            *_customer_cols(F.col("c.id"), F.col("c.name")),
-            F.concat(F.col("o.name"), F.lit("-1")).alias("ORDER NO"),
-            (-F.coalesce(F.col("lipr.refund_amount"), F.col("t.amount"))).alias(
-                "PAID AMOUNT"
-            ),
-            (-F.coalesce(F.col("lipr.quantity"), F.lit(1))).alias(
-                "ORDER LINE - COUNT"
-            ),
-            prod_name.alias("ORDER LINE - PROD NAME"),
-            unit_price.alias("ORDER LINE - UNIT PRICE"),
-            F.lit(0).cast("decimal(18,2)").alias("ORDER LINE - DISCOUNT"),
-            F.lit(3).alias("ORDER LINE - VAT CODE"),
-            F.coalesce(
-                F.nullif(F.col("r.note"), F.lit("")),
-                F.lit("Refund with unspecified reason"),
-            ).alias("ORDER LINE - DESCRIPTION"),
-            F.col("lip.sku").cast("string").alias("ORDER LINE - PROD NO"),
-            F.col("t.gateway").alias("PAYMENT TYPE"),
-            F.to_date("r.created_at").alias("INVOICE DATE"),
-            F.to_date("r.processed_at").alias("DELIVERY DATE"),
-            F.to_date("o.created_at").alias("ORDER DATE"),
-            F.to_date("r.processed_at").alias("DUE DATE"),
-            F.lit(1).alias("rank"),
-            F.lit(2).alias("priority"),
+        .selectExpr(
+            "t.id AS transaction_id",
+            "o.id AS order_id",
+            "'refund' AS payment_tag",
+            *_customer_exprs("c.id", "c.name"),
+            "concat(o.name, '-1') AS `ORDER NO`",
+            "-coalesce(lipr.refund_amount, t.amount) AS `PAID AMOUNT`",
+            "-coalesce(lipr.quantity, 1) AS `ORDER LINE - COUNT`",
+            f"{prod_name} AS `ORDER LINE - PROD NAME`",
+            f"{unit_price} AS `ORDER LINE - UNIT PRICE`",
+            "CAST(0 AS DECIMAL(18,2)) AS `ORDER LINE - DISCOUNT`",
+            "3 AS `ORDER LINE - VAT CODE`",
+            "coalesce(nullif(r.note, ''), 'Refund with unspecified reason')"
+            " AS `ORDER LINE - DESCRIPTION`",
+            "CAST(lip.sku AS STRING) AS `ORDER LINE - PROD NO`",
+            "t.gateway AS `PAYMENT TYPE`",
+            "to_date(r.created_at) AS `INVOICE DATE`",
+            "to_date(r.processed_at) AS `DELIVERY DATE`",
+            "to_date(o.created_at) AS `ORDER DATE`",
+            "to_date(r.processed_at) AS `DUE DATE`",
+            "1 AS rank",
+            "2 AS priority",
         )
     )
 
@@ -359,39 +356,37 @@ def shipping_lines(product_lines_df: DataFrame, shipping: DataFrame) -> DataFram
         "DUE DATE",
     ).distinct()
     s = shipping.alias("s")
-    w = Window.partitionBy(F.col("pl.order_id")).orderBy(
-        F.col("pl.INVOICE DATE").asc(), F.col("s.id").asc()
-    )
-    price = F.col("s.price")
-    discount_pct = F.coalesce(
-        100 * (1 - (F.col("s.discounted_price") / F.nullif(price, F.lit(0).cast("decimal(18,2)")))),
-        F.lit(0).cast("decimal(38,15)"),
+    discount_pct = (
+        "coalesce(100 * (1 - (s.discounted_price"
+        " / nullif(s.price, CAST(0 AS DECIMAL(18,2))))),"
+        " CAST(0 AS DECIMAL(38,15)))"
     )
     return (
         header.alias("pl")
-        .join(s, F.col("s.order_id") == F.col("pl.order_id"), "inner")
-        .select(
-            F.col("pl.transaction_id").alias("transaction_id"),
-            F.col("pl.order_id").alias("order_id"),
-            F.lit("payment").alias("payment_tag"),
-            F.col("pl.CUSTOMER NO").alias("CUSTOMER NO"),
-            F.col("pl.CUSTOMER NAME").alias("CUSTOMER NAME"),
-            F.col("pl.ORDER NO").alias("ORDER NO"),
-            F.col("pl.PAID AMOUNT").alias("PAID AMOUNT"),
-            F.lit(1).alias("ORDER LINE - COUNT"),
-            F.lit(None).cast("string").alias("ORDER LINE - PROD NAME"),
-            price.alias("ORDER LINE - UNIT PRICE"),
-            discount_pct.alias("ORDER LINE - DISCOUNT"),
-            F.lit(3).alias("ORDER LINE - VAT CODE"),
-            F.col("s.title").alias("ORDER LINE - DESCRIPTION"),
-            F.lit("SHIPPING").alias("ORDER LINE - PROD NO"),
-            F.col("pl.PAYMENT TYPE").alias("PAYMENT TYPE"),
-            F.col("pl.INVOICE DATE").alias("INVOICE DATE"),
-            F.col("pl.DELIVERY DATE").alias("DELIVERY DATE"),
-            F.col("pl.ORDER DATE").alias("ORDER DATE"),
-            F.col("pl.DUE DATE").alias("DUE DATE"),
-            F.row_number().over(w).alias("rank"),
-            F.lit(3).alias("priority"),
+        .join(s, F.expr("s.order_id = pl.order_id"), "inner")
+        .selectExpr(
+            "pl.transaction_id AS transaction_id",
+            "pl.order_id AS order_id",
+            "'payment' AS payment_tag",
+            "pl.`CUSTOMER NO` AS `CUSTOMER NO`",
+            "pl.`CUSTOMER NAME` AS `CUSTOMER NAME`",
+            "pl.`ORDER NO` AS `ORDER NO`",
+            "pl.`PAID AMOUNT` AS `PAID AMOUNT`",
+            "1 AS `ORDER LINE - COUNT`",
+            "CAST(NULL AS STRING) AS `ORDER LINE - PROD NAME`",
+            "s.price AS `ORDER LINE - UNIT PRICE`",
+            f"{discount_pct} AS `ORDER LINE - DISCOUNT`",
+            "3 AS `ORDER LINE - VAT CODE`",
+            "s.title AS `ORDER LINE - DESCRIPTION`",
+            "'SHIPPING' AS `ORDER LINE - PROD NO`",
+            "pl.`PAYMENT TYPE` AS `PAYMENT TYPE`",
+            "pl.`INVOICE DATE` AS `INVOICE DATE`",
+            "pl.`DELIVERY DATE` AS `DELIVERY DATE`",
+            "pl.`ORDER DATE` AS `ORDER DATE`",
+            "pl.`DUE DATE` AS `DUE DATE`",
+            "row_number() OVER (PARTITION BY pl.order_id"
+            " ORDER BY pl.`INVOICE DATE` ASC, s.id ASC) AS rank",
+            "3 AS priority",
         )
     )
 
@@ -448,60 +443,60 @@ def tripletex_invoice(tables: dict[str, DataFrame]) -> DataFrame:
         # Normalize branch column types before the union: money to
         # DECIMAL(18,2) surviving the per-branch expression types,
         # counts to INT.
-        return df.select(
-            F.col("transaction_id").cast("long"),
-            F.col("order_id").cast("long"),
+        return df.selectExpr(
+            "CAST(transaction_id AS BIGINT) AS transaction_id",
+            "CAST(order_id AS BIGINT) AS order_id",
             "payment_tag",
-            F.col("CUSTOMER NO").cast("int"),
-            "CUSTOMER NAME",
-            "ORDER NO",
-            F.col("PAID AMOUNT").cast("decimal(18,2)"),
-            F.col("ORDER LINE - COUNT").cast("int"),
-            "ORDER LINE - PROD NAME",
-            F.col("ORDER LINE - UNIT PRICE").cast("decimal(18,2)"),
-            F.round(F.col("ORDER LINE - DISCOUNT"), 6).cast("decimal(18,6)").alias("ORDER LINE - DISCOUNT"),
-            F.col("ORDER LINE - VAT CODE").cast("int"),
-            "ORDER LINE - DESCRIPTION",
-            "ORDER LINE - PROD NO",
-            "PAYMENT TYPE",
-            "INVOICE DATE",
-            "DELIVERY DATE",
-            "ORDER DATE",
-            "DUE DATE",
-            F.col("rank").cast("int"),
-            F.col("priority").cast("int"),
+            "CAST(`CUSTOMER NO` AS INT) AS `CUSTOMER NO`",
+            "`CUSTOMER NAME`",
+            "`ORDER NO`",
+            "CAST(`PAID AMOUNT` AS DECIMAL(18,2)) AS `PAID AMOUNT`",
+            "CAST(`ORDER LINE - COUNT` AS INT) AS `ORDER LINE - COUNT`",
+            "`ORDER LINE - PROD NAME`",
+            "CAST(`ORDER LINE - UNIT PRICE` AS DECIMAL(18,2))"
+            " AS `ORDER LINE - UNIT PRICE`",
+            "CAST(round(`ORDER LINE - DISCOUNT`, 6) AS DECIMAL(18,6))"
+            " AS `ORDER LINE - DISCOUNT`",
+            "CAST(`ORDER LINE - VAT CODE` AS INT) AS `ORDER LINE - VAT CODE`",
+            "`ORDER LINE - DESCRIPTION`",
+            "`ORDER LINE - PROD NO`",
+            "`PAYMENT TYPE`",
+            "`INVOICE DATE`",
+            "`DELIVERY DATE`",
+            "`ORDER DATE`",
+            "`DUE DATE`",
+            "CAST(rank AS INT) AS rank",
+            "CAST(priority AS INT) AS priority",
         )
 
     unioned = (
         shape(pl)
         .unionByName(shape(rl).dropDuplicates())
-        .unionByName(shape(sl).filter(F.col("rank") == 1))
+        .unionByName(shape(sl).filter("rank = 1"))
         .unionByName(shape(gl))
     )
-    return unioned.filter(F.col("rank") == 1).select(
+    return unioned.filter("rank = 1").selectExpr(
         "transaction_id",
         "order_id",
         "payment_tag",
-        "CUSTOMER NO",
-        "CUSTOMER NAME",
-        "ORDER NO",
-        F.round(F.col("PAID AMOUNT"), 2).cast("decimal(18,2)").alias("PAID AMOUNT"),
-        "ORDER LINE - COUNT",
-        "ORDER LINE - PROD NAME",
-        F.round(F.col("ORDER LINE - UNIT PRICE"), 2)
-        .cast("decimal(18,2)")
-        .alias("ORDER LINE - UNIT PRICE"),
-        F.round(F.col("ORDER LINE - DISCOUNT"), 2)
-        .cast("decimal(18,2)")
-        .alias("ORDER LINE - DISCOUNT"),
-        "ORDER LINE - VAT CODE",
-        "ORDER LINE - DESCRIPTION",
-        "ORDER LINE - PROD NO",
-        "PAYMENT TYPE",
-        "INVOICE DATE",
-        "DELIVERY DATE",
-        "ORDER DATE",
-        "DUE DATE",
+        "`CUSTOMER NO`",
+        "`CUSTOMER NAME`",
+        "`ORDER NO`",
+        "CAST(round(`PAID AMOUNT`, 2) AS DECIMAL(18,2)) AS `PAID AMOUNT`",
+        "`ORDER LINE - COUNT`",
+        "`ORDER LINE - PROD NAME`",
+        "CAST(round(`ORDER LINE - UNIT PRICE`, 2) AS DECIMAL(18,2))"
+        " AS `ORDER LINE - UNIT PRICE`",
+        "CAST(round(`ORDER LINE - DISCOUNT`, 2) AS DECIMAL(18,2))"
+        " AS `ORDER LINE - DISCOUNT`",
+        "`ORDER LINE - VAT CODE`",
+        "`ORDER LINE - DESCRIPTION`",
+        "`ORDER LINE - PROD NO`",
+        "`PAYMENT TYPE`",
+        "`INVOICE DATE`",
+        "`DELIVERY DATE`",
+        "`ORDER DATE`",
+        "`DUE DATE`",
         "priority",
     )
 
@@ -537,32 +532,32 @@ def invoice_groups(
     tests/test_invoice.py.
     """
     stp1 = success_transaction_payments(tables["transactions"]).filter(
-        F.col("transaction_rank") == 1
+        "transaction_rank = 1"
     )
     o = tables["orders"].alias("o")
     pay = (
         stp1.alias("t")
-        .join(o, F.col("o.id") == F.col("t.order_id"), "left")
-        .select(
-            F.col("o.name").alias("ORDER NO"),
-            F.lit("payment").alias("payment_tag"),
-            F.to_date("o.created_at").alias("d"),
+        .join(o, F.expr("o.id = t.order_id"), "left")
+        .selectExpr(
+            "o.name AS `ORDER NO`",
+            "'payment' AS payment_tag",
+            "to_date(o.created_at) AS d",
         )
     )
     ref = (
         tables["transactions"]
-        .filter((F.col("status") == "success") & (F.col("kind") == "refund"))
+        .filter("status = 'success' AND kind = 'refund'")
         .alias("t")
         .join(
             tables["refunds"].alias("r"),
-            F.col("r.transaction_id") == F.col("t.id"),
+            F.expr("r.transaction_id = t.id"),
             "inner",
         )
-        .join(o, F.col("o.id") == F.col("t.order_id"), "left")
-        .select(
-            F.concat(F.col("o.name"), F.lit("-1")).alias("ORDER NO"),
-            F.lit("refund").alias("payment_tag"),
-            F.to_date("r.created_at").alias("d"),
+        .join(o, F.expr("o.id = t.order_id"), "left")
+        .selectExpr(
+            "concat(o.name, '-1') AS `ORDER NO`",
+            "'refund' AS payment_tag",
+            "to_date(r.created_at) AS d",
         )
     )
     return (
@@ -653,11 +648,10 @@ def assign_invoice_numbers(
     else:
         numbered = groups.withColumn(
             "INVOICE NO",
-            (
-                F.lit(invoice_start_id)
-                + F.row_number().over(Window.orderBy("ORDER NO", "payment_tag"))
-                - 1
-            ).cast("int"),
+            F.expr(
+                f"CAST({int(invoice_start_id)} + row_number() OVER"
+                " (ORDER BY `ORDER NO`, payment_tag) - 1 AS INT)"
+            ),
         )
 
     out_cols = [
@@ -689,7 +683,7 @@ def assign_invoice_numbers(
     # sf0.1). The hint is dropped on the two-phase path: source bytes /
     # group rows above TWO_PHASE_SOURCE_BYTES / TWO_PHASE_GROUP_ROWS
     # exceed broadcastable size.
-    non_null = numbered.filter(F.col("ORDER NO").isNotNull())
+    non_null = numbered.filter("`ORDER NO` IS NOT NULL")
     if not two_phase:
         non_null = F.broadcast(non_null)
     matched = (
@@ -699,19 +693,19 @@ def assign_invoice_numbers(
             ["ORDER NO", "payment_tag"],
             "inner",
         )
-        .select(
+        .selectExpr(
             *[
-                F.col(c) if c in ("ORDER NO", "INVOICE NO") else F.col(f"ti.{c}")
+                f"`{c}`" if c in ("ORDER NO", "INVOICE NO") else f"ti.`{c}`"
                 for c in out_cols
             ]
         )
     )
     view_types = {f.name: f.dataType for f in invoice_view.schema.fields}
-    null_padded = numbered.filter(F.col("ORDER NO").isNull()).select(
+    null_padded = numbered.filter("`ORDER NO` IS NULL").selectExpr(
         *[
-            F.col(c)
+            f"`{c}`"
             if c in ("ORDER NO", "INVOICE NO")
-            else F.lit(None).cast(view_types[c]).alias(c)
+            else f"CAST(NULL AS {view_types[c].simpleString()}) AS `{c}`"
             for c in out_cols
         ]
     )

@@ -123,9 +123,14 @@ def q89_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
+    # Path is scoped by applicationId: two concurrent runs against
+    # the same SF (gate + bench, parallel pytest) must never share a
+    # directory — one's overwrite would corrupt the other's pending
+    # lazy read. Within one session re-runs overwrite sequentially.
     out = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_orc_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     docs.write.mode("overwrite").orc(out)
     return spark.read.schema(docs.schema).orc(out)
@@ -154,9 +159,11 @@ def q94_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
+    # applicationId-scoped for the same concurrent-runs reason as q89
     root = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_evolve_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_evolve_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(root, ignore_errors=True)
     docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang").write.parquet(
@@ -282,8 +289,9 @@ _Q96_ORACLE = (
     "SELECT child_table, child_col, parent_table, parent_col,\n"
     "       CAST(n_child_distinct AS BIGINT) AS n_child_distinct,\n"
     "       CAST(n_orphans AS BIGINT) AS n_orphans,\n"
-    "       1.0 - CAST(n_orphans AS DOUBLE)"
-    " / CAST(n_child_distinct AS DOUBLE) AS containment\n"
+    "       CASE WHEN n_child_distinct = 0 THEN 1.0\n"
+    "            ELSE 1.0 - CAST(n_orphans AS DOUBLE)"
+    " / CAST(n_child_distinct AS DOUBLE) END AS containment\n"
     "FROM (\n"
     + "\nUNION ALL\n".join(
         _q96_edge_sql(*e) for e in _Q96_EDGES
@@ -323,7 +331,13 @@ def q96_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pk,
                 n_distinct,
                 n_orphans,
-                1.0 - (float(n_orphans) / float(n_distinct)),
+                # an all-NULL FK column has zero distinct keys and
+                # vacuously full containment (the SQL oracle's
+                # 1 - 0/NULLIF(0,..) path would yield NULL; we pin the
+                # vacuous-truth convention on both sides)
+                1.0
+                if n_distinct == 0
+                else 1.0 - (float(n_orphans) / float(n_distinct)),
             )
         )
     return spark.createDataFrame(

@@ -401,16 +401,17 @@ def q73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine function of ingestion history — the oracle replays the
     same order-dependent contract as one SQL query: duplicate iff an
     LSH bucket is shared with any earlier-arrived doc at est ≥ 0.5,
-    ``dup_of`` the minimum such doc id. The production per-bucket
-    index cap exists as ``incremental_minhash_dedup(max_bucket=K)``;
-    the catalog query runs uncapped so the oracle is the exact
-    full-recall spec.
+    ``dup_of`` the minimum such doc id. ``incremental_minhash_dedup``
+    defaults to the production append-side per-bucket cap
+    (``max_bucket=50`` — settled buckets are never re-windowed); this
+    catalog query alone passes ``max_bucket=None`` so the oracle is
+    the exact full-recall spec.
 
     Returns (doc_id, batch_no, is_dup, dup_of)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 3).alias("batch_no")
     )
-    return incremental_minhash_dedup(spark, docs, n_batches=3)
+    return incremental_minhash_dedup(spark, docs, n_batches=3, max_bucket=None)
 
 
 def incremental_minhash_dedup(
@@ -420,25 +421,35 @@ def incremental_minhash_dedup(
     threshold: float = 0.5,
     n_seeds: int = 8,
     band_size: int = 2,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 50,
+    _state_out: dict | None = None,
 ) -> DataFrame:
     """The q73 engine as a reusable operator: stream ``docs``
     (``doc_id, text, batch_no``) as micro-batches in ``batch_no``
     order, dedupe each batch against the accumulated banded-MinHash
     index, return (doc_id, batch_no, is_dup, dup_of).
 
-    ``max_bucket`` is the production guard against degenerate
-    buckets (boilerplate text putting an unbounded fraction of the
-    corpus behind one (band, band_key)): the index keeps only the
-    ``max_bucket`` EARLIEST-arrived rows per bucket — arrival order
-    (batch_no, doc_id), the same order ``dup_of`` resolves to, so
-    for buckets under the cap the result is identical to the
-    uncapped spec, and over the cap later arrivals in a degenerate
-    bucket match its earliest members (still flagged dups) while
-    the per-batch probe join stays bounded. The cap here re-windows
-    the index per batch (keyed window — no single-partition stage);
-    the large-scale refinement is to cap only appended rows against
-    per-bucket counts, which never re-shuffles settled buckets."""
+    ``max_bucket`` (default 50, the production guard) bounds
+    degenerate buckets (boilerplate text putting an unbounded
+    fraction of the corpus behind one (band, band_key)): the index
+    keeps only the ``max_bucket`` EARLIEST-arrived rows per bucket —
+    arrival order (batch_no, doc_id), the same order ``dup_of``
+    resolves to, so for buckets under the cap the result is
+    identical to the uncapped spec, and over the cap later arrivals
+    in a degenerate bucket match its earliest members (still
+    flagged dups) while the per-batch probe join stays bounded at
+    ≤ max_bucket × batch-bucket rows per bucket.
+
+    The cap is APPEND-SIDE ONLY: a small per-bucket stored-count
+    table is carried across batches, each batch's new rows are
+    ranked within the batch and admitted while
+    ``stored + rank ≤ max_bucket``, and only the admitted rows are
+    appended. Settled index rows are never re-windowed or
+    re-shuffled — per batch the cap touches batch-sized data plus a
+    counts table with one row per distinct live bucket (itself far
+    smaller than the index). ``max_bucket=None`` disables the cap
+    and yields the exact full-recall spec (the q73 oracle
+    contract)."""
     stream_dir = _write_batch_files(docs, "batch_no", n_batches)
 
     empty_index = spark.createDataFrame(
@@ -446,7 +457,10 @@ def incremental_minhash_dedup(
         "doc_id long, minhashes array<string>, band int, band_key string,"
         " batch_no long",
     )
-    state = {"index": empty_index, "out": None}
+    empty_counts = spark.createDataFrame(
+        [], "band int, band_key string, __n long"
+    )
+    state = {"index": empty_index, "out": None, "counts": empty_counts}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -458,6 +472,26 @@ def incremental_minhash_dedup(
             .join(batch_df.select("doc_id", "batch_no"), "doc_id")
             .localCheckpoint()
         )
+        # Append-side cap: rank the batch's new rows within each
+        # bucket and admit while stored + rank <= max_bucket. Only
+        # batch-sized data and the per-bucket counts table are
+        # touched — settled index rows are never re-windowed.
+        if max_bucket is not None:
+            w = Window.partitionBy("band", "band_key").orderBy(
+                "batch_no", "doc_id"
+            )
+            admitted = (
+                bands.withColumn("__rk", F.row_number().over(w))
+                .join(state["counts"], ["band", "band_key"], "left")
+                .filter(
+                    F.coalesce(F.col("__n"), F.lit(0)) + F.col("__rk")
+                    <= max_bucket
+                )
+                .drop("__rk", "__n")
+                .localCheckpoint()
+            )
+        else:
+            admitted = bands
         # earlier-arrived probe targets: the whole index (strictly
         # earlier batches) plus same-batch rows with a smaller id
         def probe(targets: DataFrame, same_batch: bool) -> DataFrame:
@@ -478,7 +512,7 @@ def incremental_minhash_dedup(
                 )
             )
 
-        pairs = probe(state["index"], False).unionByName(probe(bands, True))
+        pairs = probe(state["index"], False).unionByName(probe(admitted, True))
         dups = (
             pairs.filter(F.col("est_j") >= threshold)
             .groupBy("late_id")
@@ -497,19 +531,26 @@ def incremental_minhash_dedup(
         state["out"] = (
             out if state["out"] is None else state["out"].unionByName(out)
         ).localCheckpoint()
-        new_index = state["index"].unionByName(
-            bands.select(*state["index"].columns)
-        )
+        state["index"] = state["index"].unionByName(
+            admitted.select(*state["index"].columns)
+        ).localCheckpoint()
         if max_bucket is not None:
-            w = Window.partitionBy("band", "band_key").orderBy(
-                "batch_no", "doc_id"
+            added = admitted.groupBy("band", "band_key").agg(
+                F.count(F.lit(1)).alias("__add")
             )
-            new_index = (
-                new_index.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= max_bucket)
-                .drop("__rn")
+            state["counts"] = (
+                state["counts"]
+                .join(added, ["band", "band_key"], "full")
+                .select(
+                    "band",
+                    "band_key",
+                    (
+                        F.coalesce(F.col("__n"), F.lit(0))
+                        + F.coalesce(F.col("__add"), F.lit(0))
+                    ).alias("__n"),
+                )
+                .localCheckpoint()
             )
-        state["index"] = new_index.localCheckpoint()
 
     try:
         q = (
@@ -522,6 +563,8 @@ def incremental_minhash_dedup(
             .start()
         )
         q.awaitTermination()
+        if _state_out is not None:  # test hook: inspect final index/counts
+            _state_out.update(state)
         return state["out"]
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)

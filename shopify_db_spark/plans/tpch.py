@@ -1026,7 +1026,11 @@ def q91_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
-        .persist()
+        # localCheckpoint (not persist): the edge list is joined once
+        # per pagerank iteration; checkpoint blocks are reclaimed by
+        # ContextCleaner when the result is dropped, so nothing
+        # accumulates across a long-lived session
+        .localCheckpoint()
     )
     return integer_pagerank(edges, iterations=3)
 
@@ -1090,7 +1094,10 @@ def q92_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         money_out(F.sum(dec("o_totalprice"))).alias("monetary"),
-    ).persist()
+        # localCheckpoint: three ntile consumers share this aggregate;
+        # blocks auto-reclaimed when the result is dropped (persist
+        # would leak across the session until clearCache)
+    ).localCheckpoint()
 
     def tile_on(metric: str, name: str) -> DataFrame:
         slim = rfm.select("o_custkey", metric)

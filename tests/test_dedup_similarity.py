@@ -329,7 +329,9 @@ def test_incremental_dedup_bucket_cap(spark):
     }
     uncapped = {
         r["doc_id"]: r
-        for r in incremental_minhash_dedup(spark, docs, n_batches=3).collect()
+        for r in incremental_minhash_dedup(
+            spark, docs, n_batches=3, max_bucket=None
+        ).collect()
     }
     assert set(capped) == set(uncapped) == {r[0] for r in rows}
     for d in capped.values():
@@ -338,6 +340,46 @@ def test_incremental_dedup_bucket_cap(spark):
     # the earliest arrival (batch 0, min id = doc 0) is everyone's keeper
     assert capped[3]["dup_of"] == 0 and capped[29]["is_dup"]
     assert not capped[100]["is_dup"]
+
+
+def test_incremental_dedup_append_side_cap_bounds_index(spark):
+    """The append-side cap keeps the stored index per-bucket size
+    ≤ max_bucket even when a degenerate bucket receives hundreds of
+    rows, which bounds every per-batch probe join at
+    ≤ max_bucket × batch-bucket rows. Settled rows stay; the counts
+    table tracks exactly the stored sizes; verdicts still resolve
+    every later arrival to the earliest member of its bucket."""
+    import pyspark.sql.functions as F
+
+    from shopify_db_spark.plans.streamops import incremental_minhash_dedup
+
+    cap = 3
+    # 200 identical docs (one degenerate bucket per band) over 4 batches
+    rows = [(i, "same boilerplate text repeated here", i % 4) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, batch_no long")
+    st: dict = {}
+    out = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(
+            spark, docs, n_batches=4, max_bucket=cap, _state_out=st
+        ).collect()
+    }
+
+    sizes = (
+        st["index"]
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sizes and all(r["n"] <= cap for r in sizes)
+    # counts state == stored sizes, per bucket
+    counts = {
+        (r["band"], r["band_key"]): r["__n"] for r in st["counts"].collect()
+    }
+    assert counts == {(r["band"], r["band_key"]): r["n"] for r in sizes}
+    # verdicts: doc 0 arrives first (batch 0) and keeps everyone
+    assert not out[0]["is_dup"]
+    assert all(out[i]["is_dup"] and out[i]["dup_of"] == 0 for i in range(1, 200))
 
 
 def test_semantic_dedup_drops_near_copy(spark, vectors):
