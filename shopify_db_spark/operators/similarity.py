@@ -379,13 +379,17 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_best: int = 1,
 ) -> DataFrame:
     """Coarse-quantizer assignment: each vector goes to its
-    highest-cosine centroid (ties → lowest centroid id). Returns
+    ``n_best`` highest-cosine centroids (ties → lowest centroid id;
+    one output row per kept centroid). Returns
     (vec_id, v double-array, vn norm, centroid_id).
 
     The centroid table broadcasts (it is tiny by construction); the
-    assignment is the standard IVF n×K scoring pass."""
+    assignment is the standard IVF n×K scoring pass. ``n_best > 1``
+    is the query-side multi-probe used by :func:`ivf_ann`'s
+    ``nprobe``."""
     v = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
@@ -406,7 +410,7 @@ def ivf_assign(
     )
     return (
         scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
+        .filter(F.col("r") <= n_best)
         .select("vec_id", "v", "vn", "centroid_id")
     )
 
@@ -418,16 +422,25 @@ def ivf_ann(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-Flat approximate nearest neighbors (nprobe=1): assign
-    queries and candidates to their nearest centroid, equi-join on
-    the centroid id, exact cosine re-rank inside the cell. The
-    model-based alternative to :func:`lsh_bucket_ann` — here the
-    coarse quantizer is a deterministic centroid subset so the whole
-    plan is reproducible and oracle-checkable; swapping in KMeans
-    centroids (``pyspark.ml.clustering.KMeans``) changes only the
-    ``centroids`` input."""
-    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+    """IVF-Flat approximate nearest neighbors: assign queries to
+    their ``nprobe`` nearest centroids and candidates to their one
+    nearest, equi-join on the centroid id, exact cosine re-rank over
+    the probed cells. The model-based alternative to
+    :func:`lsh_bucket_ann` — here the coarse quantizer is a
+    deterministic centroid subset so the whole plan is reproducible
+    and oracle-checkable; swapping in KMeans centroids
+    (``pyspark.ml.clustering.KMeans``) changes only the
+    ``centroids`` input.
+
+    ``nprobe=1`` has a recall cliff at cell boundaries (a query near
+    the edge of its cell misses true neighbors assigned next door);
+    ``nprobe=p`` probes the p best cells at exactly p× the candidate
+    join volume — same broadcast-assign + cell equi-join shape. Each
+    candidate lives in ONE cell, so a (query, neighbor) pair can
+    match at most once and no post-join dedup is needed."""
+    qa = ivf_assign(queries, centroids, id_col, vec_col, n_best=nprobe).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("vn").alias("qn"),

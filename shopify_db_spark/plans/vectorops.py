@@ -223,6 +223,60 @@ def q38_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann(queries, emb, centroids, k=5)
 
 
+NPROBE = 2  # q101 probes the 2 best cells per query
+
+
+@query(
+    "q101_ivf_nprobe",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+scored_assign AS (
+  SELECT v.vec_id, v.embedding, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                    c.centroid_id ASC) AS r
+  FROM embeddings v CROSS JOIN cent c
+),
+cand AS (
+  SELECT vec_id, embedding, centroid_id FROM scored_assign WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id
+  FROM scored_assign WHERE r <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'c.embedding')} AS cosine
+  FROM q JOIN cand c
+    ON c.centroid_id = q.centroid_id AND c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q101_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q38's IVF ANN with multi-probe (nprobe={NPROBE}): each query
+    probes its 2 best cells, curing the nprobe=1 recall cliff at cell
+    boundaries for 2× the candidate-join volume (candidates still
+    live in exactly one cell, so no pair dedup is needed). Measured
+    recall vs brute force on the sf0.001 fixture: 0.58 (nprobe=1) →
+    0.70 (nprobe=2) → 1.0 (nprobe=K); asserted with a clustered
+    fixture in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return SIM.ivf_ann(queries, emb, centroids, k=5, nprobe=NPROBE)
+
+
 SEMDEDUP_THRESHOLD = 0.45  # synthetic embeddings top out ~0.51 cosine;
 # matches q32's threshold so the two dedup tiers are comparable
 

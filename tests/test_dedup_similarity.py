@@ -170,6 +170,97 @@ def test_ivf_ann_recall_on_near_copy(spark, vectors):
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
 
 
+def _exact_topk_pairs(spark, queries, candidates, k=5):
+    from pyspark.sql.window import Window
+
+    from shopify_db_spark.operators.similarity import as_double, cosine
+
+    q = queries.select(F.col("vec_id").alias("qid"), as_double("embedding").alias("qv"))
+    c = candidates.select(
+        F.col("vec_id").alias("nid"), as_double("embedding").alias("cv")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return {
+        (r["qid"], r["nid"])
+        for r in F.broadcast(q)
+        .join(c, F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .collect()
+    }
+
+
+def _ivf_recall(queries, candidates, centroids, exact, nprobe):
+    from shopify_db_spark.operators.similarity import ivf_ann
+
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann(queries, candidates, centroids, k=5, nprobe=nprobe).collect()
+    }
+    return len(got & exact) / len(exact)
+
+
+def test_ivf_nprobe_recall_curve_uniform(spark):
+    """q38's fixture (sf0.001 embeddings, 5-cell codebook): the
+    embeddings are near-uniform, so IVF recall must grow monotonically
+    with nprobe (measured 0.58/0.70/0.84/0.92/1.0 for p=1..5) and
+    probing ALL cells must equal brute force exactly — every candidate
+    lives in exactly one cell, so nprobe=K covers the whole corpus."""
+    from shopify_db_spark.plans.vectorops import CENTROID_MOD, QUERY_MOD
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = _exact_topk_pairs(spark, queries, emb)
+    assert exact, "exact ground truth unexpectedly empty"
+    n_cells = centroids.count()
+    recalls = [
+        _ivf_recall(queries, emb, centroids, exact, p) for p in (1, 2, n_cells)
+    ]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[1] > recalls[0], "nprobe=2 did not improve on the cliff"
+    assert recalls[-1] == 1.0, f"nprobe=K must be exact, got {recalls[-1]:.3f}"
+
+
+def test_ivf_nprobe2_recall_clustered(spark):
+    """On CLUSTERED vectors (the data IVF is built for: 4 separated
+    centers, deterministic noise), nprobe=1 misses neighbors of
+    boundary-straddling queries; nprobe=2 must push recall >= 0.9 and
+    never do worse than nprobe=1."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(4):
+        for _ in range(50):
+            v = centers[ci] + 0.35 * rng.normal(size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # boundary points: midway between adjacent centers — the nprobe=1
+    # recall cliff lives here
+    for ci in range(4):
+        for _ in range(5):
+            v = 0.5 * (centers[ci] + centers[(ci + 1) % 4]) + 0.1 * rng.normal(size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in centers[i]]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = vecs.filter(F.col("vec_id") % 10 == 0)
+    exact = _exact_topk_pairs(spark, queries, vecs)
+    r1 = _ivf_recall(queries, vecs, centroids, exact, 1)
+    r2 = _ivf_recall(queries, vecs, centroids, exact, 2)
+    assert r2 >= 0.9, f"nprobe=2 recall {r2:.3f} below floor (nprobe=1: {r1:.3f})"
+    assert r2 >= r1, f"nprobe=2 recall {r2:.3f} worse than nprobe=1 {r1:.3f}"
+
+
 def test_kmeans_codebook_ivf(spark, vectors):
     from shopify_db_spark.operators.similarity import ivf_ann, kmeans_codebook
 
