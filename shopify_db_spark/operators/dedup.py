@@ -477,12 +477,26 @@ def duplicate_spans(
     )
 
 
+#: broadcast the global shingle document-frequency table only when
+#: the SOURCE corpus plan-time estimate is under this bound — the df
+#: table has one row per distinct corpus shingle (data-sized for
+#: natural text), so at real corpus scale it must shuffle-join on
+#: the shingle key (a broadcast would exceed executor memory); under
+#: the bound the broadcast skips the two key sorts (measured at
+#: sf0.1: 3.2 s vs 3.6 s — modest locally, decisive at cluster
+#: scale where the broadcast side is shipped to every executor).
+PREFIX_DF_BROADCAST_SOURCE_BYTES = 8 << 20
+
+_STATS_UNKNOWN = (1 << 63) - 1
+
+
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    broadcast_df: bool | None = None,
 ) -> DataFrame:
     """Global set-similarity self-join via PREFIX FILTERING (the
     AllPairs/PPJoin scheme — Bayardo et al. WWW'07, Xiao et al.
@@ -511,13 +525,28 @@ def prefix_filter_jaccard_pairs(
     (doc_a, doc_b, n_a, n_b, n_inter, jaccard).
 
     The df table has one row per DISTINCT corpus shingle — data-
-    sized, so it is deliberately NOT broadcast: shingle is already
-    the join key and both sides shuffle-partition on it (at corpus
-    scale a broadcast of df would exceed executor memory)."""
+    sized, so it broadcasts only under a plan-time source-size bound
+    (``PREFIX_DF_BROADCAST_SOURCE_BYTES``; at corpus scale a
+    broadcast of df would exceed executor memory, and shingle is
+    already the join key so the big path is a plain shuffle join).
+    ``broadcast_df`` overrides the automatic decision; lineages
+    Catalyst cannot size (Long.MaxValue sentinel) take the safe
+    shuffle path. Both paths are oracle-identical
+    (tests/test_dedup_similarity.py), within noise of each other at
+    sf0.1 (3.2 vs 3.6 s), and the shuffle path is scale-measured
+    (SCALE.md round 6)."""
+    if broadcast_df is None:
+        try:
+            est = int(
+                docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # pragma: no cover - py4j edge
+            est = _STATS_UNKNOWN
+        broadcast_df = est < PREFIX_DF_BROADCAST_SOURCE_BYTES
     sh = doc_shingles(docs, id_col, text_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        sh.join(dfreq, "shingle")
+        sh.join(F.broadcast(dfreq) if broadcast_df else dfreq, "shingle")
         .groupBy("doc_id")
         .agg(
             F.sort_array(
@@ -531,12 +560,21 @@ def prefix_filter_jaccard_pairs(
             ),
             F.size("ord_structs").alias("n_sh"),
         )
-        # three consumers (prefix explode + both verify sides):
-        # localCheckpoint so the shingle/df/sort aggregation pipeline
-        # runs once; unlike .persist() the blocks are reclaimed by
-        # ContextCleaner as soon as the result DataFrame is dropped —
-        # no cache accumulation across a long-lived session
-        .localCheckpoint()
+        # Three consumers (prefix explode + both verify sides):
+        # persist so the shingle/df/sort aggregation pipeline runs
+        # once. Deliberately persist and NOT localCheckpoint: an
+        # eager checkpoint materializes this aggregate at its
+        # AQE-coalesced partitioning (2 partitions at sf0.1 — tiny
+        # BYTES, but the downstream candidate join + array_intersect
+        # verify are compute-heavy per byte) and every later stage
+        # inherits that 2-way parallelism: measured 8.2 s vs 3.2 s
+        # for the whole query. persist keeps the logical plan, so
+        # downstream shuffles re-partition to the session default.
+        # Cost of persist: blocks live until unpersist/clearCache
+        # (MEMORY_AND_DISK, LRU-evicted) — accepted and documented,
+        # since the frame is #docs rows of shingle arrays, far
+        # smaller than any corpus where this query is feasible.
+        .persist()
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1

@@ -535,6 +535,25 @@ def test_prefix_filter_jaccard_complete_vs_bruteforce(spark, corpus):
         assert abs(out[k] - expect[k]) < 1e-12
 
 
+def test_prefix_filter_broadcast_and_shuffle_paths_agree(spark, corpus):
+    """The df-table join has two physical paths — broadcast under the
+    plan-time source-size bound, shuffle above it (the 100 TB path).
+    Both must produce identical pairs; the shuffle path must not plan
+    a broadcast of the df table."""
+    from shopify_db_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    def pairs(flag):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+            for r in prefix_filter_jaccard_pairs(
+                corpus, n=3, threshold=0.3, broadcast_df=flag
+            ).collect()
+        }
+
+    assert pairs(True) == pairs(False)
+    assert pairs(None) == pairs(True)  # auto decision changes nothing
+
+
 def test_semantic_dedup_with_trained_codebook(spark, vectors):
     """The production configuration the q74 docstring prescribes:
     semantic dedup over a KMeans-trained codebook. The near-copy
