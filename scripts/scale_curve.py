@@ -88,6 +88,12 @@ DEFAULT_QUERIES = [
     "q82_basket_pairs",
     "q84_prefix_filter_jaccard",
     "q91_copurchase_pagerank",
+    # fourth batch: round-6 additions + previously-missing rows
+    "q85_cross_source_dups",
+    "q92_rfm_segments",
+    "q100_corpus_ship",
+    "q101_ivf_nprobe",
+    "q102_incremental_dedup_capped",
 ]
 
 

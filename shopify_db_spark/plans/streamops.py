@@ -414,6 +414,65 @@ def q73_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(spark, docs, n_batches=3, max_bucket=None)
 
 
+_Q102_CAP = 2
+
+# The capped oracle is q73's spec with ONE extra constraint: the
+# probed (early) side is restricted to each bucket's first
+# ``_Q102_CAP`` arrivals. That is exactly what the engine's
+# append-side cap admits: batches arrive in (batch_no) order and the
+# within-batch admission ranks by (batch_no, doc_id), so the admitted
+# set equals "global arrival-rank <= cap per (band, band_key)"
+# independent of batching. The probing (late) side is NOT filtered —
+# every document probes, admitted or not.
+_Q102_ORACLE = _Q73_ORACLE.replace(
+    """cand AS (
+  SELECT DISTINCT a.doc_id AS late_id, b.doc_id AS early_id
+  FROM bands a
+  JOIN bands b ON b.band = a.band AND b.band_key = a.band_key""",
+    f"""ranked AS (
+  SELECT doc_id, band, band_key,
+         ROW_NUMBER() OVER (PARTITION BY band, band_key
+                            ORDER BY doc_id % 3, doc_id) AS rk
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS late_id, b.doc_id AS early_id
+  FROM bands a
+  JOIN ranked b ON b.band = a.band AND b.band_key = a.band_key
+   AND b.rk <= {_Q102_CAP}""",
+)
+assert _Q102_ORACLE != _Q73_ORACLE  # the replace must have matched
+
+
+@query("q102_incremental_dedup_capped", oracle=_Q102_ORACLE)
+def q102_incremental_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q73's growing-corpus dedup through the PRODUCTION path: the
+    append-side per-bucket index cap (``max_bucket=2`` here; the
+    engine default is 50 — 2 exercises the admission filter on the
+    sf0.01 corpus, whose largest bucket holds 3 docs). Each batch's
+    new rows are admitted while the bucket's stored count +
+    within-batch rank stays under the cap, via a carried per-bucket
+    counts table; settled index rows are never re-windowed or
+    re-shuffled, and the per-batch probe join is bounded at
+    cap × batch-bucket rows per bucket. The oracle restates the
+    capped contract declaratively (bucket arrival-rank ≤ cap on the
+    probed side), so the driver checks the bounded index's exact
+    dup/keeper decisions — not just row counts. On this corpus the
+    capped DECISIONS coincide with q73's full-recall spec (the
+    keeper is each bucket's earliest arrival, which is always
+    admitted — verified in-round); the divergent case (a doc whose
+    only ≥-threshold match is an evicted bucket member) is pinned by
+    the degenerate-bucket pytest in tests/test_dedup_similarity.py.
+
+    Returns (doc_id, batch_no, is_dup, dup_of)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 3).alias("batch_no")
+    )
+    return incremental_minhash_dedup(
+        spark, docs, n_batches=3, max_bucket=_Q102_CAP
+    )
+
+
 def incremental_minhash_dedup(
     spark: SparkSession,
     docs: DataFrame,
