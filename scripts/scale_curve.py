@@ -94,6 +94,7 @@ DEFAULT_QUERIES = [
     "q100_corpus_ship",
     "q101_ivf_nprobe",
     "q102_incremental_dedup_capped",
+    "q103_lexical_rarity",
 ]
 
 

@@ -823,3 +823,97 @@ def q86_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(*ests).alias("cms_estimate"),
         (F.least(*ests) >= F.col("exact_count")).alias("overestimates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q103: lexical-rarity quality score — the CCNet-style LM-perplexity
+# filter re-expressed in engine-portable EXACT math. A real n-gram LM
+# scores log-probabilities, but ln/log2 are not correctly-rounded
+# across engines (the q99 pmi note), so the score here is built from
+# integers only: corpus term frequencies → rarity DECILES (exact
+# two-phase NTILE over the vocabulary) → per-doc mean decile and
+# hapax share, each a ratio of two exact BIGINTs whose IEEE quotient
+# is bit-identical on any engine.
+_Q103_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+       UNNEST(t) AS u(term)
+),
+tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY term
+),
+dec AS (
+  SELECT term, tf, NTILE(10) OVER (ORDER BY tf, term) AS freq_decile
+  FROM tf
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(d.freq_decile) AS BIGINT) AS sum_decile,
+         CAST(SUM(CASE WHEN d.tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax
+  FROM toks t JOIN dec d USING (term)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(sum_decile AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           AS mean_freq_decile,
+       CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hapax_share
+FROM scored
+"""
+
+
+@query("q103_lexical_rarity", oracle=_Q103_ORACLE)
+def q103_lexical_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-rarity profile (the quality-filter family
+    CCNet/Gopher implement with LM perplexity): every token
+    occurrence is scored by its corpus-frequency decile (decile 1 =
+    rarest); documents dominated by rare/hapax tokens (gibberish,
+    OCR noise, codes) score LOW mean decile and high hapax share,
+    boilerplate scores high mean decile. Plan: one corpus shuffle
+    for term frequencies, an exact NTILE(10) over the VOCABULARY via
+    the two-phase formulation (``operators.numbering.global_ntile``
+    — no single-partition window over a data-sized frame; vocabulary
+    grows sublinearly with the corpus), then a token→decile
+    equi-join back and one per-doc aggregate. Scores are ratios of
+    exact counts — no transcendental functions — so the driver hash
+    gate holds bit-for-bit.
+
+    Returns (doc_id, n_tokens, mean_freq_decile, hapax_share)."""
+    return lexical_rarity(load_table(spark, sf_dir, "documents"))
+
+
+def lexical_rarity(docs: DataFrame, n_tiles: int = 10) -> DataFrame:
+    """The q103 engine as a reusable operator over any
+    (doc_id, text) frame — see :func:`q103_lexical_rarity`."""
+    from shopify_db_spark.operators.numbering import global_ntile
+
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    dec = global_ntile(
+        tf, ["tf", "term"], n_tiles, col_name="freq_decile"
+    ).select("term", "tf", "freq_decile")
+    return (
+        toks.join(dec, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq_decile").alias("sum_decile"),
+            F.sum((F.col("tf") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("sum_decile").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("mean_freq_decile"),
+            (
+                F.col("n_hapax").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("hapax_share"),
+        )
+    )

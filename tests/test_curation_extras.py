@@ -79,3 +79,26 @@ def test_count_min_sketch_merges_by_addition(spark):
             ) % W
             ests.append(full.get((j, h), 0))
         assert min(ests) >= n
+
+
+def test_lexical_rarity_orders_gibberish_above_boilerplate(spark):
+    """q103 semantics on a crafted corpus: a doc of unique gibberish
+    (every token hapax) must sit BELOW a doc of corpus-dominant
+    boilerplate on mean frequency decile (decile 1 = rarest) and
+    above it on hapax share; the exact-rational outputs stay in
+    range."""
+    from shopify_db_spark.plans.textops import lexical_rarity
+
+    boiler = "the quick brown fox " * 5  # tokens repeated corpus-wide
+    rows = [(i, boiler) for i in range(8)]
+    rows.append((100, "zxqv wplk mnbt yhgr qazx"))  # all hapax
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lexical_rarity(docs).collect()}
+    assert set(out) == {*range(8), 100}
+    g, b = out[100], out[0]
+    assert g["hapax_share"] == 1.0 and b["hapax_share"] == 0.0
+    assert g["mean_freq_decile"] < b["mean_freq_decile"]
+    for r in out.values():
+        assert 1.0 <= r["mean_freq_decile"] <= 10.0
+        assert 0.0 <= r["hapax_share"] <= 1.0
+        assert r["n_tokens"] > 0

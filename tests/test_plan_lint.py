@@ -71,6 +71,7 @@ SINGLE_PARTITION_OK = {
     "q97_column_profile": (1, "final scalar aggregate over partial aggs (one stats row)"),
     "q98_cascade_delete_plan": (3, "three per-table scalar count finals over partial aggs"),
     "q100_corpus_ship": (1, "two-phase prefix-sum offsets, #partitions rows (q58's bound)"),
+    "q103_lexical_rarity": (1, "two-phase NTILE offsets over the vocabulary, #partitions rows"),
 }
 
 
