@@ -95,6 +95,7 @@ DEFAULT_QUERIES = [
     "q101_ivf_nprobe",
     "q102_incremental_dedup_capped",
     "q103_lexical_rarity",
+    "q104_embedding_quantize",
 ]
 
 

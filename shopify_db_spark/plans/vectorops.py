@@ -392,3 +392,82 @@ def q87_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104: symmetric int8 embedding quantization — the storage tier of a
+# vector pipeline (4x smaller vectors for ANN recall probes). The
+# contract is stated in exact IEEE double steps (widen float->double,
+# one division, +0.5, floor) executed identically by both engines, so
+# the quantized codes, the per-vector scale, and the reconstruction
+# error all hash-match bit-for-bit — no tolerance compare needed.
+_Q104_ORACLE = f"""
+WITH widened AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, x,
+         list_aggregate(list_transform(x, v -> abs(v)), 'max') / 127.0
+             AS scale
+  FROM widened
+),
+quantized AS (
+  SELECT vec_id, x, scale,
+         CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
+              ELSE list_transform(x,
+                   v -> CAST(FLOOR(v / scale + 0.5) AS INT)) END AS q
+  FROM scaled
+)
+SELECT vec_id, scale, q,
+       CASE WHEN scale = 0 THEN 0.0
+            ELSE list_aggregate(
+                   list_transform(generate_series(1, {DIM}),
+                       i -> abs(x[i] - q[i] * scale)), 'max') END
+           AS max_abs_err
+FROM quantized
+"""
+
+
+@query("q104_embedding_quantize", oracle=_Q104_ORACLE)
+def q104_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding
+    column: scale = max|x|/127, code = floor(x/scale + 0.5) — 4×
+    storage reduction with the per-vector scale kept for exact
+    dequantization, plus the max reconstruction error as the quality
+    audit column. Pure array HOFs (transform/zip_with/array_max),
+    zero shuffles, whole-stage codegen; at 100 TB this is a map-only
+    rewrite pass. All-zero vectors quantize to zeros with scale 0.
+
+    Returns (vec_id, scale, q array<int>, max_abs_err)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    widened = emb.select("vec_id", x.alias("x"))
+    scaled = widened.select(
+        "vec_id",
+        "x",
+        (
+            F.array_max(F.transform(F.col("x"), lambda v: F.abs(v))) / 127.0
+        ).alias("scale"),
+    )
+    q = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("x"), lambda v: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("x"),
+            lambda v: F.floor(v / F.col("scale") + 0.5).cast("int"),
+        )
+    )
+    quantized = scaled.select("vec_id", "x", "scale", q.alias("q"))
+    err = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(
+                F.col("x"),
+                F.col("q"),
+                lambda a, b: F.abs(a - b * F.col("scale")),
+            )
+        )
+    )
+    return quantized.select("vec_id", "scale", "q", err.alias("max_abs_err"))
