@@ -96,6 +96,7 @@ DEFAULT_QUERIES = [
     "q102_incremental_dedup_capped",
     "q103_lexical_rarity",
     "q104_embedding_quantize",
+    "q105_quantized_ann",
 ]
 
 

@@ -441,7 +441,12 @@ def q104_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite pass. All-zero vectors quantize to zeros with scale 0.
 
     Returns (vec_id, scale, q array<int>, max_abs_err)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """The q104 engine as a reusable operator — see
+    :func:`q104_embedding_quantize`."""
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     widened = emb.select("vec_id", x.alias("x"))
     scaled = widened.select(
@@ -471,3 +476,117 @@ def q104_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return quantized.select("vec_id", "scale", "q", err.alias("max_abs_err"))
+
+
+# ---------------------------------------------------------------------------
+# q105: ANN over the QUANTIZED codes — the payoff of q104: candidate
+# scoring on int8 codes is an INTEGER dot product (exact BIGINT on
+# any engine) and the quantized cosine needs only one double
+# division per pair, so the 4x-smaller vectors also make the score
+# cheaper and perfectly portable. Ranking is by quantized cosine;
+# recall vs the exact-cosine top-k is asserted in tests.
+_Q105_QUANT_CTE = f"""
+widened AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, x,
+         list_aggregate(list_transform(x, v -> abs(v)), 'max') / 127.0
+             AS scale
+  FROM widened
+),
+codes AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
+              ELSE list_transform(x,
+                   v -> CAST(FLOOR(v / scale + 0.5) AS INT)) END AS q
+  FROM scaled
+)
+"""
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "q105_quantized_ann",
+    oracle=f"""
+WITH {_Q105_QUANT_CTE},
+qry AS (
+  SELECT vec_id AS query_id, q AS qa FROM codes
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT qry.query_id, c.vec_id AS neighbor_id,
+         CAST({_sql_int_dot('qry.qa', 'c.q')} AS DOUBLE)
+           / (sqrt(CAST({_sql_int_dot('qry.qa', 'qry.qa')} AS DOUBLE))
+              * sqrt(CAST({_sql_int_dot('c.q', 'c.q')} AS DOUBLE)))
+             AS qcos
+  FROM qry JOIN codes c ON c.vec_id != qry.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, qcos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q105_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors scored on the int8 codes: integer dot
+    products (BIGINT-exact — the int8 SIMD path on real hardware),
+    cosine normalized by the integer self-dots, so the per-pair work
+    is one exact integer fold + one double division. The scale
+    factors cancel in the cosine, so codes alone suffice. Brute
+    force here (the oracle-checkable tier); the production path
+    composes the same scoring with q38/q101's IVF cell join.
+
+    Returns (query_id, neighbor_id, qcos, rank)."""
+    codes = quantize_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "q")
+
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qry = codes.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    cand = codes.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
+    scored = (
+        F.broadcast(qry)
+        .join(cand, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                int_dot(F.col("qa"), F.col("qb")).cast("double")
+                / (
+                    F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
+                    * F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
+                )
+            ).alias("qcos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "qcos", F.col("rank").cast("int"))
+    )

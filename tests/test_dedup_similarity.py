@@ -571,3 +571,26 @@ def test_semantic_dedup_with_trained_codebook(spark, vectors):
     assert len(rows) == vectors.count()
     assert rows[0]["kept"] is True and rows[100]["kept"] is False
     assert rows[100]["centroid_id"] == rows[0]["centroid_id"]
+
+
+def test_quantized_ann_recall_vs_exact(spark):
+    """q105: int8-code cosine top-5 must recover most of the exact
+    float-cosine top-5 (measured 0.96 on sf0.001; floor 0.85 so a
+    quantization regression fails loudly)."""
+    from shopify_db_spark.operators.similarity import cosine_topk
+    from shopify_db_spark.plans.vectorops import QUERY_MOD, q105_quantized_ann
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q105_quantized_ann(spark, SF_SMOKE).collect()
+    }
+    assert exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"quantized-ANN recall {recall:.3f} below floor"

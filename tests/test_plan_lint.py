@@ -16,6 +16,7 @@ CROSS_JOIN_OK = {
     "q30_cosine_topk",   # brute-force baseline (queries x candidates)
     "q38_ivf_ann",       # n x K centroid scoring
     "q101_ivf_nprobe",   # same n x K centroid scoring, multi-probe
+    "q105_quantized_ann",  # brute-force baseline over int8 codes (queries x candidates)
     "q48_hourly_gapfill",  # hour x type grid (both dimension-sized)
     "q74_semantic_dedup",  # n x K codebook assignment (codebook broadcast,
                            # fixed-size or sublinear — see semantic_dedup)
