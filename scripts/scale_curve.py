@@ -97,6 +97,7 @@ DEFAULT_QUERIES = [
     "q103_lexical_rarity",
     "q104_embedding_quantize",
     "q105_quantized_ann",
+    "q106_ivf_quantized",
 ]
 
 

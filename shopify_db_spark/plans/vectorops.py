@@ -590,3 +590,113 @@ def q105_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "qcos", F.col("rank").cast("int"))
     )
+
+
+@query(
+    "q106_ivf_quantized",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE r = 1
+),
+{_Q105_QUANT_CTE.strip().lstrip()},
+cellcodes AS (
+  SELECT a.vec_id, a.centroid_id, k.q
+  FROM assigned a JOIN codes k ON k.vec_id = a.vec_id
+),
+qry AS (
+  SELECT vec_id AS query_id, centroid_id, q AS qa FROM cellcodes
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT qry.query_id, c.vec_id AS neighbor_id,
+         CAST({_sql_int_dot('qry.qa', 'c.q')} AS DOUBLE)
+           / (sqrt(CAST({_sql_int_dot('qry.qa', 'qry.qa')} AS DOUBLE))
+              * sqrt(CAST({_sql_int_dot('c.q', 'c.q')} AS DOUBLE)))
+             AS qcos
+  FROM qry JOIN cellcodes c
+    ON c.centroid_id = qry.centroid_id AND c.vec_id != qry.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, qcos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q106_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition the quantization tier exists
+    for: IVF cell assignment (broadcast codebook, float cosine —
+    q38's coarse quantizer) bounds the candidate set, and WITHIN the
+    cell the pair scoring runs on the int8 codes (q105's
+    BIGINT-exact integer dot products). At 100 TB the cell join
+    replaces q105's cross join and the code table is 4× smaller than
+    the float vectors the shuffle would otherwise move.
+
+    Returns (query_id, neighbor_id, qcos, rank)."""
+    from shopify_db_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    codes = quantize_embeddings(emb).select("vec_id", "q")
+    assigned = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    cellcodes = assigned.join(codes, "vec_id")
+
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    qry = cellcodes.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "centroid_id",
+        F.col("q").alias("qa"),
+    )
+    cand = cellcodes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("centroid_id").alias("c_cell"),
+        F.col("q").alias("qb"),
+    )
+    scored = (
+        F.broadcast(qry)
+        .join(
+            cand,
+            (F.col("c_cell") == F.col("centroid_id"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                int_dot(F.col("qa"), F.col("qb")).cast("double")
+                / (
+                    F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
+                    * F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
+                )
+            ).alias("qcos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "qcos", F.col("rank").cast("int"))
+    )
