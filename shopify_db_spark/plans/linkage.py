@@ -24,6 +24,61 @@ from pyspark.sql import functions as F
 from shopify_db_spark.plans.catalog import query
 from shopify_db_spark.sources.tables import load_table
 
+#: scratch directories created by THIS application (q89 ORC
+#: interchange, q94 schema-evolution batches) — removed at
+#: interpreter exit so each application cleans up after itself.
+_SCRATCH_ROOTS: set[str] = set()
+_SCRATCH_PREFIXES = ("spark_graft_orc_", "spark_graft_evolve_")
+#: a sibling scratch dir older than this is assumed to belong to a
+#: dead application (crash before its atexit ran) and is pruned; the
+#: mtime gate keeps a CONCURRENT live application's directory safe.
+_SCRATCH_STALE_SECONDS = 6 * 3600
+
+
+def _cleanup_scratch() -> None:  # pragma: no cover - atexit path
+    import shutil
+
+    for d in _SCRATCH_ROOTS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _scratch_dir(spark: SparkSession, prefix: str, sf_dir: str) -> str:
+    """applicationId-scoped temp directory for a materializing query.
+
+    The app-id scoping keeps concurrent runs (gate + bench, parallel
+    pytest) from sharing a directory; this helper closes the other
+    half of the lifecycle: the first call registers an atexit hook
+    that removes every directory this application created, and
+    opportunistically prunes stale siblings left by applications
+    that died before their own hook ran (mtime-gated so live
+    concurrent runs are never touched)."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tmp = tempfile.gettempdir()
+    if not _SCRATCH_ROOTS:
+        atexit.register(_cleanup_scratch)
+        now = time.time()
+        for pfx in _SCRATCH_PREFIXES:
+            for d in glob.glob(os.path.join(tmp, pfx + "*")):
+                try:
+                    if now - os.path.getmtime(d) > _SCRATCH_STALE_SECONDS:
+                        shutil.rmtree(d, ignore_errors=True)
+                except OSError:  # pragma: no cover - racing remover
+                    pass
+    out = os.path.join(
+        tmp,
+        f"{prefix}{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    _SCRATCH_ROOTS.add(out)
+    return out
+
+
 _Q77_MAX_EDIT = 3
 
 _Q77_ORACLE = f"""
@@ -117,9 +172,6 @@ def q89_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second columnar format. The write is partitioned (no
     coalesce(1) — ORC interchange at scale is a sharded directory,
     unlike the reference's single-file CSV contract)."""
-    import os
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -127,11 +179,8 @@ def q89_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same SF (gate + bench, parallel pytest) must never share a
     # directory — one's overwrite would corrupt the other's pending
     # lazy read. Within one session re-runs overwrite sequentially.
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_orc_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId}",
-    )
+    # _scratch_dir registers atexit removal + stale-sibling pruning.
+    out = _scratch_dir(spark, "spark_graft_orc_", sf_dir)
     docs.write.mode("overwrite").orc(out)
     return spark.read.schema(docs.schema).orc(out)
 
@@ -156,15 +205,10 @@ def q94_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     path.)"""
     import os
     import shutil
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
     # applicationId-scoped for the same concurrent-runs reason as q89
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_evolve_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId}",
-    )
+    root = _scratch_dir(spark, "spark_graft_evolve_", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang").write.parquet(
         os.path.join(root, "batch=0")

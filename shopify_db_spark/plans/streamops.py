@@ -441,7 +441,16 @@ cand AS (
   JOIN ranked b ON b.band = a.band AND b.band_key = a.band_key
    AND b.rk <= {_Q102_CAP}""",
 )
-assert _Q102_ORACLE != _Q73_ORACLE  # the replace must have matched
+# The .replace above must have matched — otherwise q102 would gate
+# the capped engine against the UNCAPPED oracle and silently pass on
+# corpora where the cap never bites. Unconditional raise (not
+# assert: ``python -O`` strips asserts) so a reworded _Q73_ORACLE
+# fails at import time, not at gate time.
+if _Q102_ORACLE == _Q73_ORACLE:  # pragma: no cover - import-time guard
+    raise RuntimeError(
+        "q102 oracle rewrite did not match _Q73_ORACLE; the capped "
+        "contract would silently gate against the uncapped spec"
+    )
 
 
 @query("q102_incremental_dedup_capped", oracle=_Q102_ORACLE)

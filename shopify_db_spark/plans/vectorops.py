@@ -515,12 +515,25 @@ def _sql_int_dot(a: str, b: str) -> str:
     )
 
 
+#: zero-norm guard shared by q105/q106: an all-zero embedding
+#: quantizes to an all-zero code (scale 0), whose cosine denominator
+#: is 0 → 0/0 = NaN, which sorts FIRST under DESC in both engines —
+#: the gate would still match but a rank-1 NaN neighbor is wrong
+#: semantics. A zero vector has no defined direction, so it is
+#: excluded from BOTH sides of the scoring join (query and
+#: candidate) in both engines.
+_SQL_NONZERO_CODE = "len(list_filter(q, v -> v != 0)) > 0"
+
+
 @query(
     "q105_quantized_ann",
     oracle=f"""
 WITH {_Q105_QUANT_CTE},
+nzcodes AS (
+  SELECT vec_id, q FROM codes WHERE {_SQL_NONZERO_CODE}
+),
 qry AS (
-  SELECT vec_id AS query_id, q AS qa FROM codes
+  SELECT vec_id AS query_id, q AS qa FROM nzcodes
   WHERE vec_id % {QUERY_MOD} = 0
 ),
 scored AS (
@@ -529,7 +542,7 @@ scored AS (
            / (sqrt(CAST({_sql_int_dot('qry.qa', 'qry.qa')} AS DOUBLE))
               * sqrt(CAST({_sql_int_dot('c.q', 'c.q')} AS DOUBLE)))
              AS qcos
-  FROM qry JOIN codes c ON c.vec_id != qry.query_id
+  FROM qry JOIN nzcodes c ON c.vec_id != qry.query_id
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -548,11 +561,15 @@ def q105_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     factors cancel in the cosine, so codes alone suffice. Brute
     force here (the oracle-checkable tier); the production path
     composes the same scoring with q38/q101's IVF cell join.
+    Zero-norm codes (all-zero embeddings) are excluded from both
+    join sides — their cosine is 0/0 (see ``_SQL_NONZERO_CODE``).
 
     Returns (query_id, neighbor_id, qcos, rank)."""
-    codes = quantize_embeddings(
-        load_table(spark, sf_dir, "embeddings")
-    ).select("vec_id", "q")
+    codes = (
+        quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "q")
+        .filter(F.exists("q", lambda v: v != 0))
+    )
 
     def int_dot(a, b):
         return F.aggregate(
@@ -610,9 +627,12 @@ assigned AS (
   ) WHERE r = 1
 ),
 {_Q105_QUANT_CTE.strip().lstrip()},
+nzcodes AS (
+  SELECT vec_id, q FROM codes WHERE {_SQL_NONZERO_CODE}
+),
 cellcodes AS (
   SELECT a.vec_id, a.centroid_id, k.q
-  FROM assigned a JOIN codes k ON k.vec_id = a.vec_id
+  FROM assigned a JOIN nzcodes k ON k.vec_id = a.vec_id
 ),
 qry AS (
   SELECT vec_id AS query_id, centroid_id, q AS qa FROM cellcodes
@@ -650,7 +670,12 @@ def q106_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
-    codes = quantize_embeddings(emb).select("vec_id", "q")
+    # zero-norm codes excluded from scoring (see _SQL_NONZERO_CODE)
+    codes = (
+        quantize_embeddings(emb)
+        .select("vec_id", "q")
+        .filter(F.exists("q", lambda v: v != 0))
+    )
     assigned = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
     cellcodes = assigned.join(codes, "vec_id")
 
