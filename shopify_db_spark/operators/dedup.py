@@ -487,8 +487,6 @@ def duplicate_spans(
 #: scale where the broadcast side is shipped to every executor).
 PREFIX_DF_BROADCAST_SOURCE_BYTES = 8 << 20
 
-_STATS_UNKNOWN = (1 << 63) - 1
-
 
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
@@ -536,13 +534,14 @@ def prefix_filter_jaccard_pairs(
     sf0.1 (3.2 vs 3.6 s), and the shuffle path is scale-measured
     (SCALE.md round 6)."""
     if broadcast_df is None:
-        try:
-            est = int(
-                docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:  # pragma: no cover - py4j edge
-            est = _STATS_UNKNOWN
-        broadcast_df = est < PREFIX_DF_BROADCAST_SOURCE_BYTES
+        # plan_size_bytes documents the Spark Connect / private-API
+        # caveat: unsizeable lineages return the sentinel and take
+        # the safe shuffle path.
+        from shopify_db_spark.operators.planutil import plan_size_bytes
+
+        broadcast_df = (
+            plan_size_bytes(docs) < PREFIX_DF_BROADCAST_SOURCE_BYTES
+        )
     sh = doc_shingles(docs, id_col, text_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ordered = (

@@ -31,6 +31,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from shopify_db_spark.operators.planutil import (
+    blocked_pair_join,
+    plan_size_bytes,
+)
+
+#: broadcast the QUERY side of an ANN scoring join only when its
+#: plan-time source estimate is under this bound. The catalog
+#: queries derive the query set as a corpus slice (``vec_id % 50``)
+#: — data-sized, so at real scale the hint would ship ~2% of the
+#: corpus to every executor (a guaranteed OOM at 100 TB); under the
+#: bound the broadcast skips the pair-join shuffle entirely.
+#: Unknown-sized lineages (Spark Connect — ``planutil``) take the
+#: safe non-broadcast path. Same gating scheme as the df table in
+#: ``dedup.PREFIX_DF_BROADCAST_SOURCE_BYTES``.
+ANN_QUERY_BROADCAST_SOURCE_BYTES = 8 << 20
+
+
+def _grid_blocks(df: DataFrame) -> int:
+    """Block count per side for the brute-force pair grid:
+    ~sqrt(session shuffle parallelism), so the grid has about one
+    cell per shuffle partition while replication (×blocks per side)
+    grows only with the root of parallelism. Callers at real scale
+    size the grid to executor memory instead (|side|/blocks rows
+    must fit a task)."""
+    import math
+
+    try:
+        p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - odd session
+        p = 32
+    return max(2, math.isqrt(max(1, p)))
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -96,27 +128,48 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query row (excluding self).
-    Returns (query_id, neighbor_id, cosine, rank). Brute force: one
-    broadcast of the (small) query side against the candidate scan.
-    """
+    Returns (query_id, neighbor_id, cosine, rank). Brute force — the
+    oracle-checkable baseline tier (the production scale paths are
+    :func:`lsh_bucket_ann` / :func:`ivf_ann`).
+
+    The query side broadcasts ONLY under the plan-time size gate
+    (``ANN_QUERY_BROADCAST_SOURCE_BYTES``): catalog queries derive
+    the query set as a slice OF the corpus, so it scales with the
+    data and an unconditional hint would ship it whole to every
+    executor at 100 TB. Over the bound (or when Catalyst cannot
+    size the plan — Spark Connect, see ``planutil.plan_size_bytes``)
+    the pairing runs as an explicit blocked pair grid
+    (``planutil.blocked_pair_join``): per-task memory bounded, plain
+    shuffle equi-join on the cell id, bit-identical scores. Both
+    paths oracle-identical (tests/test_approx_tier.py)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_with_norms(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-            ).alias("cosine"),
+    if broadcast_queries is None:
+        broadcast_queries = (
+            plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
         )
+    if broadcast_queries:
+        pairs = F.broadcast(q).join(
+            c, F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        blocks = _grid_blocks(queries)
+        pairs = blocked_pair_join(
+            q, c, blocks, blocks, "query_id", "neighbor_id"
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_with_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -170,11 +223,17 @@ def lsh_bucket_ann(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, exact cosine re-rank inside. Same output shape as
     :func:`cosine_topk` (a query whose bucket holds < k neighbors
-    returns fewer rows — the standard ANN recall trade)."""
+    returns fewer rows — the standard ANN recall trade).
+
+    Query-side broadcast is plan-time gated
+    (``ANN_QUERY_BROADCAST_SOURCE_BYTES``) — over the bound the
+    bucket column is already an equi key, so the fallback is a plain
+    shuffle join on ``bucket`` (both paths oracle-identical)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
@@ -185,8 +244,13 @@ def lsh_bucket_ann(
         as_double(F.col(vec_col)).alias("cv"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     ).withColumn("cn", norm(F.col("cv")))
+    if broadcast_queries is None:
+        broadcast_queries = (
+            plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
+        )
+    qside = F.broadcast(q) if broadcast_queries else q
     scored = (
-        F.broadcast(q)
+        qside
         .join(c, (F.col("query_id") != F.col("neighbor_id")) & (q["bucket"] == c["bucket"]))
         .select(
             "query_id",
@@ -423,6 +487,7 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate nearest neighbors: assign queries to
     their ``nprobe`` nearest centroids and candidates to their one
@@ -439,7 +504,17 @@ def ivf_ann(
     ``nprobe=p`` probes the p best cells at exactly p× the candidate
     join volume — same broadcast-assign + cell equi-join shape. Each
     candidate lives in ONE cell, so a (query, neighbor) pair can
-    match at most once and no post-join dedup is needed."""
+    match at most once and no post-join dedup is needed.
+
+    The CENTROID table always broadcasts (tiny by construction —
+    the coarse quantizer); the QUERY side broadcasts only under the
+    plan-time gate (``ANN_QUERY_BROADCAST_SOURCE_BYTES``) — over the
+    bound, ``centroid_id`` is the equi key and the scoring join runs
+    as a plain shuffle join on the cell id (oracle-identical)."""
+    if broadcast_queries is None:
+        broadcast_queries = (
+            plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
+        )
     qa = ivf_assign(queries, centroids, id_col, vec_col, n_best=nprobe).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -453,7 +528,7 @@ def ivf_ann(
         "centroid_id",
     )
     scored = (
-        F.broadcast(qa)
+        (F.broadcast(qa) if broadcast_queries else qa)
         .join(
             ca,
             (F.col("query_id") != F.col("neighbor_id"))

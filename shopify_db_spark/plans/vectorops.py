@@ -58,8 +58,10 @@ FROM ranked WHERE rank <= 5
 )
 def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 per query vector — the ANN
-    baseline/verifier. The small query side broadcasts; the dot
-    product is a codegen'd ``zip_with``+``aggregate``, no Python."""
+    baseline/verifier. The query side broadcasts only under the
+    operator's plan-time size gate (it is a corpus slice — over the
+    bound the pairing runs as the blocked grid); the dot product is
+    a codegen'd ``zip_with``+``aggregate``, no Python."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return SIM.cosine_topk(queries, emb, k=5)
@@ -582,9 +584,29 @@ def q105_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
     )
     cand = codes.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
+    # query side is a corpus slice → broadcast only under the
+    # plan-time gate; over it (100 TB) the pairing runs as the
+    # blocked grid (bounded per-task memory, same pairs once each).
+    from shopify_db_spark.operators.planutil import (
+        blocked_pair_join,
+        plan_size_bytes,
+    )
+    from shopify_db_spark.operators.similarity import (
+        ANN_QUERY_BROADCAST_SOURCE_BYTES,
+        _grid_blocks,
+    )
+
+    if plan_size_bytes(qry) < ANN_QUERY_BROADCAST_SOURCE_BYTES:
+        pairs = F.broadcast(qry).join(
+            cand, F.col("neighbor_id") != F.col("query_id")
+        )
+    else:  # pragma: no cover - exercised via forced path in tests
+        b = _grid_blocks(qry)
+        pairs = blocked_pair_join(
+            qry, cand, b, b, "query_id", "neighbor_id"
+        ).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = (
-        F.broadcast(qry)
-        .join(cand, F.col("neighbor_id") != F.col("query_id"))
+        pairs
         .select(
             "query_id",
             "neighbor_id",
@@ -696,8 +718,16 @@ def q106_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("centroid_id").alias("c_cell"),
         F.col("q").alias("qb"),
     )
+    # corpus-slice query frame: broadcast only under the plan-time
+    # gate; the centroid cell is an equi key, so over the bound this
+    # is a plain shuffle join on the cell id (oracle-identical).
+    from shopify_db_spark.operators.planutil import maybe_broadcast
+    from shopify_db_spark.operators.similarity import (
+        ANN_QUERY_BROADCAST_SOURCE_BYTES,
+    )
+
     scored = (
-        F.broadcast(qry)
+        maybe_broadcast(qry, ANN_QUERY_BROADCAST_SOURCE_BYTES)
         .join(
             cand,
             (F.col("c_cell") == F.col("centroid_id"))

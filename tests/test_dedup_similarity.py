@@ -594,3 +594,103 @@ def test_quantized_ann_recall_vs_exact(spark):
     assert exact
     recall = len(got & exact) / len(exact)
     assert recall >= 0.85, f"quantized-ANN recall {recall:.3f} below floor"
+
+
+def test_blocked_pair_join_every_pair_exactly_once(spark):
+    """planutil.blocked_pair_join is the non-broadcast brute-force
+    shape: each (left, right) pair must meet in exactly one grid
+    cell regardless of block counts."""
+    from shopify_db_spark.operators.planutil import blocked_pair_join
+
+    left = spark.range(0, 17).withColumnRenamed("id", "lid")
+    right = spark.range(0, 23).withColumnRenamed("id", "rid")
+    for lb, rb in ((1, 1), (2, 3), (4, 4)):
+        out = blocked_pair_join(left, right, lb, rb, "lid", "rid")
+        assert out.count() == 17 * 23
+        assert out.distinct().count() == 17 * 23
+
+
+def test_ann_broadcast_gate_paths_agree(spark, vectors):
+    """The ANN query-side broadcast is plan-time gated (it is a
+    corpus slice — at 100 TB the hint would ship ~2% of the corpus
+    to every executor). The forced-off path — blocked grid for the
+    brute-force scorer, plain equi-join on bucket/cell for LSH/IVF —
+    must produce identical rows, and the auto decision must match
+    the broadcast path on this under-bound fixture."""
+    from shopify_db_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann,
+        lsh_bucket_ann,
+    )
+
+    queries = vectors.filter(F.col("vec_id") % 7 == 0)
+    centroids = vectors.filter(F.col("vec_id") % 5 == 0)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 12), r["rank"])
+            for r in df.collect()
+        )
+
+    makers = {
+        "cosine": lambda b: cosine_topk(
+            queries, vectors, k=3, broadcast_queries=b
+        ),
+        "lsh": lambda b: lsh_bucket_ann(
+            queries, vectors, k=3, n_planes=2, dim=8, broadcast_queries=b
+        ),
+        "ivf": lambda b: ivf_ann(
+            queries, vectors, centroids, k=3, broadcast_queries=b
+        ),
+    }
+    for name, make in makers.items():
+        on, off, auto = rows(make(True)), rows(make(False)), rows(make(None))
+        assert on == off, f"{name}: broadcast and shuffle paths differ"
+        assert auto == on, f"{name}: auto gate diverges on small input"
+
+
+def test_ann_forced_shuffle_plans_no_query_broadcast(spark, vectors):
+    """Plan lint for the 100 TB path: with the query-side broadcast
+    forced off and Spark's own auto-broadcast disabled (simulating
+    corpus-sized stats), the scoring join must be a shuffle shape —
+    no BroadcastNestedLoopJoin/CartesianProduct anywhere, and no
+    BroadcastExchange except IVF's legitimately tiny centroid
+    table."""
+    from shopify_db_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann,
+        lsh_bucket_ann,
+    )
+
+    queries = vectors.filter(F.col("vec_id") % 7 == 0)
+    centroids = vectors.filter(F.col("vec_id") % 5 == 0)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_cos = plan(cosine_topk(queries, vectors, k=3, broadcast_queries=False))
+        p_lsh = plan(
+            lsh_bucket_ann(
+                queries, vectors, k=3, n_planes=2, dim=8, broadcast_queries=False
+            )
+        )
+        p_ivf = plan(
+            ivf_ann(queries, vectors, centroids, k=3, broadcast_queries=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    for name, p in (("cosine", p_cos), ("lsh", p_lsh)):
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastExchange" not in p, name
+    # IVF: the two centroid-assignment passes are deliberate bounded
+    # n x K broadcast nested loops over the tiny centroid table (the
+    # coarse quantizer) — those stay. The query-candidate cell join
+    # itself must be a shuffle join, and nothing else may broadcast.
+    assert "CartesianProduct" not in p_ivf
+    assert p_ivf.count("BroadcastNestedLoopJoin") <= 2
+    assert ("SortMergeJoin" in p_ivf) or ("ShuffledHashJoin" in p_ivf)
