@@ -487,6 +487,31 @@ def duplicate_spans(
 #: scale where the broadcast side is shipped to every executor).
 PREFIX_DF_BROADCAST_SOURCE_BYTES = 8 << 20
 
+#: frames persisted by :func:`prefix_filter_jaccard_pairs` in this
+#: process. The persist (vs localCheckpoint) is a measured decision
+#: — see the call site — but its blocks outlive the query: a
+#: job-scoped run relies on LRU eviction, while a long-lived service
+#: calls :func:`release_persisted_frames` once results are
+#: materialized to reclaim executor block memory deterministically.
+_PERSISTED_FRAMES: list[DataFrame] = []
+
+
+def release_persisted_frames() -> int:
+    """Unpersist every frame this module persisted; returns the
+    number of frames released. Safe to call at any time — frames
+    already evicted or belonging to a stopped session are skipped;
+    results computed BEFORE the release are unaffected (persist is
+    an execution hint, not a correctness dependency)."""
+    n = 0
+    while _PERSISTED_FRAMES:
+        df = _PERSISTED_FRAMES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # pragma: no cover - stopped session
+            pass
+    return n
+
 
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
@@ -573,8 +598,11 @@ def prefix_filter_jaccard_pairs(
         # (MEMORY_AND_DISK, LRU-evicted) — accepted and documented,
         # since the frame is #docs rows of shingle arrays, far
         # smaller than any corpus where this query is feasible.
+        # Long-lived sessions reclaim deterministically via
+        # release_persisted_frames() (the frame registers below).
         .persist()
     )
+    _PERSISTED_FRAMES.append(ordered)
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).cast("int")

@@ -694,3 +694,30 @@ def test_ann_forced_shuffle_plans_no_query_broadcast(spark, vectors):
     assert "CartesianProduct" not in p_ivf
     assert p_ivf.count("BroadcastNestedLoopJoin") <= 2
     assert ("SortMergeJoin" in p_ivf) or ("ShuffledHashJoin" in p_ivf)
+
+
+def test_q84_persisted_blocks_reclaimable(spark):
+    """VERDICT r6 #4: the q84 shared sort-aggregate frame stays
+    persisted by measured choice, but a long-lived caller must be
+    able to reclaim the blocks: after release_persisted_frames()
+    no q84 storage may remain."""
+    from shopify_db_spark.operators.dedup import (
+        release_persisted_frames,
+    )
+    from shopify_db_spark.plans import load_all
+    from tests.conftest import SF_SMOKE
+
+    def cached_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    release_persisted_frames()  # drain any earlier registrations
+    before = cached_ids()
+    out = load_all()["q84_prefix_filter_jaccard"].fn(spark, SF_SMOKE)
+    assert out.count() >= 0
+    assert cached_ids() - before, "q84 no longer persists its shared frame"
+    assert release_persisted_frames() >= 1
+    leaked = cached_ids() - before
+    assert not leaked, f"q84 blocks survived release: {leaked}"
