@@ -480,6 +480,188 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     return quantized.select("vec_id", "scale", "q", err.alias("max_abs_err"))
 
 
+def int8_code(x):
+    """q104's symmetric int8 quantizer as a single column expression
+    over a double-array column: scale = max|x|/127, code =
+    round-half-up(x/scale). All-zero inputs (scale 0) code to zeros
+    — callers exclude those from cosine scoring (see
+    ``_SQL_NONZERO_CODE``). Map-only; no shuffle, no Python."""
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v))) / 127.0
+    return F.when(
+        scale == F.lit(0.0), F.transform(x, lambda v: F.lit(0))
+    ).otherwise(
+        F.transform(x, lambda v: F.floor(v / scale + 0.5).cast("int"))
+    )
+
+
+def int8_dot(a, b):
+    """BIGINT-exact integer dot product over two int-code arrays —
+    deterministic on any engine (no float summation order issues),
+    the portable stand-in for the hardware int8 SIMD path."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _int8_cosine(qa, qb):
+    return int8_dot(qa, qb).cast("double") / (
+        F.sqrt(int8_dot(qa, qa).cast("double"))
+        * F.sqrt(int8_dot(qb, qb).cast("double"))
+    )
+
+
+def _topk_int8(pairs: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        _int8_cosine(F.col("qa"), F.col("qb")).alias("qcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcos", F.col("rank").cast("int"))
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """Brute-force top-k over int8 codes (q105's engine as a
+    reusable operator): quantize both sides map-only, score every
+    pair with the BIGINT-exact integer cosine, rank per query.
+    Zero-norm codes are excluded from both sides (cosine undefined).
+    The baseline/verifier tier — the production path is
+    :func:`ann_int8`, which bounds candidates with an IVF cell join.
+
+    Query-side broadcast is plan-time gated
+    (``similarity.ANN_QUERY_BROADCAST_SOURCE_BYTES``); over the
+    bound the pairing runs as the blocked grid
+    (``planutil.blocked_pair_join`` — bounded per-task memory).
+    Returns (query_id, neighbor_id, qcos, rank)."""
+    from shopify_db_spark.operators.planutil import (
+        blocked_pair_join,
+        plan_size_bytes,
+    )
+    from shopify_db_spark.operators.similarity import (
+        ANN_QUERY_BROADCAST_SOURCE_BYTES,
+        _grid_blocks,
+        as_double,
+    )
+
+    if broadcast_queries is None:
+        broadcast_queries = (
+            plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
+        )
+    qry = queries.select(
+        F.col(id_col).alias("query_id"),
+        int8_code(as_double(F.col(vec_col))).alias("qa"),
+    ).filter(F.exists("qa", lambda v: v != 0))
+    cand = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        int8_code(as_double(F.col(vec_col))).alias("qb"),
+    ).filter(F.exists("qb", lambda v: v != 0))
+    if broadcast_queries:
+        pairs = F.broadcast(qry).join(
+            cand, F.col("neighbor_id") != F.col("query_id")
+        )
+    else:
+        b = _grid_blocks(queries)
+        pairs = blocked_pair_join(
+            qry, cand, b, b, "query_id", "neighbor_id"
+        ).filter(F.col("neighbor_id") != F.col("query_id"))
+    return _topk_int8(pairs, k)
+
+
+def ann_int8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """The production quantized-ANN entry point: KMeans coarse
+    codebook + IVF cell join + int8 code scoring, in one call.
+
+    Pipeline: (1) train a ``n_cells`` KMeans codebook over the
+    corpus (``similarity.kmeans_codebook``; pass ``centroids`` to
+    reuse a trained/deterministic codebook instead); (2) assign the
+    corpus to its nearest cell and each query to its ``nprobe``
+    nearest — float cosine against the broadcast codebook, the
+    standard n×K coarse pass; (3) quantize both sides to int8 codes
+    map-only inside the same projection (no extra shuffle, and the
+    cell join moves 4×-smaller code arrays instead of floats);
+    (4) equi-join on the cell id — plan-time-gated query broadcast,
+    plain shuffle join over the bound — and score pairs with the
+    BIGINT-exact integer cosine (scales cancel); (5) top-k per
+    query. Zero-norm codes are excluded (cosine undefined).
+
+    Recall vs exact float cosine is asserted ≥0.9 at ``nprobe=2``
+    in tests/test_dedup_similarity.py on both the real sf0.001
+    embeddings and a clustered fixture. Returns
+    (query_id, neighbor_id, qcos, rank)."""
+    from shopify_db_spark.operators.planutil import (
+        maybe_broadcast,
+        plan_size_bytes,
+    )
+    from shopify_db_spark.operators.similarity import (
+        ANN_QUERY_BROADCAST_SOURCE_BYTES,
+        ivf_assign,
+        kmeans_codebook,
+    )
+
+    if centroids is None:
+        centroids = kmeans_codebook(
+            corpus, k=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    if broadcast_queries is None:
+        broadcast_queries = (
+            plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
+        )
+    qry = (
+        ivf_assign(queries, centroids, id_col, vec_col, n_best=nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            int8_code(F.col("v")).alias("qa"),
+        )
+        .filter(F.exists("qa", lambda v: v != 0))
+    )
+    cand = (
+        ivf_assign(corpus, centroids, id_col, vec_col)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("centroid_id").alias("c_cell"),
+            int8_code(F.col("v")).alias("qb"),
+        )
+        .filter(F.exists("qb", lambda v: v != 0))
+    )
+    pairs = maybe_broadcast(
+        qry, ANN_QUERY_BROADCAST_SOURCE_BYTES, force=broadcast_queries
+    ).join(
+        cand,
+        (F.col("c_cell") == F.col("centroid_id"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    return _topk_int8(pairs, k)
+
+
 # ---------------------------------------------------------------------------
 # q105: ANN over the QUANTIZED codes — the payoff of q104: candidate
 # scoring on int8 codes is an INTEGER dot product (exact BIGINT on
@@ -561,74 +743,16 @@ def q105_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine normalized by the integer self-dots, so the per-pair work
     is one exact integer fold + one double division. The scale
     factors cancel in the cosine, so codes alone suffice. Brute
-    force here (the oracle-checkable tier); the production path
-    composes the same scoring with q38/q101's IVF cell join.
-    Zero-norm codes (all-zero embeddings) are excluded from both
-    join sides — their cosine is 0/0 (see ``_SQL_NONZERO_CODE``).
+    force here (the oracle-checkable tier, via
+    :func:`quantized_topk` — plan-time-gated query broadcast,
+    blocked-grid fallback); the production path is :func:`ann_int8`
+    (q106 gates its deterministic-codebook form). Zero-norm codes
+    (all-zero embeddings) are excluded from both join sides — their
+    cosine is 0/0 (see ``_SQL_NONZERO_CODE``).
 
     Returns (query_id, neighbor_id, qcos, rank)."""
-    codes = (
-        quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", "q")
-        .filter(F.exists("q", lambda v: v != 0))
-    )
-
-    def int_dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    qry = codes.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
-    )
-    cand = codes.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
-    # query side is a corpus slice → broadcast only under the
-    # plan-time gate; over it (100 TB) the pairing runs as the
-    # blocked grid (bounded per-task memory, same pairs once each).
-    from shopify_db_spark.operators.planutil import (
-        blocked_pair_join,
-        plan_size_bytes,
-    )
-    from shopify_db_spark.operators.similarity import (
-        ANN_QUERY_BROADCAST_SOURCE_BYTES,
-        _grid_blocks,
-    )
-
-    if plan_size_bytes(qry) < ANN_QUERY_BROADCAST_SOURCE_BYTES:
-        pairs = F.broadcast(qry).join(
-            cand, F.col("neighbor_id") != F.col("query_id")
-        )
-    else:  # pragma: no cover - exercised via forced path in tests
-        b = _grid_blocks(qry)
-        pairs = blocked_pair_join(
-            qry, cand, b, b, "query_id", "neighbor_id"
-        ).filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = (
-        pairs
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                int_dot(F.col("qa"), F.col("qb")).cast("double")
-                / (
-                    F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
-                    * F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
-                )
-            ).alias("qcos"),
-        )
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("qcos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "qcos", F.col("rank").cast("int"))
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, k=5)
 
 
 @query(
@@ -687,71 +811,19 @@ def q106_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces q105's cross join and the code table is 4× smaller than
     the float vectors the shuffle would otherwise move.
 
-    Returns (query_id, neighbor_id, qcos, rank)."""
-    from shopify_db_spark.operators.similarity import ivf_assign
-
+    Runs through :func:`ann_int8` — the production entry point —
+    with the deterministic centroid subset as the codebook
+    (``nprobe=1``), so this gate covers exactly the plan the KMeans
+    configuration executes (only the codebook input differs).
+    Zero-norm codes are excluded from both scoring sides; the query
+    broadcast is plan-time gated with a shuffle cell join over the
+    bound. Returns (query_id, neighbor_id, qcos, rank)."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
-    # zero-norm codes excluded from scoring (see _SQL_NONZERO_CODE)
-    codes = (
-        quantize_embeddings(emb)
-        .select("vec_id", "q")
-        .filter(F.exists("q", lambda v: v != 0))
-    )
-    assigned = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
-    cellcodes = assigned.join(codes, "vec_id")
-
-    def int_dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    qry = cellcodes.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        "centroid_id",
-        F.col("q").alias("qa"),
-    )
-    cand = cellcodes.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("centroid_id").alias("c_cell"),
-        F.col("q").alias("qb"),
-    )
-    # corpus-slice query frame: broadcast only under the plan-time
-    # gate; the centroid cell is an equi key, so over the bound this
-    # is a plain shuffle join on the cell id (oracle-identical).
-    from shopify_db_spark.operators.planutil import maybe_broadcast
-    from shopify_db_spark.operators.similarity import (
-        ANN_QUERY_BROADCAST_SOURCE_BYTES,
-    )
-
-    scored = (
-        maybe_broadcast(qry, ANN_QUERY_BROADCAST_SOURCE_BYTES)
-        .join(
-            cand,
-            (F.col("c_cell") == F.col("centroid_id"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                int_dot(F.col("qa"), F.col("qb")).cast("double")
-                / (
-                    F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
-                    * F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
-                )
-            ).alias("qcos"),
-        )
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("qcos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "qcos", F.col("rank").cast("int"))
+    return ann_int8(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0),
+        emb,
+        k=5,
+        nprobe=1,
+        centroids=centroids,
     )
