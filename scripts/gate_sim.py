@@ -6,8 +6,12 @@ exactly the way the driver constructs its own session, then runs
 every ``__spark_entry__.queries()`` entry at sf0.01 against its
 DuckDB oracle with the same canonical compare the driver applies.
 
-Usage: python scripts/gate_sim.py [sf_dir] [query ...]
-"""
+Usage: python scripts/gate_sim.py [--out FILE] [sf_dir] [query ...]
+
+``--out FILE`` additionally writes the per-query lines + summary
+JSON straight to FILE — the committed ``GATE_r{N}.txt`` artifact
+must come from here, not from a captured stdout tail (round 6's
+gate file lost 6 per-query lines to terminal truncation)."""
 
 from __future__ import annotations
 
@@ -23,6 +27,11 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entrymod
@@ -75,7 +84,18 @@ def main() -> None:
         tag = results[name]["ok"]
         print(f"{name:32s} {str(tag):10s} {results[name]['sec']:7.2f}s", flush=True)
 
-    print(json.dumps({"green": n_green, "rows_only": n_weak, "bad": n_bad}))
+    summary = json.dumps({"green": n_green, "rows_only": n_weak, "bad": n_bad})
+    print(summary)
+    if out_path:
+        # the committed artifact: every per-query line + the summary,
+        # written directly (never via a captured terminal tail)
+        with open(out_path, "w") as fh:
+            for name in names:
+                r = results[name]
+                fh.write(
+                    f"{name:32s} {str(r['ok']):10s} {r['sec']:7.2f}s\n"
+                )
+            fh.write(summary + "\n")
     bad = {n: r for n, r in results.items() if r["ok"] is False}
     if bad:
         print(json.dumps(bad, indent=2, default=str))

@@ -154,6 +154,47 @@ def _replica(spark: SparkSession, table: str, r: int) -> DataFrame:
     raise ValueError(table)
 
 
+#: Zipf hot-token tail appended to EVERY document in the skew
+#: fixture: zk0 dominates (32 of 63 tail tokens), zk1 half of that,
+#: … zk5 once — a deliberately brutal "the"-like head whose total
+#: occurrence count grows linearly with the corpus, concentrated on
+#: six join keys. Stress target: the term-keyed shuffles in
+#: q40 (term aggregation) and q103 (token-occurrence × decile join).
+SKEW_TAIL = " " + " ".join(
+    ["zk0"] * 32 + ["zk1"] * 16 + ["zk2"] * 8 + ["zk3"] * 4 + ["zk4"] * 2 + ["zk5"]
+)
+
+
+def materialize_skew(spark: SparkSession, factor: int) -> str:
+    """Skewed variant of :func:`materialize`: same replication, but
+    every document gets the Zipf hot-token tail. Non-document
+    tables symlink to the plain ×factor fixture (built on demand)."""
+    plain = materialize(spark, factor)
+    out = os.path.join(OUT_ROOT, f"x{factor}skew")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    reps = []
+    for r in range(factor):
+        df = _replica(spark, "documents", r)
+        reps.append(
+            df.withColumn("text", F.concat(F.col("text"), F.lit(SKEW_TAIL)))
+        )
+    big = reps[0]
+    for rep in reps[1:]:
+        big = big.unionByName(rep)
+    big.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    for table in (*FACT_TABLES, *DIM_TABLES):
+        if table == "documents":
+            continue
+        dst = os.path.join(out, f"{table}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(plain, f"{table}.parquet"), dst)
+    open(done, "w").close()
+    return out
+
+
 def materialize(spark: SparkSession, factor: int) -> str:
     out = os.path.join(OUT_ROOT, f"x{factor}")
     done = os.path.join(out, "_DONE")
@@ -180,6 +221,12 @@ def main() -> None:
     ap.add_argument("--factors", default="1,3,10")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="use the Zipf hot-token documents fixture (term-keyed "
+        "join stress for q40/q103)",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     qnames = [q.strip() for q in args.queries.split(",") if q.strip()]
@@ -189,7 +236,8 @@ def main() -> None:
 
     spark = get_spark(app_name="scale_curve")
     specs = load_all()
-    dirs = {f: materialize(spark, f) for f in factors}
+    mk = materialize_skew if args.skew else materialize
+    dirs = {f: mk(spark, f) for f in factors}
 
     # warm codegen/JIT once at the smallest factor
     for q in qnames:
