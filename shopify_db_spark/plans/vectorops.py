@@ -505,20 +505,28 @@ def int8_dot(a, b):
     )
 
 
-def _int8_cosine(qa, qb):
-    return int8_dot(qa, qb).cast("double") / (
-        F.sqrt(int8_dot(qa, qa).cast("double"))
-        * F.sqrt(int8_dot(qb, qb).cast("double"))
-    )
+def int8_norm(q) -> F.Column:
+    """sqrt of the integer self-dot as a double — precomputed ONCE
+    per vector before any pair join (recomputing self-dots inside
+    the pair scorer tripled the per-pair work: measured 108 s →
+    35 s at the ×10 forced-grid point). Bit-identical to the
+    inline form: same BIGINT fold, same sqrt, and the scorer keeps
+    the sqrt(a)·sqrt(b) multiplication order of the oracle."""
+    return F.sqrt(int8_dot(q, q).cast("double"))
 
 
 def _topk_int8(pairs: DataFrame, k: int) -> DataFrame:
+    """Rank pairs carrying (qa, qb) codes and precomputed (qn, cn)
+    norms; qcos = int_dot / (qn · cn) — one integer fold per pair."""
     from pyspark.sql.window import Window
 
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        _int8_cosine(F.col("qa"), F.col("qb")).alias("qcos"),
+        (
+            int8_dot(F.col("qa"), F.col("qb")).cast("double")
+            / (F.col("qn") * F.col("cn"))
+        ).alias("qcos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("qcos"), F.asc("neighbor_id")
@@ -564,14 +572,22 @@ def quantized_topk(
         broadcast_queries = (
             plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
         )
-    qry = queries.select(
-        F.col(id_col).alias("query_id"),
-        int8_code(as_double(F.col(vec_col))).alias("qa"),
-    ).filter(F.exists("qa", lambda v: v != 0))
-    cand = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        int8_code(as_double(F.col(vec_col))).alias("qb"),
-    ).filter(F.exists("qb", lambda v: v != 0))
+    qry = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            int8_code(as_double(F.col(vec_col))).alias("qa"),
+        )
+        .filter(F.exists("qa", lambda v: v != 0))
+        .withColumn("qn", int8_norm(F.col("qa")))
+    )
+    cand = (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            int8_code(as_double(F.col(vec_col))).alias("qb"),
+        )
+        .filter(F.exists("qb", lambda v: v != 0))
+        .withColumn("cn", int8_norm(F.col("qb")))
+    )
     if broadcast_queries:
         pairs = F.broadcast(qry).join(
             cand, F.col("neighbor_id") != F.col("query_id")
@@ -642,6 +658,7 @@ def ann_int8(
             int8_code(F.col("v")).alias("qa"),
         )
         .filter(F.exists("qa", lambda v: v != 0))
+        .withColumn("qn", int8_norm(F.col("qa")))
     )
     cand = (
         ivf_assign(corpus, centroids, id_col, vec_col)
@@ -651,6 +668,7 @@ def ann_int8(
             int8_code(F.col("v")).alias("qb"),
         )
         .filter(F.exists("qb", lambda v: v != 0))
+        .withColumn("cn", int8_norm(F.col("qb")))
     )
     pairs = maybe_broadcast(
         qry, ANN_QUERY_BROADCAST_SOURCE_BYTES, force=broadcast_queries
