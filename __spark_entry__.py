@@ -63,6 +63,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q104_embedding_quantize",
     "q105_quantized_ann",
     "q106_ivf_quantized",
+    "q107_cosine_topk_grid",  # new in round 7
 ]
 
 

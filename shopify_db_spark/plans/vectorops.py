@@ -35,9 +35,7 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
-@query(
-    "q30_cosine_topk",
-    oracle=f"""
+_Q30_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id % {QUERY_MOD} = 0
@@ -54,8 +52,10 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
-""",
-)
+"""
+
+
+@query("q30_cosine_topk", oracle=_Q30_ORACLE)
 def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 per query vector — the ANN
     baseline/verifier. The query side broadcasts only under the
@@ -65,6 +65,25 @@ def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return SIM.cosine_topk(queries, emb, k=5)
+
+
+@query("q107_cosine_topk_grid", oracle=_Q30_ORACLE)
+def q107_cosine_topk_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q30 through the FORCED non-broadcast path: the blocked pair
+    grid (``operators.planutil.blocked_pair_join``) that
+    ``cosine_topk`` takes when the query frame exceeds the
+    plan-time broadcast bound — queries split into b hash blocks,
+    candidates into b, each side replicated ×b to its grid cells,
+    plain shuffle equi-join on the (lb, rb) cell id, so every pair
+    is scored exactly once with per-task memory |Q|/b + |C|/b and
+    no BroadcastNestedLoop/CartesianProduct anywhere. Same oracle
+    as q30: the driver itself certifies the 100 TB fallback plan
+    bit-identical to the broadcast plan.
+
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return SIM.cosine_topk(queries, emb, k=5, broadcast_queries=False)
 
 
 def _sql_bucket(vec: str, n_planes: int = 4, plane_offset: int = 0) -> str:
