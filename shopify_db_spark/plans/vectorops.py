@@ -620,7 +620,7 @@ def quantized_topk(
 
 
 def ann_int8(
-    queries: DataFrame,
+    queries: DataFrame | None,
     corpus: DataFrame,
     k: int = 5,
     nprobe: int = 2,
@@ -630,6 +630,7 @@ def ann_int8(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     broadcast_queries: bool | None = None,
+    query_filter=None,
 ) -> DataFrame:
     """The production quantized-ANN entry point: KMeans coarse
     codebook + IVF cell join + int8 code scoring, in one call.
@@ -647,6 +648,12 @@ def ann_int8(
     BIGINT-exact integer cosine (scales cancel); (5) top-k per
     query. Zero-norm codes are excluded (cosine undefined).
 
+    ``query_filter`` (requires ``nprobe=1``, ``queries=None``): when
+    the query set is a SLICE of the corpus, pass its predicate
+    instead of a frame — the single corpus assignment+code pass is
+    reused for the query side (identical values, one corpus scan
+    and one n×K centroid pass fewer; the q106 catalog geometry).
+
     Recall vs exact float cosine is asserted ≥0.9 at ``nprobe=2``
     in tests/test_dedup_similarity.py on both the real sf0.001
     embeddings and a clustered fixture. Returns
@@ -661,33 +668,63 @@ def ann_int8(
         kmeans_codebook,
     )
 
+    if query_filter is not None and nprobe != 1:
+        raise ValueError(
+            "query_filter (shared-assignment fast path) requires "
+            "nprobe=1 — multi-probe queries need their own n_best "
+            "assignment pass; pass queries as a frame instead"
+        )
     if centroids is None:
         centroids = kmeans_codebook(
             corpus, k=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
         )
-    if broadcast_queries is None:
-        broadcast_queries = (
-            plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
-        )
-    qry = (
-        ivf_assign(queries, centroids, id_col, vec_col, n_best=nprobe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "centroid_id",
-            int8_code(F.col("v")).alias("qa"),
-        )
-        .filter(F.exists("qa", lambda v: v != 0))
-        .withColumn("qn", int8_norm(F.col("qa")))
-    )
-    cand = (
+    coded = (
         ivf_assign(corpus, centroids, id_col, vec_col)
         .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("centroid_id").alias("c_cell"),
-            int8_code(F.col("v")).alias("qb"),
+            "vec_id",
+            "centroid_id",
+            int8_code(F.col("v")).alias("code"),
         )
-        .filter(F.exists("qb", lambda v: v != 0))
-        .withColumn("cn", int8_norm(F.col("qb")))
+        .filter(F.exists("code", lambda v: v != 0))
+        .withColumn("nrm", int8_norm(F.col("code")))
+    )
+    if query_filter is not None:
+        # queries are a slice OF the corpus (the catalog geometry):
+        # reuse the single corpus assignment+code pass instead of
+        # re-running the n×K centroid scoring for the query side —
+        # identical values (the slice's assignment is the corpus
+        # assignment), one emb scan fewer.
+        qry = coded.filter(query_filter).select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            F.col("code").alias("qa"),
+            F.col("nrm").alias("qn"),
+        )
+    else:
+        qry = (
+            ivf_assign(queries, centroids, id_col, vec_col, n_best=nprobe)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                "centroid_id",
+                int8_code(F.col("v")).alias("qa"),
+            )
+            .filter(F.exists("qa", lambda v: v != 0))
+            .withColumn("qn", int8_norm(F.col("qa")))
+        )
+    if broadcast_queries is None:
+        # gate on the INPUT frame, not the derived assignment plan:
+        # without CBO a Filter reports its child's size anyway, and
+        # sizing the raw scan skips re-optimizing the whole
+        # assign+code subtree just for the estimate.
+        broadcast_queries = (
+            plan_size_bytes(corpus if queries is None else queries)
+            < ANN_QUERY_BROADCAST_SOURCE_BYTES
+        )
+    cand = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("centroid_id").alias("c_cell"),
+        F.col("code").alias("qb"),
+        F.col("nrm").alias("cn"),
     )
     pairs = maybe_broadcast(
         qry, ANN_QUERY_BROADCAST_SOURCE_BYTES, force=broadcast_queries
@@ -858,9 +895,10 @@ def q106_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
     return ann_int8(
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0),
+        None,
         emb,
         k=5,
         nprobe=1,
         centroids=centroids,
+        query_filter=F.col("vec_id") % QUERY_MOD == 0,
     )
