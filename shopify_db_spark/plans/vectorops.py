@@ -689,6 +689,15 @@ def ann_int8(
         .withColumn("nrm", int8_norm(F.col("code")))
     )
     if query_filter is not None:
+        # Two consumers on the shared path (query slice + candidate
+        # side): materialize the n×K assignment+coding pass once —
+        # at corpus scale re-deriving it per consumer doubles the
+        # dominant pass. localCheckpoint (not persist): the frame is
+        # the int8 code table — 4× smaller than the float vectors —
+        # and its blocks are reclaimed by ContextCleaner with the
+        # result (simhash precedent, operators/dedup.py).
+        coded = coded.localCheckpoint()
+    if query_filter is not None:
         # queries are a slice OF the corpus (the catalog geometry):
         # reuse the single corpus assignment+code pass instead of
         # re-running the n×K centroid scoring for the query side —
