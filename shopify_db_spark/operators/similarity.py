@@ -552,6 +552,110 @@ def ivf_ann(
     )
 
 
+def incremental_ivf_topk(
+    batches: list[DataFrame],
+    centroids: DataFrame,
+    k: int = 3,
+    cell_cap: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental ANN index MAINTENANCE — the embedding analogue of
+    the capped incremental dedup (``operators.dedup``'s q102 path):
+    vector batches arrive in order; each batch first PROBES the
+    accumulated per-cell IVF index for its exact-cosine top-k
+    neighbors, then is ADMITTED into the index while its cell's
+    stored count + within-batch arrival rank stays under
+    ``cell_cap``. Settled index rows are never re-ranked or
+    re-shuffled; the per-batch probe join is bounded at
+    cell_cap × batch-cell rows; the admission state carried between
+    batches is one count per non-empty cell.
+
+    Declarative contract (what the q108 oracle restates): vector u
+    is an index entry iff its global arrival rank within its cell
+    (arrival order = (batch, id)) is ≤ cell_cap; a batch-b query
+    sees exactly the index entries from batches < b in its cell.
+    The carried-count admission equals the global-rank filter by
+    induction — while a cell is unsaturated its stored count IS its
+    arrival count, and a saturated cell admits nothing further.
+
+    Returns (query_id, neighbor_id, cosine, rank) over all batches
+    (batch 0 probes an empty index and contributes no rows)."""
+    index = None   # (centroid_id, neighbor_id, cv, cn) — capped
+    counts = None  # (centroid_id, n_stored) — carried admission state
+    outs: list[DataFrame] = []
+    for batch in batches:
+        a = ivf_assign(batch, centroids, id_col, vec_col)
+        # two consumers (probe + admission) and an iterative loop:
+        # truncate lineage like integer_pagerank does, so batch B's
+        # plan does not re-derive every earlier assignment
+        a = a.localCheckpoint()
+        if index is not None:
+            scored = (
+                a.select(
+                    F.col("vec_id").alias("query_id"),
+                    "v",
+                    "vn",
+                    "centroid_id",
+                )
+                .join(index, "centroid_id")
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    cosine_with_norms(
+                        F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")
+                    ).alias("cosine"),
+                )
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("cosine"), F.asc("neighbor_id")
+            )
+            outs.append(
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    "cosine",
+                    F.col("rank").cast("int"),
+                )
+            )
+        wr = Window.partitionBy("centroid_id").orderBy("vec_id")
+        ranked = a.withColumn("r", F.row_number().over(wr))
+        if counts is not None:
+            ranked = ranked.join(counts, "centroid_id", "left").withColumn(
+                "n_stored", F.coalesce(F.col("n_stored"), F.lit(0))
+            )
+        else:
+            ranked = ranked.withColumn("n_stored", F.lit(0))
+        admitted = ranked.filter(
+            F.col("n_stored") + F.col("r") <= cell_cap
+        ).select(
+            "centroid_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+        )
+        index = (
+            admitted if index is None else index.unionByName(admitted)
+        ).localCheckpoint()
+        # recount from the index: it is cap-bounded per cell, so this
+        # aggregate is index-sized, not corpus-sized
+        counts = index.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("n_stored")
+        )
+    if not outs:
+        spark = batches[0].sparkSession
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cosine double, rank int",
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -911,3 +911,85 @@ def q106_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=centroids,
         query_filter=F.col("vec_id") % QUERY_MOD == 0,
     )
+
+
+# ---------------------------------------------------------------------------
+# q108: incremental ANN index maintenance — the streaming-ingest
+# shape the ANN tier was missing: vectors arrive in batches, probe
+# the accumulated per-cell IVF index, and are admitted under a
+# per-cell cap (the embedding analogue of q102's capped incremental
+# dedup). The oracle restates the incremental engine's contract
+# declaratively: index entry ⟺ global arrival rank within the cell
+# ≤ cap; a query sees exactly the earlier-batch entries of its cell.
+_Q108_NBATCH = 3
+_Q108_CAP = 8
+_Q108_K = 3
+
+
+@query(
+    "q108_incremental_ann",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE r = 1
+),
+arr AS (
+  SELECT vec_id, embedding, centroid_id,
+         vec_id % {_Q108_NBATCH} AS batch,
+         ROW_NUMBER() OVER (
+           PARTITION BY centroid_id
+           ORDER BY vec_id % {_Q108_NBATCH}, vec_id) AS cell_rank
+  FROM assigned
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.embedding', 'c.embedding')} AS cosine
+  FROM arr q JOIN arr c
+    ON c.centroid_id = q.centroid_id
+   AND c.batch < q.batch
+   AND c.cell_rank <= {_Q108_CAP}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_Q108_K}
+""",
+)
+def q108_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance
+    (``operators.similarity.incremental_ivf_topk``): three arrival
+    batches (``vec_id % 3``) probe-then-admit against a per-cell
+    capped IVF index (cap 8 — the sf fixture's cells hold ~100
+    vectors, so the cap genuinely bounds the index and the probe
+    join). The engine runs the true incremental loop — carried
+    per-cell counts, settled rows never re-ranked, probe join
+    bounded at cap × batch-cell rows; the oracle states the same
+    contract declaratively (cell arrival-rank ≤ cap on the probed
+    side, earlier-batch visibility), so the driver checks the
+    bounded index's exact probe results, not just row counts.
+
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    from shopify_db_spark.operators.similarity import incremental_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    batches = [
+        emb.filter(F.col("vec_id") % _Q108_NBATCH == b)
+        for b in range(_Q108_NBATCH)
+    ]
+    return incremental_ivf_topk(
+        batches, centroids, k=_Q108_K, cell_cap=_Q108_CAP
+    )

@@ -798,3 +798,73 @@ def test_ann_int8_trained_codebook_recall(spark, clustered_vecs):
     r1, r2 = recall(1), recall(2)
     assert r2 >= 0.9, f"ann_int8 nprobe=2 recall {r2:.3f} below floor (p=1: {r1:.3f})"
     assert r2 >= r1
+
+
+def test_incremental_ivf_index_bounded_and_visibility(spark, clustered_vecs):
+    """q108's engine contract on a known fixture: (a) the index
+    never exceeds cap x cells; (b) a query only ever sees
+    EARLIER-batch neighbors; (c) with an unbounded cap the probe
+    results equal the declarative earlier-batch-same-cell top-k."""
+    import numpy as np
+
+    from shopify_db_spark.operators.similarity import (
+        as_double,
+        cosine,
+        incremental_ivf_topk,
+        ivf_assign,
+    )
+
+    centroids = clustered_vecs.filter(F.col("vec_id") % 50 == 1)
+    nb = 3
+    batches = [
+        clustered_vecs.filter(F.col("vec_id") % nb == b) for b in range(nb)
+    ]
+
+    # (a) capped run: per-cell index boundedness is observable via
+    # the probe fan-in — no query may see more than cap candidates
+    cap = 4
+    out = incremental_ivf_topk(batches, centroids, k=1000, cell_cap=cap)
+    fanin = out.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    assert fanin <= cap, f"probe saw {fanin} > cap={cap} candidates"
+
+    # (b)+(c) uncapped run equals the declarative restatement
+    out2 = incremental_ivf_topk(batches, centroids, k=3, cell_cap=10**9)
+    got = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in out2.collect()
+    }
+    assigned = ivf_assign(clustered_vecs, centroids).select(
+        "vec_id", "v", "vn", "centroid_id"
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("cell"),
+        (F.col("vec_id") % nb).alias("qb"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("centroid_id").alias("cell"),
+        (F.col("vec_id") % nb).alias("nb_"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in a.join(b, "cell")
+        .filter(F.col("nb_") < F.col("qb"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+        .collect()
+    }
+    assert got == want

@@ -18,6 +18,7 @@ CROSS_JOIN_OK = {
     "q101_ivf_nprobe",   # same n x K centroid scoring, multi-probe
     "q105_quantized_ann",  # brute-force baseline over int8 codes (queries x candidates)
     "q106_ivf_quantized",  # n x K centroid scoring (assignment pass; pair scoring is cell-keyed)
+    "q108_incremental_ann",  # n x K centroid scoring per arrival batch (probe join is cell-keyed)
     "q48_hourly_gapfill",  # hour x type grid (both dimension-sized)
     "q74_semantic_dedup",  # n x K codebook assignment (codebook broadcast,
                            # fixed-size or sublinear — see semantic_dedup)
