@@ -98,6 +98,9 @@ DEFAULT_QUERIES = [
     "q104_embedding_quantize",
     "q105_quantized_ann",
     "q106_ivf_quantized",
+    # fifth batch: round-7 additions
+    "q107_cosine_topk_grid",
+    "q108_incremental_ann",
 ]
 
 
