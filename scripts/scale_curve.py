@@ -101,6 +101,7 @@ DEFAULT_QUERIES = [
     # fifth batch: round-7 additions
     "q107_cosine_topk_grid",
     "q108_incremental_ann",
+    "q109_hybrid_rrf",
 ]
 
 

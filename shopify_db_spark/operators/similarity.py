@@ -552,6 +552,53 @@ def ivf_ann(
     )
 
 
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two
+    ranked retrieval lists — the standard way to combine sparse
+    (lexical) and dense (embedding) retrieval without score
+    calibration, since it uses only the RANKS:
+    ``score = Σ_lists 1/(c + rank)``, a pair missing from one list
+    contributes 0 from it.
+
+    Inputs are (query_id, neighbor_id, rank) frames; the fusion is
+    one full-outer equi-join on (query, neighbor) — no new scale
+    shape beyond the input retrievers. Each term is an exact
+    rational of integers evaluated in double, and the two terms are
+    added in a fixed (a + b) order, so scores are bit-identical
+    across engines. Returns (query_id, neighbor_id, rrf, rank)."""
+    sa = a.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(1.0) / (F.lit(c) + F.col("rank"))).alias("s_a"),
+    )
+    sb = b.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(1.0) / (F.lit(c) + F.col("rank"))).alias("s_b"),
+    )
+    fused = sa.join(sb, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(F.col("s_a"), F.lit(0.0))
+            + F.coalesce(F.col("s_b"), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rrf", F.col("rank").cast("int"))
+    )
+
+
 def incremental_ivf_topk(
     batches: list[DataFrame],
     centroids: DataFrame,

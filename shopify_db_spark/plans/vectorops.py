@@ -993,3 +993,152 @@ def q108_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_ivf_topk(
         batches, centroids, k=_Q108_K, cell_cap=_Q108_CAP
     )
+
+
+# ---------------------------------------------------------------------------
+# q109: hybrid retrieval — sparse (q76's shingle-count cosine) and
+# dense (q30's embedding cosine) rankings fused with reciprocal-rank
+# fusion over the joined text+vector universe (docs that HAVE an
+# embedding: vec_id ⊆ doc_id in the corpus). RRF uses only ranks,
+# so the fusion is calibration-free and exactly portable: each term
+# is 1/(c+rank) — a rational of integers — summed in a fixed order.
+_Q109_C = 60     # the standard RRF constant from the paper
+_Q109_K = 5      # fused list depth
+_Q109_KD = 5     # dense list depth (q30's k)
+
+
+def _q109_oracle() -> str:
+    from shopify_db_spark.plans.textops import (
+        _Q76_DF_CAP,
+        _Q76_K,
+        _Q76_N,
+        _TOKS,
+    )
+
+    return f"""
+WITH uni AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM uni
+),
+terms AS (
+  SELECT doc_id, array_to_string(t[i:i+{_Q76_N - 1}], ' ') AS term,
+         COUNT(*) AS tf
+  FROM toks,
+       UNNEST(generate_series(1, GREATEST(len(t) - {_Q76_N - 1}, 1))) AS u(i)
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+),
+pruned AS (
+  SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf
+  FROM terms t JOIN dfreq d ON d.term = t.term
+  WHERE d.df <= {_Q76_DF_CAP}
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+  FROM pruned GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM pruned a JOIN pruned b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, dot FROM dots
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, dot FROM dots
+),
+sparse AS (
+  SELECT doc_id AS query_id, neighbor_id, rank FROM (
+    SELECT s.doc_id, s.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.doc_id
+             ORDER BY CAST(s.dot AS DOUBLE) / (na.nrm * nb.nrm) DESC,
+                      s.neighbor_id ASC) AS rank
+    FROM sym s
+    JOIN norms na ON na.doc_id = s.doc_id
+    JOIN norms nb ON nb.doc_id = s.neighbor_id
+  ) WHERE rank <= {_Q76_K} AND doc_id % {QUERY_MOD} = 0
+),
+dense AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.doc_id
+             ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC,
+                      c.doc_id ASC) AS rank
+    FROM uni q JOIN uni c ON c.doc_id != q.doc_id
+    WHERE q.doc_id % {QUERY_MOD} = 0
+  ) WHERE rank <= {_Q109_KD}
+),
+fused AS (
+  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         COALESCE(s.neighbor_id, d.neighbor_id) AS neighbor_id,
+         COALESCE(CAST(1 AS DOUBLE) / ({_Q109_C} + s.rank), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / ({_Q109_C} + d.rank), 0) AS rrf
+  FROM sparse s
+  FULL OUTER JOIN dense d
+    ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, neighbor_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {_Q109_K}
+"""
+
+
+@query("q109_hybrid_rrf", oracle=_q109_oracle())
+def q109_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid text+vector retrieval with reciprocal-rank fusion
+    (``operators.similarity.rrf_fuse``): the sparse ranking is
+    q76's df-capped shingle-count cosine (integer dots, inverted
+    index) and the dense ranking is q30's exact embedding cosine,
+    both computed over the JOINED universe (documents that have an
+    embedding) with the ANN family's corpus-slice query set; the
+    fusion is one full-outer join on (query, neighbor) with
+    score = 1/(60+rank_sparse) + 1/(60+rank_dense). Scale shape:
+    exactly the two underlying retrievers (each already bounded —
+    df-cap and broadcast-gated brute force / ANN swap-in) plus one
+    rank-table join, so hybrid costs no new shuffle class.
+
+    Returns (query_id, neighbor_id, rrf, rank)."""
+    from shopify_db_spark.functions import text as TX
+    from shopify_db_spark.operators.similarity import (
+        rrf_fuse,
+        sparse_cosine_topk,
+    )
+    from shopify_db_spark.plans.textops import _Q76_DF_CAP, _Q76_K, _Q76_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    uni_docs = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    terms = (
+        uni_docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                TX.shingles_of_tokens(F.col("toks"), _Q76_N)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sparse = (
+        sparse_cosine_topk(terms, k=_Q76_K, df_cap=_Q76_DF_CAP)
+        .filter(F.col("doc_id") % QUERY_MOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"), "neighbor_id", "rank"
+        )
+    )
+    dense = SIM.cosine_topk(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, k=_Q109_KD
+    ).select("query_id", "neighbor_id", "rank")
+    return rrf_fuse(sparse, dense, k=_Q109_K, c=_Q109_C)

@@ -868,3 +868,22 @@ def test_incremental_ivf_index_bounded_and_visibility(spark, clustered_vecs):
         .collect()
     }
     assert got == want
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF on constructed lists: a pair present in BOTH lists must
+    outrank a pair at the same positions in only one; missing-list
+    contribution is exactly 0; scores are 1/(c+rank) sums."""
+    from shopify_db_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id long, neighbor_id long, rank int"
+    )
+    out = {r["neighbor_id"]: (r["rrf"], r["rank"]) for r in rrf_fuse(a, b, k=10, c=60).collect()}
+    assert out[10][0] == 1 / 61 + 1 / 62   # in both lists
+    assert out[12][0] == 1 / 61            # dense-only
+    assert out[11][0] == 1 / 62            # sparse-only
+    assert out[10][1] == 1 and out[12][1] == 2 and out[11][1] == 3
