@@ -66,6 +66,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q107_cosine_topk_grid",  # new in round 7
     "q108_incremental_ann",  # new in round 7
     "q109_hybrid_rrf",  # new in round 7
+    "q110_bpe_merges",  # new in round 7
 ]
 
 

@@ -102,6 +102,7 @@ DEFAULT_QUERIES = [
     "q107_cosine_topk_grid",
     "q108_incremental_ann",
     "q109_hybrid_rrf",
+    "q110_bpe_merges",
 ]
 
 

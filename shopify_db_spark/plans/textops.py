@@ -917,3 +917,141 @@ def lexical_rarity(docs: DataFrame, n_tiles: int = 10) -> DataFrame:
             ).alias("hapax_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q110: BPE-style phrase-merge vocabulary induction — the TRAINING
+# side of the tokenizer tier (q22/q29 only count with a fixed
+# tokenizer): learn the top merge rules over the corpus, one per
+# round. Round r counts adjacent symbol pairs over the current
+# symbol sequences (round 1 = the token arrays), picks the most
+# frequent pair (ties: lexicographic), and rewrites every sequence
+# with a GREEDY LEFT-TO-RIGHT fold joining that adjacency — the
+# exact scan order classic BPE uses, so "a a a" merges to
+# ["a a", "a"], never ["a", "a a"]. Fixed round count keeps the
+# whole program declaratively SQL-expressible (one CTE chain per
+# round) for the oracle, while the engine runs the same rounds
+# imperatively.
+_Q110_ROUNDS = 2
+
+
+def _merge_fold(arr, l, r):
+    """Greedy left-to-right merge of (l, r) adjacencies in a symbol
+    array — F.aggregate fold; bit-identical to the oracle's
+    list_reduce (both verified on overlap cases like 'a a a')."""
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == l) & (x == r),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat_ws(" ", l, r)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merge_rounds(
+    docs: DataFrame,
+    n_rounds: int = _Q110_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE-style merge training over token sequences.
+    Per round: one pair-explode + groupBy (the only data shuffle,
+    keyed on the symbol pair — map-side partial agg pre-folds hot
+    pairs), a deterministic 1-row argmax (orderBy count DESC, pair
+    ASC, limit 1 — TakeOrdered, no global exchange), and a map-only
+    rewrite of every sequence via the broadcast 1-row merge rule.
+    At 100 TB each round is one shuffle over pair counts (vocab²-
+    bounded, not corpus-bounded) plus a map pass; rounds chain
+    linearly like any iterative-refinement operator (pagerank
+    precedent — localCheckpoint between rounds when n_rounds grows).
+
+    Returns (merge_round int, left_sym, right_sym, pair_count) —
+    one row per learned merge rule."""
+    cur = docs.select(
+        F.col(id_col).alias("doc_id"), TX.tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 1)
+    outs = []
+    for rnd in range(1, n_rounds + 1):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t)-1), "
+                    "(x, i) -> struct(x AS l, t[i+1] AS r))"
+                )
+            ).alias("p")
+        ).select("p.l", "p.r")
+        counts = pairs.groupBy("l", "r").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        best = counts.orderBy(
+            F.desc("c"), F.asc("l"), F.asc("r")
+        ).limit(1)
+        outs.append(
+            best.select(
+                F.lit(rnd).alias("merge_round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        if rnd < n_rounds:
+            cur = cur.crossJoin(F.broadcast(best)).select(
+                "doc_id",
+                _merge_fold(F.col("t"), F.col("l"), F.col("r")).alias("t"),
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _q110_round_ctes(n_rounds: int) -> str:
+    parts = []
+    src = "toks"
+    for rnd in range(1, n_rounds + 1):
+        parts.append(f"""
+p{rnd} AS (
+  SELECT t[i] AS l, t[i+1] AS r, COUNT(*) AS c
+  FROM {src}, UNNEST(generate_series(1, GREATEST(len(t) - 1, 0))) AS u(i)
+  GROUP BY l, r
+),
+b{rnd} AS (SELECT l, r, c FROM p{rnd} ORDER BY c DESC, l ASC, r ASC LIMIT 1)""")
+        if rnd < n_rounds:
+            parts.append(f"""
+m{rnd} AS (
+  SELECT doc_id,
+         list_reduce(list_transform(t, x -> [x]),
+           (acc, x) -> CASE WHEN acc[-1] = b{rnd}.l AND x[1] = b{rnd}.r
+                       THEN list_append(acc[1:len(acc)-1],
+                                        b{rnd}.l || ' ' || b{rnd}.r)
+                       ELSE list_concat(acc, x) END) AS t
+  FROM {src} CROSS JOIN b{rnd}
+)""")
+            src = f"m{rnd}"
+    selects = " UNION ALL ".join(
+        f"SELECT {rnd} AS merge_round, l AS left_sym, r AS right_sym, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{rnd}"
+        for rnd in range(1, n_rounds + 1)
+    )
+    return ",".join(parts) + f" {selects}"
+
+
+@query(
+    "q110_bpe_merges",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 1
+),{_q110_round_ctes(_Q110_ROUNDS)}
+""",
+)
+def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style phrase-merge training over the documents corpus —
+    see :func:`bpe_merge_rounds`. The oracle unrolls the same fixed
+    rounds as chained CTEs (pair counts → argmax → greedy
+    list_reduce rewrite), so the driver checks the learned merge
+    table rule-for-rule, counts included."""
+    return bpe_merge_rounds(load_table(spark, sf_dir, "documents"))

@@ -887,3 +887,27 @@ def test_rrf_fuse_semantics(spark):
     assert out[12][0] == 1 / 61            # dense-only
     assert out[11][0] == 1 / 62            # sparse-only
     assert out[10][1] == 1 and out[12][1] == 2 and out[11][1] == 3
+
+
+def test_bpe_merge_rounds_known_corpus(spark):
+    """Merge training on a corpus with a known dominant bigram:
+    round 1 must learn it with the exact count (greedy overlap
+    counting), round 2 must learn the next rule over the REWRITTEN
+    sequences (the merged symbol participates)."""
+    from shopify_db_spark.plans.textops import bpe_merge_rounds
+
+    rows = [
+        (1, "new york is big new york is old"),
+        (2, "new york new york"),
+        (3, "big apple big apple big apple"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["merge_round"]: (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merge_rounds(docs, n_rounds=2).collect()
+    }
+    # "new york": 2 + 2 = 4 occurrences; "big apple": 3
+    assert out[1] == ("new", "york", 4)
+    # after merging, doc2 = ["new york", "new york"] so
+    # ("new york","new york") appears once; ("big","apple") still 3
+    assert out[2] == ("big", "apple", 3)
