@@ -528,7 +528,8 @@ def int8_norm(q) -> F.Column:
     """sqrt of the integer self-dot as a double — precomputed ONCE
     per vector before any pair join (recomputing self-dots inside
     the pair scorer tripled the per-pair work: measured 108 s →
-    35 s at the ×10 forced-grid point). Bit-identical to the
+    9.6 s at the ×10 forced-grid point, SCALE.md round 7).
+    Bit-identical to the
     inline form: same BIGINT fold, same sqrt, and the scorer keeps
     the sqrt(a)·sqrt(b) multiplication order of the oracle."""
     return F.sqrt(int8_dot(q, q).cast("double"))
