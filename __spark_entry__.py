@@ -67,6 +67,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q108_incremental_ann",  # new in round 7
     "q109_hybrid_rrf",  # new in round 7
     "q110_bpe_merges",  # new in round 7
+    "q111_hybrid_rrf_ivf",  # new in round 7
 ]
 
 

@@ -103,6 +103,7 @@ DEFAULT_QUERIES = [
     "q108_incremental_ann",
     "q109_hybrid_rrf",
     "q110_bpe_merges",
+    "q111_hybrid_rrf_ivf",
 ]
 
 

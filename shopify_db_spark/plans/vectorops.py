@@ -1143,3 +1143,161 @@ def q109_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, k=_Q109_KD
     ).select("query_id", "neighbor_id", "rank")
     return rrf_fuse(sparse, dense, k=_Q109_K, c=_Q109_C)
+
+
+# ---------------------------------------------------------------------------
+# q111: the PRODUCTION-tier hybrid — same RRF fusion as q109 but
+# with the dense side served by the IVF ANN retriever (q38's
+# broadcast-codebook + cell equi-join) instead of the brute-force
+# baseline, mirroring the q30/q38 baseline/production pairing. At
+# 100 TB the dense candidate volume is cell-bounded, the sparse
+# side stays df-capped, and the fusion join is rank-table-sized.
+def _q111_oracle() -> str:
+    from shopify_db_spark.plans.textops import (
+        _Q76_DF_CAP,
+        _Q76_K,
+        _Q76_N,
+        _TOKS,
+    )
+
+    return f"""
+WITH uni AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+),
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM uni
+),
+terms AS (
+  SELECT doc_id, array_to_string(t[i:i+{_Q76_N - 1}], ' ') AS term,
+         COUNT(*) AS tf
+  FROM toks,
+       UNNEST(generate_series(1, GREATEST(len(t) - {_Q76_N - 1}, 1))) AS u(i)
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+),
+pruned AS (
+  SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf
+  FROM terms t JOIN dfreq d ON d.term = t.term
+  WHERE d.df <= {_Q76_DF_CAP}
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+  FROM pruned GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM pruned a JOIN pruned b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, dot FROM dots
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor_id, dot FROM dots
+),
+sparse AS (
+  SELECT doc_id AS query_id, neighbor_id, rank FROM (
+    SELECT s.doc_id, s.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.doc_id
+             ORDER BY CAST(s.dot AS DOUBLE) / (na.nrm * nb.nrm) DESC,
+                      s.neighbor_id ASC) AS rank
+    FROM sym s
+    JOIN norms na ON na.doc_id = s.doc_id
+    JOIN norms nb ON nb.doc_id = s.neighbor_id
+  ) WHERE rank <= {_Q76_K} AND doc_id % {QUERY_MOD} = 0
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE r = 1
+),
+dense AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC,
+                      c.vec_id ASC) AS rank
+    FROM assigned q JOIN assigned c
+      ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id
+    WHERE q.vec_id % {QUERY_MOD} = 0
+  ) WHERE rank <= {_Q109_KD}
+),
+fused AS (
+  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         COALESCE(s.neighbor_id, d.neighbor_id) AS neighbor_id,
+         COALESCE(CAST(1 AS DOUBLE) / ({_Q109_C} + s.rank), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / ({_Q109_C} + d.rank), 0) AS rrf
+  FROM sparse s
+  FULL OUTER JOIN dense d
+    ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, neighbor_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {_Q109_K}
+"""
+
+
+@query("q111_hybrid_rrf_ivf", oracle=_q111_oracle())
+def q111_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q109's hybrid retrieval with the PRODUCTION dense tier: the
+    dense ranking comes from q38's IVF ANN (broadcast codebook,
+    cell equi-join — candidate volume cell-bounded at any scale)
+    instead of the brute-force baseline; the sparse side and the
+    RRF fusion are identical to q109. Together q109/q111 mirror the
+    q30/q38 baseline/production pairing at the hybrid level.
+
+    Returns (query_id, neighbor_id, rrf, rank)."""
+    from shopify_db_spark.functions import text as TX
+    from shopify_db_spark.operators.similarity import (
+        rrf_fuse,
+        sparse_cosine_topk,
+    )
+    from shopify_db_spark.plans.textops import _Q76_DF_CAP, _Q76_K, _Q76_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    uni_docs = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    terms = (
+        uni_docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                TX.shingles_of_tokens(F.col("toks"), _Q76_N)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sparse = (
+        sparse_cosine_topk(terms, k=_Q76_K, df_cap=_Q76_DF_CAP)
+        .filter(F.col("doc_id") % QUERY_MOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"), "neighbor_id", "rank"
+        )
+    )
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    dense = SIM.ivf_ann(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0),
+        emb,
+        centroids,
+        k=_Q109_KD,
+    ).select("query_id", "neighbor_id", "rank")
+    return rrf_fuse(sparse, dense, k=_Q109_K, c=_Q109_C)

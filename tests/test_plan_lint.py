@@ -21,6 +21,7 @@ CROSS_JOIN_OK = {
     "q108_incremental_ann",  # n x K centroid scoring per arrival batch (probe join is cell-keyed)
     "q109_hybrid_rrf",  # dense side is q30's brute-force baseline (queries x candidates)
     "q110_bpe_merges",  # per-round 1-row broadcast merge rule applied corpus-wide
+    "q111_hybrid_rrf_ivf",  # dense side is q38's n x K centroid scoring (cell-keyed pair join)
     "q48_hourly_gapfill",  # hour x type grid (both dimension-sized)
     "q74_semantic_dedup",  # n x K codebook assignment (codebook broadcast,
                            # fixed-size or sublinear — see semantic_dedup)
