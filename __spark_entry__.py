@@ -36,38 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: order-sensitive sampler reaches them; harmless if the sample is
 #: uniform. Remove entries as CORRECTNESS_r{N}.json covers them.
 _NEVER_DRIVER_SAMPLED = [
-    "q60_stateful_activity",
-    "q73_incremental_dedup",
-    "q74_semantic_dedup",
-    "q77_entity_resolution",
-    "q78_markov_transitions",
-    "q79_rolling_revenue",
-    "q81_scd2_intervals",
-    "q82_basket_pairs",
-    "q83_hopping_window",
-    "q87_embedding_audit",
-    "q88_incremental_agg",
-    "q89_orc_roundtrip",
-    "q90_incremental_cms",
-    "q91_copurchase_pagerank",
-    "q92_rfm_segments",
-    "q93_touch_attribution",
-    "q94_schema_evolution",
-    "q95_snapshot_diff",
-    "q96_fk_profile",
-    "q97_column_profile",
-    "q98_cascade_delete_plan",
-    "q99_category_association",
-    "q101_ivf_nprobe",
-    "q102_incremental_dedup_capped",
-    "q104_embedding_quantize",
-    "q105_quantized_ann",
-    "q106_ivf_quantized",
-    "q107_cosine_topk_grid",  # new in round 7
-    "q108_incremental_ann",  # new in round 7
-    "q109_hybrid_rrf",  # new in round 7
-    "q110_bpe_merges",  # new in round 7
-    "q111_hybrid_rrf_ivf",  # new in round 7
+    "q104_embedding_quantize",  # r7 driver err (ndarray canonicalize) — fixed r8, needs a green row
 ]
 
 

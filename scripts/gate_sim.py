@@ -30,6 +30,11 @@ def main() -> None:
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            sys.exit(
+                "usage: gate_sim.py [--out FILE] [sf_dir] [query ...] "
+                "(--out requires a FILE argument)"
+            )
         out_path = args[i + 1]
         del args[i : i + 2]
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
@@ -57,6 +62,12 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             spark_pdf = queries[name](spark, sf_dir).toPandas()
+            # Driver-parity canonicalizer probe: the external driver
+            # sorts RAW columns with pandas, which throws on
+            # unhashable cells (ndarray — q34 round 1, q104 round 7).
+            # Our compare_frames tuples-izes arrays first, so without
+            # this probe the divergence is invisible locally.
+            spark_pdf.sort_values(by=sorted(spark_pdf.columns))
             if name in oracles:
                 with duckdb_con(sf_dir) as con:
                     oracle_pdf = con.execute(oracles[name]).df()
@@ -71,10 +82,6 @@ def main() -> None:
                 n_green += ok
                 n_bad += not ok
             else:
-                # Rows-only check — but also exercise the driver's
-                # pandas canonicalizer (sort_values over all columns),
-                # which chokes on unhashable cells (q34 round 1).
-                spark_pdf.sort_values(by=sorted(spark_pdf.columns))
                 results[name] = {"rows": len(spark_pdf), "ok": "rows_only"}
                 n_weak += 1
         except Exception as exc:  # noqa: BLE001

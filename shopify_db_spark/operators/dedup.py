@@ -493,7 +493,21 @@ PREFIX_DF_BROADCAST_SOURCE_BYTES = 8 << 20
 #: job-scoped run relies on LRU eviction, while a long-lived service
 #: calls :func:`release_persisted_frames` once results are
 #: materialized to reclaim executor block memory deterministically.
+#: The registry is SELF-BOUNDING (ADVICE r7): each new registration
+#: first unpersists every prior frame, so a long-lived caller that
+#: never calls the release hook pins at most ONE frame — no worse
+#: than the pre-hook behavior, where an out-of-scope frame's blocks
+#: were eventually reclaimable. Unpersisting an earlier frame is
+#: always safe: persist is an execution hint, so an unmaterialized
+#: result from a prior call merely recomputes.
 _PERSISTED_FRAMES: list[DataFrame] = []
+
+
+def _register_persisted(df: DataFrame) -> None:
+    """Register ``df`` as this module's single pinned frame,
+    releasing any prior registrations (bounded-by-one contract)."""
+    release_persisted_frames()
+    _PERSISTED_FRAMES.append(df)
 
 
 def release_persisted_frames() -> int:
@@ -602,7 +616,7 @@ def prefix_filter_jaccard_pairs(
         # release_persisted_frames() (the frame registers below).
         .persist()
     )
-    _PERSISTED_FRAMES.append(ordered)
+    _register_persisted(ordered)
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).cast("int")

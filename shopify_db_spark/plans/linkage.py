@@ -29,17 +29,42 @@ from shopify_db_spark.sources.tables import load_table
 #: interpreter exit so each application cleans up after itself.
 _SCRATCH_ROOTS: set[str] = set()
 _SCRATCH_PREFIXES = ("spark_graft_orc_", "spark_graft_evolve_")
-#: a sibling scratch dir older than this is assumed to belong to a
-#: dead application (crash before its atexit ran) and is pruned; the
-#: mtime gate keeps a CONCURRENT live application's directory safe.
+#: a sibling scratch dir older than this AND without a live owner
+#: process is assumed to belong to a dead application (crash before
+#: its atexit ran) and is pruned. The liveness check (ADVICE r7) is
+#: a sibling ``<dir>.owner`` pid file written at creation — a
+#: SIBLING, not a member, so `mode("overwrite")` / rmtree-and-
+#: rewrite inside the dir can't destroy it; mtime alone would
+#: delete the dir of a >6h-lived concurrent app that wrote once and
+#: lazily re-reads later.
 _SCRATCH_STALE_SECONDS = 6 * 3600
 
 
+def _owner_alive(marker: str) -> bool:
+    """True if ``marker`` names a pid that is still running (so the
+    scratch dir beside it must not be pruned). Unreadable or
+    malformed markers count as dead — the mtime gate already said
+    the dir is old."""
+    import os
+
+    try:
+        with open(marker) as fh:
+            pid = int(fh.read().strip())
+        os.kill(pid, 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def _cleanup_scratch() -> None:  # pragma: no cover - atexit path
+    import contextlib
+    import os
     import shutil
 
     for d in _SCRATCH_ROOTS:
         shutil.rmtree(d, ignore_errors=True)
+        with contextlib.suppress(OSError):
+            os.remove(d + ".owner")
 
 
 def _scratch_dir(spark: SparkSession, prefix: str, sf_dir: str) -> str:
@@ -50,9 +75,11 @@ def _scratch_dir(spark: SparkSession, prefix: str, sf_dir: str) -> str:
     half of the lifecycle: the first call registers an atexit hook
     that removes every directory this application created, and
     opportunistically prunes stale siblings left by applications
-    that died before their own hook ran (mtime-gated so live
-    concurrent runs are never touched)."""
+    that died before their own hook ran (mtime-gated AND owner-pid
+    liveness-checked, so live concurrent runs are never touched —
+    even ones idle longer than the stale window)."""
     import atexit
+    import contextlib
     import glob
     import os
     import shutil
@@ -65,9 +92,16 @@ def _scratch_dir(spark: SparkSession, prefix: str, sf_dir: str) -> str:
         now = time.time()
         for pfx in _SCRATCH_PREFIXES:
             for d in glob.glob(os.path.join(tmp, pfx + "*")):
+                if d.endswith(".owner"):
+                    continue  # handled beside its directory
                 try:
-                    if now - os.path.getmtime(d) > _SCRATCH_STALE_SECONDS:
+                    stale = (
+                        now - os.path.getmtime(d) > _SCRATCH_STALE_SECONDS
+                    )
+                    if stale and not _owner_alive(d + ".owner"):
                         shutil.rmtree(d, ignore_errors=True)
+                        with contextlib.suppress(OSError):
+                            os.remove(d + ".owner")
                 except OSError:  # pragma: no cover - racing remover
                     pass
     out = os.path.join(
@@ -75,7 +109,11 @@ def _scratch_dir(spark: SparkSession, prefix: str, sf_dir: str) -> str:
         f"{prefix}{os.path.basename(sf_dir.rstrip('/'))}"
         f"_{spark.sparkContext.applicationId}",
     )
-    _SCRATCH_ROOTS.add(out)
+    if out not in _SCRATCH_ROOTS:
+        _SCRATCH_ROOTS.add(out)
+        with contextlib.suppress(OSError):
+            with open(out + ".owner", "w") as fh:
+                fh.write(str(os.getpid()))
     return out
 
 

@@ -441,7 +441,8 @@ quantized AS (
                    v -> CAST(FLOOR(v / scale + 0.5) AS INT)) END AS q
   FROM scaled
 )
-SELECT vec_id, scale, q,
+SELECT vec_id, scale,
+       array_to_string(q, ' ') AS q,
        CASE WHEN scale = 0 THEN 0.0
             ELSE list_aggregate(
                    list_transform(generate_series(1, {DIM}),
@@ -461,8 +462,24 @@ def q104_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles, whole-stage codegen; at 100 TB this is a map-only
     rewrite pass. All-zero vectors quantize to zeros with scale 0.
 
-    Returns (vec_id, scale, q array<int>, max_abs_err)."""
-    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    The DECLARED query serializes the code column as a space-joined
+    string: the external driver's pandas canonicalizer cannot sort
+    ndarray cells (array-typed outputs crash it — CORRECTNESS_r07
+    q104 trace), and the serialization is equally hash-exact. The
+    in-engine consumers (q105/q106/``ann_int8``) use
+    :func:`quantize_embeddings` / :func:`int8_code`, which keep the
+    native ``array<int>``.
+
+    Returns (vec_id, scale, q string, max_abs_err)."""
+    out = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("q"), lambda v: v.cast("string")), " "
+        ).alias("q"),
+        "max_abs_err",
+    )
 
 
 def quantize_embeddings(emb: DataFrame) -> DataFrame:
@@ -1139,8 +1156,17 @@ def q109_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("query_id"), "neighbor_id", "rank"
         )
     )
+    # Dense scores over the same doc-joined universe as the sparse
+    # side (the stated contract and the oracle's `uni` CTE) — NOT raw
+    # emb, which only coincides while vec_id ⊆ doc_id holds in the
+    # fixtures; a corpus with orphan embeddings would diverge.
+    uni_emb = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
     dense = SIM.cosine_topk(
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0), emb, k=_Q109_KD
+        uni_emb.filter(F.col("vec_id") % QUERY_MOD == 0),
+        uni_emb,
+        k=_Q109_KD,
     ).select("query_id", "neighbor_id", "rank")
     return rrf_fuse(sparse, dense, k=_Q109_K, c=_Q109_C)
 

@@ -723,6 +723,38 @@ def test_q84_persisted_blocks_reclaimable(spark):
     assert not leaked, f"q84 blocks survived release: {leaked}"
 
 
+def test_q84_default_path_pins_at_most_one_frame(spark):
+    """ADVICE r7: a long-lived caller that never calls
+    release_persisted_frames() must not accumulate pinned blocks —
+    each new prefix_filter_jaccard_pairs call releases the prior
+    registration, so the registry holds at most one frame."""
+    from shopify_db_spark.operators.dedup import (
+        _PERSISTED_FRAMES,
+        release_persisted_frames,
+    )
+    from shopify_db_spark.plans import load_all
+    from tests.conftest import SF_SMOKE
+
+    def cached_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    release_persisted_frames()
+    before = cached_ids()
+    fn = load_all()["q84_prefix_filter_jaccard"].fn
+    assert fn(spark, SF_SMOKE).count() >= 0
+    assert fn(spark, SF_SMOKE).count() >= 0
+    assert len(_PERSISTED_FRAMES) <= 1, (
+        "repeat calls accumulated pinned frames: "
+        f"{len(_PERSISTED_FRAMES)}"
+    )
+    new = cached_ids() - before
+    assert len(new) <= 1, f"repeat calls left {len(new)} cached frames"
+    release_persisted_frames()
+
+
 @pytest.fixture(scope="module")
 def clustered_vecs(spark):
     """4 separated unit centers + noise, plus boundary points — the

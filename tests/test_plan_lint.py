@@ -29,20 +29,24 @@ CROSS_JOIN_OK = {
 
 ALL = sorted(load_all())
 
+_DF_CACHE: dict[str, object] = {}
 _PLAN_CACHE: dict[str, str] = {}
 
 
-def _plan(spark, name: str) -> str:
-    """Physical plan per query, computed once per session — the
+def _df(spark, name: str):
+    """Catalog DataFrame per query, built once per session — the
     streaming gate queries actually RUN their bounded stream when
-    invoked, so each lint sharing the plan matters."""
+    invoked, so every lint sharing one construction matters."""
+    if name not in _DF_CACHE:
+        _DF_CACHE[name] = load_all()[name].fn(spark, SF_SMOKE)
+    return _DF_CACHE[name]
+
+
+def _plan(spark, name: str) -> str:
+    """Physical plan per query, computed once per session."""
     if name not in _PLAN_CACHE:
         _PLAN_CACHE[name] = (
-            load_all()[name]
-            .fn(spark, SF_SMOKE)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
+            _df(spark, name)._jdf.queryExecution().executedPlan().toString()
         )
     return _PLAN_CACHE[name]
 
@@ -112,6 +116,29 @@ def test_no_unexpected_single_partition_exchange(spark, name):
     assert n <= allowed, (
         f"{name}: {n} SinglePartition exchange(s), allowlist permits "
         f"{allowed} — justify the bound or restructure the plan"
+    )
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_no_complex_output_columns(spark, name):
+    """No declared catalog query may output array/struct/map columns:
+    the external driver canonicalizes results via pandas
+    ``sort_values`` over raw columns, which crashes on ndarray cells
+    (``TypeError: unhashable type: 'numpy.ndarray'`` — the
+    CORRECTNESS_r07 q104 red row). The local gate's ``canonical_rows``
+    tuples-izes arrays first, so this divergence is invisible locally;
+    this lint makes it structural. Serialize complex columns (e.g.
+    ``array_join(..., ' ')`` / DuckDB ``array_to_string``) instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in _df(spark, name).schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} outputs complex-typed column(s) {bad} — the driver's "
+        "pandas canonicalizer crashes on these; serialize to string"
     )
 
 

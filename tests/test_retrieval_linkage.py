@@ -129,3 +129,36 @@ def test_snapshot_diff_emits_all_three_classes(spark):
             assert r["new_price"] is None and r["old_price"] is not None
         else:
             assert r["old_price"] is not None and r["new_price"] is not None
+
+
+def test_scratch_pruning_spares_live_owner(tmp_path, monkeypatch):
+    """ADVICE r7: stale-sibling pruning must not delete a directory
+    whose owner process is still alive, even past the mtime window;
+    ownerless stale dirs are still pruned (dead-app cleanup)."""
+    import os
+    import time
+
+    from shopify_db_spark.plans import linkage as L
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    old = time.time() - L._SCRATCH_STALE_SECONDS - 60
+    live = tmp_path / "spark_graft_orc_live"
+    dead = tmp_path / "spark_graft_orc_dead"
+    for d in (live, dead):
+        d.mkdir()
+        os.utime(d, (old, old))
+    (tmp_path / "spark_graft_orc_live.owner").write_text(
+        str(os.getpid())
+    )
+
+    class _Ctx:
+        applicationId = "test-app"
+
+    class _Spark:
+        sparkContext = _Ctx()
+
+    monkeypatch.setattr(L, "_SCRATCH_ROOTS", set())
+    out = L._scratch_dir(_Spark(), "spark_graft_orc_", "/x/sf0.01")
+    assert live.exists(), "live-owner dir was pruned"
+    assert not dead.exists(), "ownerless stale dir survived"
+    assert os.path.exists(out + ".owner")
