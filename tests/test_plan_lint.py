@@ -22,6 +22,7 @@ CROSS_JOIN_OK = {
     "q109_hybrid_rrf",  # dense side is q30's brute-force baseline (queries x candidates)
     "q110_bpe_merges",  # per-round 1-row broadcast merge rule applied corpus-wide
     "q111_hybrid_rrf_ivf",  # dense side is q38's n x K centroid scoring (cell-keyed pair join)
+    "q112_ann_recall_gate",  # q30 baseline tier + n x K codebook assignment (ann pair join is cell-keyed)
     "q48_hourly_gapfill",  # hour x type grid (both dimension-sized)
     "q74_semantic_dedup",  # n x K codebook assignment (codebook broadcast,
                            # fixed-size or sublinear — see semantic_dedup)
@@ -82,6 +83,7 @@ SINGLE_PARTITION_OK = {
     "q98_cascade_delete_plan": (3, "three per-table scalar count finals over partial aggs"),
     "q100_corpus_ship": (1, "two-phase prefix-sum offsets, #partitions rows (q58's bound)"),
     "q103_lexical_rarity": (1, "two-phase NTILE offsets over the vocabulary, #partitions rows"),
+    "q112_ann_recall_gate": (1, "final scalar aggregate over partial aggs (one verdict row)"),
 }
 
 
