@@ -444,11 +444,14 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_best: int = 1,
+    keep_score: bool = False,
 ) -> DataFrame:
     """Coarse-quantizer assignment: each vector goes to its
     ``n_best`` highest-cosine centroids (ties → lowest centroid id;
     one output row per kept centroid). Returns
-    (vec_id, v double-array, vn norm, centroid_id).
+    (vec_id, v double-array, vn norm, centroid_id) — plus the
+    centroid cosine ``c_cos`` when ``keep_score`` (the
+    distance-admission policy ranks index entries by it).
 
     The centroid table broadcasts (it is tiny by construction); the
     assignment is the standard IVF n×K scoring pass. ``n_best > 1``
@@ -472,10 +475,13 @@ def ivf_assign(
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("centroid_id")
     )
+    cols = ["vec_id", "v", "vn", "centroid_id"] + (
+        ["c_cos"] if keep_score else []
+    )
     return (
         scored.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= n_best)
-        .select("vec_id", "v", "vn", "centroid_id")
+        .select(*cols)
     )
 
 
@@ -606,33 +612,48 @@ def incremental_ivf_topk(
     cell_cap: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    admit: str = "arrival",
 ) -> DataFrame:
     """Incremental ANN index MAINTENANCE — the embedding analogue of
     the capped incremental dedup (``operators.dedup``'s q102 path):
     vector batches arrive in order; each batch first PROBES the
     accumulated per-cell IVF index for its exact-cosine top-k
-    neighbors, then is ADMITTED into the index while its cell's
-    stored count + within-batch arrival rank stays under
-    ``cell_cap``. Settled index rows are never re-ranked or
-    re-shuffled; the per-batch probe join is bounded at
-    cell_cap × batch-cell rows; the admission state carried between
-    batches is one count per non-empty cell.
+    neighbors, then is ADMITTED into the index under the ``admit``
+    policy. Settled rows are never re-shuffled across cells; the
+    per-batch probe join is bounded at cell_cap × batch-cell rows.
 
-    Declarative contract (what the q108 oracle restates): vector u
-    is an index entry iff its global arrival rank within its cell
-    (arrival order = (batch, id)) is ≤ cell_cap; a batch-b query
-    sees exactly the index entries from batches < b in its cell.
-    The carried-count admission equals the global-rank filter by
-    induction — while a cell is unsaturated its stored count IS its
-    arrival count, and a saturated cell admits nothing further.
+    ``admit="arrival"`` (the q108 oracle spec): a vector is admitted
+    while its cell's stored count + within-batch arrival rank stays
+    under ``cell_cap`` — saturated cells admit nothing further, and
+    the carried state is one count per non-empty cell. Declarative
+    contract (what the q108 oracle restates): vector u is an index
+    entry iff its global arrival rank within its cell (arrival order
+    = (batch, id)) is ≤ cell_cap; a batch-b query sees exactly the
+    index entries from batches < b in its cell. The carried-count
+    admission equals the global-rank filter by induction — while a
+    cell is unsaturated its stored count IS its arrival count.
+
+    ``admit="distance"`` (the production policy): a full cell EVICTS
+    its farthest-from-centroid entry instead of rejecting the
+    arrival — each batch the cell keeps the ``cell_cap`` entries
+    with the highest centroid cosine (ties → earliest batch, lowest
+    id), so the retained set tracks the cell's density core instead
+    of its arrival prefix. Per-cell re-rank touches only
+    cell_cap + batch-cell rows (bounded, same window class as the
+    probe); recall dominance over arrival admission is asserted on
+    the clustered fixture in tests/test_dedup_similarity.py.
 
     Returns (query_id, neighbor_id, cosine, rank) over all batches
     (batch 0 probes an empty index and contributes no rows)."""
-    index = None   # (centroid_id, neighbor_id, cv, cn) — capped
+    if admit not in ("arrival", "distance"):
+        raise ValueError(f"unknown admission policy: {admit!r}")
+    index = None   # (centroid_id, neighbor_id, cv, cn[, ccos, arr])
     counts = None  # (centroid_id, n_stored) — carried admission state
     outs: list[DataFrame] = []
-    for batch in batches:
-        a = ivf_assign(batch, centroids, id_col, vec_col)
+    for arr, batch in enumerate(batches):
+        a = ivf_assign(
+            batch, centroids, id_col, vec_col, keep_score=(admit == "distance")
+        )
         # two consumers (probe + admission) and an iterative loop:
         # truncate lineage like integer_pagerank does, so batch B's
         # plan does not re-derive every earlier assignment
@@ -667,6 +688,32 @@ def incremental_ivf_topk(
                     F.col("rank").cast("int"),
                 )
             )
+        if admit == "distance":
+            arrivals = a.select(
+                "centroid_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("vn").alias("cn"),
+                F.col("c_cos").alias("ccos"),
+                F.lit(arr).alias("arr"),
+            )
+            cand = (
+                arrivals
+                if index is None
+                else index.unionByName(arrivals)
+            )
+            # per-cell re-rank over cell_cap + batch-cell rows —
+            # bounded by construction, never corpus-sized
+            we = Window.partitionBy("centroid_id").orderBy(
+                F.desc("ccos"), F.asc("arr"), F.asc("neighbor_id")
+            )
+            index = (
+                cand.withColumn("rr", F.row_number().over(we))
+                .filter(F.col("rr") <= cell_cap)
+                .drop("rr")
+                .localCheckpoint()
+            )
+            continue
         wr = Window.partitionBy("centroid_id").orderBy("vec_id")
         ranked = a.withColumn("r", F.row_number().over(wr))
         if counts is not None:

@@ -938,12 +938,19 @@ _Q110_ROUNDS = 2
 def _merge_fold(arr, l, r):
     """Greedy left-to-right merge of (l, r) adjacencies in a symbol
     array — F.aggregate fold; bit-identical to the oracle's
-    list_reduce (both verified on overlap cases like 'a a a')."""
+    list_reduce (both verified on overlap cases like 'a a a').
+    ``try_element_at`` (NULL on the empty accumulator, first element
+    of every fold) keeps the operator ANSI-safe when called as a
+    library function outside the catalog wrapper's non-ANSI session
+    conf — ANSI ``element_at`` throws on the out-of-bounds index;
+    the NULL equality falls through to the otherwise branch, which
+    is exactly the non-ANSI semantics and the oracle's ``acc[-1]``
+    on an empty DuckDB list."""
     return F.aggregate(
         arr,
         F.array().cast("array<string>"),
         lambda acc, x: F.when(
-            (F.element_at(acc, -1) == l) & (x == r),
+            (F.try_element_at(acc, F.lit(-1)) == l) & (x == r),
             F.concat(
                 F.slice(acc, F.lit(1), F.size(acc) - 1),
                 F.array(F.concat_ws(" ", l, r)),
@@ -957,6 +964,7 @@ def bpe_merge_rounds(
     n_rounds: int = _Q110_ROUNDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Distributed BPE-style merge training over token sequences.
     Per round: one pair-explode + groupBy (the only data shuffle,
@@ -965,9 +973,16 @@ def bpe_merge_rounds(
     ASC, limit 1 — TakeOrdered, no global exchange), and a map-only
     rewrite of every sequence via the broadcast 1-row merge rule.
     At 100 TB each round is one shuffle over pair counts (vocab²-
-    bounded, not corpus-bounded) plus a map pass; rounds chain
-    linearly like any iterative-refinement operator (pagerank
-    precedent — localCheckpoint between rounds when n_rounds grows).
+    bounded, not corpus-bounded) plus a map pass.
+
+    Rounds chain linearly because the rewritten corpus is
+    localCheckpoint-truncated every ``checkpoint_every`` rounds
+    (pagerank precedent, ``operators/graph.py``): without
+    truncation every round's plan re-nests all earlier rewrites and
+    Catalyst re-optimizes a fold-of-folds expression whose analysis
+    cost grows superlinearly in the round count. Measured ×1 wall
+    time at rounds 2/8/32 in SCALE.md (round-8 table) — exponent ≈
+    linear in rounds with the checkpoint, blowing up without it.
 
     Returns (merge_round int, left_sym, right_sym, pair_count) —
     one row per learned merge rule."""
@@ -1003,6 +1018,8 @@ def bpe_merge_rounds(
                 "doc_id",
                 _merge_fold(F.col("t"), F.col("l"), F.col("r")).alias("t"),
             )
+            if checkpoint_every and rnd % checkpoint_every == 0:
+                cur = cur.localCheckpoint()
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
