@@ -45,6 +45,23 @@ from shopify_db_spark.operators.planutil import (
 #: Unknown-sized lineages (Spark Connect — ``planutil``) take the
 #: safe non-broadcast path. Same gating scheme as the df table in
 #: ``dedup.PREFIX_DF_BROADCAST_SOURCE_BYTES``.
+#:
+#: Sizing argument for 8 MiB: the gate reads the SOURCE-scan
+#: estimate, and between the scan and the broadcast the rows
+#: inflate ~2–3× — float vectors widen to double, a norm column is
+#: projected, and ``BroadcastHashJoin`` materializes an uncompressed
+#: long-keyed relation of JVM rows — so the physical broadcast is
+#: ≤ ~16–24 MiB. That keeps it (a) the same order as Spark's own
+#: ``spark.sql.autoBroadcastJoinThreshold`` default (10 MB), the
+#: community consensus for "cheap to build on the driver and hold
+#: per executor"; (b) ≪1% of a typical 4–16 GiB executor heap, so
+#: every probe task can hold it next to its shuffle buffers; and
+#: (c) small enough that re-shipping it to 1000 executors (~20 GB
+#: aggregate network) still beats the two shuffle sorts it replaces.
+#: Deliberately a source-bytes constant rather than reading the
+#: session's autoBroadcastJoinThreshold: that conf gates PHYSICAL
+#: plan sizes and is commonly raised for dimension tables without
+#: intending to widen data-derived ANN query slices with it.
 ANN_QUERY_BROADCAST_SOURCE_BYTES = 8 << 20
 
 
