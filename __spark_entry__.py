@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_SAMPLED = [
     "q104_embedding_quantize",  # r7 driver err (ndarray canonicalize) — fixed r8, needs a green row
     "q112_ann_recall_gate",  # new in round 8
+    "q113_incremental_ann_evict",  # new in round 8
 ]
 
 

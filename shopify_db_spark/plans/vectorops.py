@@ -1403,3 +1403,97 @@ def q112_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_floor_met"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q113: distance-admission incremental ANN — q108's streaming-ingest
+# shape with the PRODUCTION eviction policy (round-8 addition): a
+# full cell evicts its farthest-from-centroid entry instead of
+# rejecting the arrival. Unlike a trained codebook, this policy IS
+# exactly SQL-expressible, because keeping the per-cell top-cap by a
+# FIXED total order (centroid cosine DESC, batch ASC, id ASC) is
+# prefix-stable: top-cap(prefix ∪ batch) = top-cap(all arrivals so
+# far) — an item outside the running top-cap can never re-enter. So
+# the oracle ranks each batch-b query against the top-cap of
+# arrivals from batches < b, and the driver checks the evicting
+# index's exact probe results, mirroring the q108 (arrival-rank)
+# pairing the way q30/q38 pair baseline and production.
+_Q113_NBATCH = 3
+_Q113_CAP = 8
+_Q113_K = 3
+
+
+@query(
+    "q113_incremental_ann_evict",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id, c_cos FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           {_sql_cosine('v.embedding', 'c.cv')} AS c_cos,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE r = 1
+),
+arr AS (
+  SELECT vec_id, embedding, centroid_id, c_cos,
+         vec_id % {_Q113_NBATCH} AS batch
+  FROM assigned
+),
+visible AS (
+  SELECT qb.batch AS qbatch, c.vec_id, c.embedding, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY qb.batch, c.centroid_id
+           ORDER BY c.c_cos DESC, c.batch ASC, c.vec_id ASC) AS cell_rank
+  FROM (SELECT DISTINCT batch FROM arr) qb
+  JOIN arr c ON c.batch < qb.batch
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.embedding', 'c.embedding')} AS cosine
+  FROM arr q JOIN visible c
+    ON c.qbatch = q.batch
+   AND c.centroid_id = q.centroid_id
+   AND c.cell_rank <= {_Q113_CAP}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_Q113_K}
+""",
+)
+def q113_incremental_ann_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-admission incremental ANN
+    (``operators.similarity.incremental_ivf_topk`` with
+    ``admit="distance"``): three arrival batches probe-then-admit
+    against a per-cell IVF index where a full cell evicts its
+    farthest-from-centroid entry. The engine runs the true
+    incremental loop (per-cell re-rank touches only cap + batch-cell
+    rows; settled rows never re-shuffle across cells); the oracle
+    exploits prefix-stability of the fixed-order top-cap to restate
+    the evicting index declaratively, so every probe result is
+    hash-checked exactly. Recall dominance of this policy over
+    arrival-rank admission is asserted separately on the clustered
+    pytest fixture (0.251 vs 0.142 at a squeezing cap).
+
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    from shopify_db_spark.operators.similarity import incremental_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    batches = [
+        emb.filter(F.col("vec_id") % _Q113_NBATCH == b)
+        for b in range(_Q113_NBATCH)
+    ]
+    return incremental_ivf_topk(
+        batches, centroids, k=_Q113_K, cell_cap=_Q113_CAP, admit="distance"
+    )
