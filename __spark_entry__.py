@@ -39,6 +39,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q104_embedding_quantize",  # r7 driver err (ndarray canonicalize) — fixed r8, needs a green row
     "q112_ann_recall_gate",  # new in round 8
     "q113_incremental_ann_evict",  # new in round 8
+    "q114_streaming_ann",  # new in round 8
 ]
 
 

@@ -622,6 +622,100 @@ def rrf_fuse(
     )
 
 
+def ann_index_probe(a: DataFrame, index: DataFrame, k: int) -> DataFrame:
+    """One probe step of the incremental ANN index: the assigned
+    batch (``ivf_assign`` output) equi-joins the capped per-cell
+    index on the cell id and ranks exact cosines per query — join
+    fan-in bounded at cell_cap × batch-cell rows. Shared by the
+    batch loop (:func:`incremental_ivf_topk`) and the Structured
+    Streaming twin (``plans.streamops`` q114)."""
+    scored = (
+        a.select(
+            F.col("vec_id").alias("query_id"), "v", "vn", "centroid_id"
+        )
+        .join(index, "centroid_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def ann_index_admit(
+    a: DataFrame,
+    index: DataFrame | None,
+    counts: DataFrame | None,
+    cell_cap: int,
+    admit: str,
+    arr: int,
+) -> tuple[DataFrame, DataFrame | None]:
+    """One admission step of the incremental ANN index; returns the
+    new (index, counts) pair, localCheckpoint-truncated (the index
+    chains across batches). ``admit="arrival"``: stored count +
+    within-batch rank ≤ cap, carried counts. ``admit="distance"``:
+    per-cell top-cap by (centroid cosine DESC, batch ASC, id ASC) —
+    full cells evict the farthest entry; prefix-stable, no counts
+    needed. See :func:`incremental_ivf_topk` for the contracts."""
+    if admit == "distance":
+        arrivals = a.select(
+            "centroid_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+            F.col("c_cos").alias("ccos"),
+            F.lit(arr).alias("arr"),
+        )
+        cand = arrivals if index is None else index.unionByName(arrivals)
+        # per-cell re-rank over cell_cap + batch-cell rows —
+        # bounded by construction, never corpus-sized
+        we = Window.partitionBy("centroid_id").orderBy(
+            F.desc("ccos"), F.asc("arr"), F.asc("neighbor_id")
+        )
+        new_index = (
+            cand.withColumn("rr", F.row_number().over(we))
+            .filter(F.col("rr") <= cell_cap)
+            .drop("rr")
+            .localCheckpoint()
+        )
+        return new_index, None
+    wr = Window.partitionBy("centroid_id").orderBy("vec_id")
+    ranked = a.withColumn("r", F.row_number().over(wr))
+    if counts is not None:
+        ranked = ranked.join(counts, "centroid_id", "left").withColumn(
+            "n_stored", F.coalesce(F.col("n_stored"), F.lit(0))
+        )
+    else:
+        ranked = ranked.withColumn("n_stored", F.lit(0))
+    admitted = ranked.filter(
+        F.col("n_stored") + F.col("r") <= cell_cap
+    ).select(
+        "centroid_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("vn").alias("cn"),
+    )
+    new_index = (
+        admitted if index is None else index.unionByName(admitted)
+    ).localCheckpoint()
+    # recount from the index: it is cap-bounded per cell, so this
+    # aggregate is index-sized, not corpus-sized
+    new_counts = new_index.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_stored")
+    )
+    return new_index, new_counts
+
+
 def incremental_ivf_topk(
     batches: list[DataFrame],
     centroids: DataFrame,
@@ -676,84 +770,9 @@ def incremental_ivf_topk(
         # plan does not re-derive every earlier assignment
         a = a.localCheckpoint()
         if index is not None:
-            scored = (
-                a.select(
-                    F.col("vec_id").alias("query_id"),
-                    "v",
-                    "vn",
-                    "centroid_id",
-                )
-                .join(index, "centroid_id")
-                .select(
-                    "query_id",
-                    "neighbor_id",
-                    cosine_with_norms(
-                        F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")
-                    ).alias("cosine"),
-                )
-            )
-            w = Window.partitionBy("query_id").orderBy(
-                F.desc("cosine"), F.asc("neighbor_id")
-            )
-            outs.append(
-                scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select(
-                    "query_id",
-                    "neighbor_id",
-                    "cosine",
-                    F.col("rank").cast("int"),
-                )
-            )
-        if admit == "distance":
-            arrivals = a.select(
-                "centroid_id",
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("v").alias("cv"),
-                F.col("vn").alias("cn"),
-                F.col("c_cos").alias("ccos"),
-                F.lit(arr).alias("arr"),
-            )
-            cand = (
-                arrivals
-                if index is None
-                else index.unionByName(arrivals)
-            )
-            # per-cell re-rank over cell_cap + batch-cell rows —
-            # bounded by construction, never corpus-sized
-            we = Window.partitionBy("centroid_id").orderBy(
-                F.desc("ccos"), F.asc("arr"), F.asc("neighbor_id")
-            )
-            index = (
-                cand.withColumn("rr", F.row_number().over(we))
-                .filter(F.col("rr") <= cell_cap)
-                .drop("rr")
-                .localCheckpoint()
-            )
-            continue
-        wr = Window.partitionBy("centroid_id").orderBy("vec_id")
-        ranked = a.withColumn("r", F.row_number().over(wr))
-        if counts is not None:
-            ranked = ranked.join(counts, "centroid_id", "left").withColumn(
-                "n_stored", F.coalesce(F.col("n_stored"), F.lit(0))
-            )
-        else:
-            ranked = ranked.withColumn("n_stored", F.lit(0))
-        admitted = ranked.filter(
-            F.col("n_stored") + F.col("r") <= cell_cap
-        ).select(
-            "centroid_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("v").alias("cv"),
-            F.col("vn").alias("cn"),
-        )
-        index = (
-            admitted if index is None else index.unionByName(admitted)
-        ).localCheckpoint()
-        # recount from the index: it is cap-bounded per cell, so this
-        # aggregate is index-sized, not corpus-sized
-        counts = index.groupBy("centroid_id").agg(
-            F.count(F.lit(1)).alias("n_stored")
+            outs.append(ann_index_probe(a, index, k))
+        index, counts = ann_index_admit(
+            a, index, counts, cell_cap, admit, arr
         )
     if not outs:
         spark = batches[0].sparkSession

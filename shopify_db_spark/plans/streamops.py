@@ -748,3 +748,124 @@ def q90_incremental_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         return state["cells"]
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q114: Structured Streaming twin of the distance-admission
+# incremental ANN (q113) — the same probe-then-admit/evict steps
+# (``operators.similarity.ann_index_probe`` / ``ann_index_admit``,
+# literally shared code) driven by a real streaming query:
+# deterministic one-file-per-trigger micro-batches, the capped
+# per-cell index carried across batches inside ``foreachBatch``.
+# Because the steps are shared and the batch boundaries identical,
+# the stream's accumulated probe output must hash-match q113's
+# declarative oracle — the driver certifies the STREAMING
+# maintenance path, not just the batch loop.
+def streaming_ann_maintenance(
+    spark: SparkSession,
+    vectors: DataFrame,
+    n_batches: int,
+    centroids: DataFrame,
+    k: int = 3,
+    cell_cap: int = 8,
+    admit: str = "distance",
+) -> DataFrame:
+    """Run incremental ANN index maintenance as a bounded
+    Structured Streaming job: ``vectors`` (vec_id, embedding,
+    batch) replays one batch per trigger; each micro-batch probes
+    the accumulated per-cell index for its exact-cosine top-k, then
+    is admitted under ``admit`` (see
+    ``similarity.incremental_ivf_topk`` for the two policies). At
+    scale the file source becomes kafka/kinesis and the carried
+    index lives in a table instead of a localCheckpoint chain — the
+    per-batch work (probe join ≤ cap × batch-cell rows, admission
+    re-rank ≤ cap + batch-cell rows per cell) is unchanged.
+    Returns (query_id, neighbor_id, cosine, rank) over all batches."""
+    from shopify_db_spark.operators.similarity import (
+        ann_index_admit,
+        ann_index_probe,
+        ivf_assign,
+    )
+
+    stream_dir = _write_batch_files(vectors, "batch", n_batches)
+    state: dict = {"index": None, "counts": None, "out": None, "arr": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            state["arr"] += 1
+            return
+        a = ivf_assign(
+            batch_df, centroids, keep_score=(admit == "distance")
+        ).localCheckpoint()
+        if state["index"] is not None:
+            out = ann_index_probe(a, state["index"], k)
+            state["out"] = (
+                out
+                if state["out"] is None
+                else state["out"].unionByName(out)
+            ).localCheckpoint()
+        state["index"], state["counts"] = ann_index_admit(
+            a, state["index"], state["counts"], cell_cap, admit, state["arr"]
+        )
+        state["arr"] += 1
+
+    try:
+        q = (
+            spark.readStream.schema(vectors.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["out"] is not None:
+            return state["out"]
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cosine double, rank int",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
+def _q114_oracle() -> str:
+    from shopify_db_spark.plans.vectorops import _Q113_ORACLE
+
+    return _Q113_ORACLE
+
+
+@query("q114_streaming_ann", oracle=_q114_oracle())
+def q114_streaming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q113's distance-admission incremental ANN as a REAL
+    Structured Streaming job (:func:`streaming_ann_maintenance`):
+    the embeddings replay as three deterministic micro-batches
+    (``vec_id % 3``, one file per trigger), ``foreachBatch`` probes
+    then admits/evicts via the SAME step operators as the batch
+    loop, and the accumulated probe output is checked against
+    q113's declarative oracle — streaming and batch paths are
+    certified equivalent by the driver itself.
+
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    from shopify_db_spark.plans.vectorops import (
+        _Q113_CAP,
+        _Q113_K,
+        _Q113_NBATCH,
+        CENTROID_MOD,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    vecs = emb.withColumn(
+        "batch", (F.col("vec_id") % _Q113_NBATCH).cast("long")
+    )
+    return streaming_ann_maintenance(
+        spark,
+        vecs,
+        _Q113_NBATCH,
+        centroids,
+        k=_Q113_K,
+        cell_cap=_Q113_CAP,
+        admit="distance",
+    )

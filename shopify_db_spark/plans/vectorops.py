@@ -1423,9 +1423,7 @@ _Q113_CAP = 8
 _Q113_K = 3
 
 
-@query(
-    "q113_incremental_ann_evict",
-    oracle=f"""
+_Q113_ORACLE = f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
   WHERE vec_id % {CENTROID_MOD} = 0
@@ -1469,8 +1467,10 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {_Q113_K}
-""",
-)
+"""
+
+
+@query("q113_incremental_ann_evict", oracle=_Q113_ORACLE)
 def q113_incremental_ann_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-admission incremental ANN
     (``operators.similarity.incremental_ivf_topk`` with
