@@ -40,6 +40,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q112_ann_recall_gate",  # new in round 8
     "q113_incremental_ann_evict",  # new in round 8
     "q114_streaming_ann",  # new in round 8
+    "q115_bpe_encode",  # new in round 8
 ]
 
 

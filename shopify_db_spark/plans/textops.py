@@ -1026,7 +1026,14 @@ def bpe_merge_rounds(
     return out
 
 
-def _q110_round_ctes(n_rounds: int) -> str:
+def _q110_round_ctes(n_rounds: int, rewrite_last: bool = False) -> str:
+    """Chained per-round CTEs (pair counts → 1-row argmax → greedy
+    list_reduce rewrite). ``rewrite_last`` also applies round
+    ``n_rounds``'s rule and returns only the CTE chain (no trailing
+    SELECT) with the final rewritten corpus in ``m{n_rounds}`` —
+    the q115 ENCODE contract, where all R learned rules are applied;
+    default mirrors q110's TRAIN contract, where the last rule is
+    learned but the corpus is not rewritten again."""
     parts = []
     src = "toks"
     for rnd in range(1, n_rounds + 1):
@@ -1037,7 +1044,7 @@ p{rnd} AS (
   GROUP BY l, r
 ),
 b{rnd} AS (SELECT l, r, c FROM p{rnd} ORDER BY c DESC, l ASC, r ASC LIMIT 1)""")
-        if rnd < n_rounds:
+        if rnd < n_rounds or rewrite_last:
             parts.append(f"""
 m{rnd} AS (
   SELECT doc_id,
@@ -1049,6 +1056,8 @@ m{rnd} AS (
   FROM {src} CROSS JOIN b{rnd}
 )""")
             src = f"m{rnd}"
+    if rewrite_last:
+        return ",".join(parts)
     selects = " UNION ALL ".join(
         f"SELECT {rnd} AS merge_round, l AS left_sym, r AS right_sym, "
         f"CAST(c AS BIGINT) AS pair_count FROM b{rnd}"
@@ -1072,3 +1081,86 @@ def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_reduce rewrite), so the driver checks the learned merge
     table rule-for-rule, counts included."""
     return bpe_merge_rounds(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q115: BPE ENCODE — the application side of the tokenizer tier
+# (q110 trains the merge table; q115 applies all R learned rules to
+# the corpus and reports per-document token counts). The engine
+# never collects the rules: each round's 1-row argmax broadcasts
+# into the next fold exactly as in training, so encode is the same
+# map-only rewrite chain (vocab²-bounded pair-count shuffle per
+# round, checkpoint-every-k lineage truncation); at 100 TB the
+# trained rule table would be a tiny broadcast and the encode pass
+# pure map. The oracle chains the identical rewrites through round
+# R (``rewrite_last=True``) and compares raw vs encoded lengths
+# per document — each successful merge shortens a sequence by one,
+# so the counts pin the greedy fold application exactly.
+def bpe_encode(
+    docs: DataFrame,
+    n_rounds: int = _Q110_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Train-and-apply BPE over ``docs``: learn ``n_rounds`` merge
+    rules (same loop as :func:`bpe_merge_rounds`) and rewrite the
+    corpus with EVERY rule, returning
+    (doc_id, n_tokens_raw, n_tokens_encoded). See the q115 section
+    comment for the scale shape."""
+    cur = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            TX.tokens(F.col(text_col)).alias("t"),
+        )
+        .filter(F.size("t") >= 1)
+        .withColumn("n_tokens_raw", F.size("t"))
+    )
+    for rnd in range(1, n_rounds + 1):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t)-1), "
+                    "(x, i) -> struct(x AS l, t[i+1] AS r))"
+                )
+            ).alias("p")
+        ).select("p.l", "p.r")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            "n_tokens_raw",
+            _merge_fold(F.col("t"), F.col("l"), F.col("r")).alias("t"),
+        )
+        if checkpoint_every and rnd % checkpoint_every == 0:
+            cur = cur.localCheckpoint()
+    return cur.select(
+        "doc_id",
+        "n_tokens_raw",
+        F.size("t").alias("n_tokens_encoded"),
+    )
+
+
+@query(
+    "q115_bpe_encode",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 1
+),{_q110_round_ctes(_Q110_ROUNDS, rewrite_last=True)}
+SELECT t.doc_id,
+       CAST(len(t.t) AS INT) AS n_tokens_raw,
+       CAST(len(m.t) AS INT) AS n_tokens_encoded
+FROM toks t JOIN m{_Q110_ROUNDS} m ON m.doc_id = t.doc_id
+""",
+)
+def q115_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application over the documents corpus — apply the
+    q110-trained merge table end-to-end and report per-document raw
+    vs encoded token counts; see :func:`bpe_encode`. Every merge
+    shortens a document by exactly one token, so the count pair
+    hash-checks the greedy fold application rule-for-rule."""
+    return bpe_encode(load_table(spark, sf_dir, "documents"))
