@@ -41,6 +41,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q113_incremental_ann_evict",  # new in round 8
     "q114_streaming_ann",  # new in round 8
     "q115_bpe_encode",  # new in round 8
+    "q116_contrastive_pairs",  # new in round 8
 ]
 
 

@@ -198,6 +198,84 @@ def cosine_topk(
     )
 
 
+def contrastive_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k_pos: int = 3,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """Contrastive pair mining for metric-learning training data:
+    per anchor, the ``k_pos`` HARDEST POSITIVES (same label,
+    highest cosine, self excluded — the pairs a contrastive loss
+    must keep together) and the ``k_neg`` HARD NEGATIVES (different
+    label, highest cosine — the pairs it must push apart; mining
+    near-boundary negatives is what makes triplet/InfoNCE batches
+    informative). Returns (query_id, kind 'pos'|'neg', neighbor_id,
+    cosine, rank), rank per (query, kind).
+
+    Same scale machinery as :func:`cosine_topk` — plan-time-gated
+    query broadcast, blocked pair grid beyond the bound (the label
+    predicate rides the pair projection either way); this is the
+    brute-force baseline tier, and the production composition is
+    per-label IVF (bound candidates with :func:`ivf_ann` cells,
+    then split by label) once corpora outgrow it."""
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+            F.col(label_col).alias("q_label"),
+        )
+    ).withColumn("qn", norm(F.col("qv")))
+    c = (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+            F.col(label_col).alias("c_label"),
+        )
+    ).withColumn("cn", norm(F.col("cv")))
+    if broadcast_queries is None:
+        broadcast_queries = (
+            plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
+        )
+    if broadcast_queries:
+        pairs = F.broadcast(q).join(
+            c, F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        blocks = _grid_blocks(queries)
+        pairs = blocked_pair_join(
+            q, c, blocks, blocks, "query_id", "neighbor_id"
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_with_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
+        F.when(F.col("c_label") == F.col("q_label"), F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("kind"),
+    )
+    w = Window.partitionBy("query_id", "kind").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    k_of = F.when(F.col("kind") == "pos", F.lit(k_pos)).otherwise(
+        F.lit(k_neg)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_of)
+        .select(
+            "query_id", "kind", "neighbor_id", "cosine",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
 def lsh_plane_weight(plane: int, dim: int) -> int:
     """Deterministic pseudo-random hyperplane weight in [-6, 6]:
     ``((dim*31 + plane*17 + 7) % 13) - 6``. Integer weights make the

@@ -1497,3 +1497,50 @@ def q113_incremental_ann_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_ivf_topk(
         batches, centroids, k=_Q113_K, cell_cap=_Q113_CAP, admit="distance"
     )
+
+
+# ---------------------------------------------------------------------------
+# q116: contrastive pair mining — per anchor, the hardest positives
+# (same label, highest cosine) and hard negatives (different label,
+# highest cosine), the batch-construction primitive for
+# triplet/InfoNCE metric learning over the corpus. Baseline tier
+# with the gated-broadcast/grid machinery (the label predicate is a
+# pair-projection CASE, adding nothing to the join shape); the
+# production composition bounds candidates with IVF cells first.
+_Q116_KP = 3
+_Q116_KN = 3
+
+_Q116_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'c.embedding')} AS cosine,
+         CASE WHEN c.label = q.q_label THEN 'pos' ELSE 'neg' END AS kind
+  FROM q JOIN embeddings c ON c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, kind
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, kind, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked
+WHERE rank <= CASE kind WHEN 'pos' THEN {_Q116_KP} ELSE {_Q116_KN} END
+"""
+
+
+@query("q116_contrastive_pairs", oracle=_Q116_ORACLE)
+def q116_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining over the embeddings corpus
+    (``operators.similarity.contrastive_topk``): hardest positives
+    + hard negatives per anchor — see the section comment.
+
+    Returns (query_id, kind, neighbor_id, cosine, rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return SIM.contrastive_topk(
+        queries, emb, k_pos=_Q116_KP, k_neg=_Q116_KN
+    )

@@ -1034,3 +1034,50 @@ def test_bpe_long_chain_checkpointed_and_ansi_safe(spark):
     # round 1 learns the globally dominant bigram with its count
     assert (out[0]["left_sym"], out[0]["right_sym"]) == ("s0", "s1")
     assert out[0]["pair_count"] == 6
+
+
+def test_contrastive_topk_semantics_and_grid_parity(spark, clustered_vecs):
+    """q116's operator on the clustered fixture: hardest positives
+    share the anchor's label, hard negatives never do, ranks are
+    per-(query, kind) — and the forced blocked-grid path (the 100 TB
+    fallback beyond the broadcast bound) is bit-identical to the
+    broadcast path, the same parity contract as cosine_topk."""
+    from shopify_db_spark.operators.similarity import contrastive_topk
+
+    labeled = clustered_vecs.withColumn(
+        "label", (F.col("vec_id") / 50).cast("int")
+    )
+    queries = labeled.filter(F.col("vec_id") % 25 == 0)
+    rows = contrastive_topk(
+        queries, labeled, k_pos=2, k_neg=2, broadcast_queries=True
+    ).collect()
+    assert rows
+    lab = {r["vec_id"]: r["label"] for r in labeled.collect()}
+    for r in rows:
+        same = lab[r["query_id"]] == lab[r["neighbor_id"]]
+        assert same == (r["kind"] == "pos"), r
+        assert 1 <= r["rank"] <= 2
+    # positives in a tight cluster should sit above its negatives
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {}).setdefault(r["kind"], []).append(
+            r["cosine"]
+        )
+    n_dominant = sum(
+        1
+        for kinds in by_q.values()
+        if "pos" in kinds and "neg" in kinds
+        and max(kinds["pos"]) > max(kinds["neg"])
+    )
+    assert n_dominant >= len(by_q) * 0.6, "clusters not separating"
+    got_b = {
+        (r["query_id"], r["kind"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in rows
+    }
+    got_g = {
+        (r["query_id"], r["kind"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in contrastive_topk(
+            queries, labeled, k_pos=2, k_neg=2, broadcast_queries=False
+        ).collect()
+    }
+    assert got_b == got_g, "grid path diverges from broadcast path"
