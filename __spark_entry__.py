@@ -42,6 +42,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q114_streaming_ann",  # new in round 8
     "q115_bpe_encode",  # new in round 8
     "q116_contrastive_pairs",  # new in round 8
+    "q117_contrastive_ivf",  # new in round 8
 ]
 
 

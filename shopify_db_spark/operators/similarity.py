@@ -276,6 +276,94 @@ def contrastive_topk(
     )
 
 
+def contrastive_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k_pos: int = 3,
+    k_neg: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """The PRODUCTION tier of :func:`contrastive_topk`: bound the
+    candidate set with the IVF coarse quantizer first (queries probe
+    their ``nprobe`` best cells, candidates live in exactly one
+    cell, pair volume is cell-bounded), then split the probed
+    candidates into hardest positives / hard negatives by label.
+    Same plan geometry as :func:`ivf_ann` — broadcast centroids for
+    the n×K assignment, plan-time-gated query broadcast on the cell
+    equi-join — so the mining pass scales exactly like the ANN tier
+    it reuses. Returns (query_id, kind, neighbor_id, cosine, rank)."""
+    from shopify_db_spark.operators.planutil import maybe_broadcast
+
+    qlab = queries.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("q_label")
+    )
+    clab = candidates.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("c_label")
+    )
+    q = (
+        ivf_assign(queries, centroids, id_col, vec_col, n_best=nprobe)
+        .join(qlab, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vn").alias("qn"),
+            "centroid_id",
+            "q_label",
+        )
+    )
+    c = (
+        ivf_assign(candidates, centroids, id_col, vec_col)
+        .join(clab, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+            F.col("centroid_id").alias("c_cell"),
+            "c_label",
+        )
+    )
+    if broadcast_queries is None:
+        broadcast_queries = (
+            plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
+        )
+    pairs = maybe_broadcast(
+        q, ANN_QUERY_BROADCAST_SOURCE_BYTES, force=broadcast_queries
+    ).join(
+        c,
+        (F.col("c_cell") == F.col("centroid_id"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_with_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cosine"),
+        F.when(F.col("c_label") == F.col("q_label"), F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("kind"),
+    )
+    w = Window.partitionBy("query_id", "kind").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    k_of = F.when(F.col("kind") == "pos", F.lit(k_pos)).otherwise(
+        F.lit(k_neg)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_of)
+        .select(
+            "query_id", "kind", "neighbor_id", "cosine",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
 def lsh_plane_weight(plane: int, dim: int) -> int:
     """Deterministic pseudo-random hyperplane weight in [-6, 6]:
     ``((dim*31 + plane*17 + 7) % 13) - 6``. Integer weights make the

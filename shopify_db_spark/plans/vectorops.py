@@ -1544,3 +1544,72 @@ def q116_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.contrastive_topk(
         queries, emb, k_pos=_Q116_KP, k_neg=_Q116_KN
     )
+
+
+# ---------------------------------------------------------------------------
+# q117: the PRODUCTION tier of q116 — contrastive mining with the
+# candidate set bounded by the IVF coarse quantizer (q101's
+# deterministic codebook + nprobe geometry) before the label split,
+# so pair volume is cell-bounded instead of |Q|×|C|. q116/q117
+# mirror the q30/q38 baseline/production pairing for the mining
+# tier; the oracle restates the probed-cell candidate universe and
+# the per-(query, kind) ranking declaratively.
+_Q117_KP = 3
+_Q117_KN = 3
+
+_Q117_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+scored_assign AS (
+  SELECT v.vec_id, v.embedding, v.label, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                    c.centroid_id ASC) AS r
+  FROM embeddings v CROSS JOIN cent c
+),
+cand AS (
+  SELECT vec_id, embedding, label, centroid_id
+  FROM scored_assign WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS q_label, centroid_id
+  FROM scored_assign WHERE r <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'c.embedding')} AS cosine,
+         CASE WHEN c.label = q.q_label THEN 'pos' ELSE 'neg' END AS kind
+  FROM q JOIN cand c
+    ON c.centroid_id = q.centroid_id AND c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, kind
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, kind, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked
+WHERE rank <= CASE kind WHEN 'pos' THEN {_Q117_KP} ELSE {_Q117_KN} END
+"""
+
+
+@query("q117_contrastive_ivf", oracle=_Q117_ORACLE)
+def q117_contrastive_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bounded contrastive pair mining
+    (``operators.similarity.contrastive_topk_ivf``) — see the
+    section comment. Returns (query_id, kind, neighbor_id, cosine,
+    rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return SIM.contrastive_topk_ivf(
+        queries,
+        emb,
+        centroids,
+        k_pos=_Q117_KP,
+        k_neg=_Q117_KN,
+        nprobe=NPROBE,
+    )
