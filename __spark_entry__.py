@@ -30,19 +30,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["q01_pricing_summary"].fn(spark, SMOKE_SF_DIR)
 
 
-#: Queries the external driver's per-round 50-query sample has never
-#: checked through round 6 (their evidence is the local full-catalog
-#: gate + pytest). Surfaced FIRST in registration order so an
-#: order-sensitive sampler reaches them; harmless if the sample is
+#: Queries surfaced FIRST in registration order so an order-sensitive
+#: 50-query driver sampler reaches them; harmless if the sample is
 #: uniform. Remove entries as CORRECTNESS_r{N}.json covers them.
+#: Round-9 contents (per the r8 verdict): the r8 additions all went
+#: green in CORRECTNESS_r08, so the list rotates to the STALE set —
+#: queries whose newest driver pass is round 1, four of which
+#: (q30/q31/q32/q38) sit on `operators/similarity.py`, substantially
+#: restructured in rounds 7–8 after that evidence — plus the two new
+#: round-9 queries.
 _NEVER_DRIVER_SAMPLED = [
-    "q104_embedding_quantize",  # r7 driver err (ndarray canonicalize) — fixed r8, needs a green row
-    "q112_ann_recall_gate",  # new in round 8
-    "q113_incremental_ann_evict",  # new in round 8
-    "q114_streaming_ann",  # new in round 8
-    "q115_bpe_encode",  # new in round 8
-    "q116_contrastive_pairs",  # new in round 8
-    "q117_contrastive_ivf",  # new in round 8
+    "q118_image_phash_dedup",  # new in round 9
+    "q119_balanced_clusters",  # new in round 9
+    "q30_cosine_topk",  # r1-stale; similarity.py rebuilt r7-r8
+    "q31_lsh_ann",  # r1-stale; similarity.py rebuilt r7-r8
+    "q32_embedding_dedup",  # r1-stale; similarity.py rebuilt r7-r8
+    "q38_ivf_ann",  # r1-stale; similarity.py rebuilt r7-r8
+    "q39_running_totals",  # r1-stale
+    "q46_priority_pivot",  # r1-stale
+    "q01_pricing_summary",  # r1-stale
+    "q02_top_order_per_customer",  # r1-stale
+    "q03_regional_revenue",  # r1-stale
+    "q04_union_distinct_branches",  # r1-stale
+    "q05_order_price_reconcile",  # r1-stale
+    "q06_orderkey_gaps",  # r1-stale
+    "q07_composite_key_join",  # r1-stale
+    "q08_group_numbering",  # r1-stale
+    "q09_predicate_gallery",  # r1-stale
+    "q10_scalar_gallery",  # r1-stale
+    "q11_first_per_group",  # r1-stale
+    "q12_global_aggregates",  # r1-stale
+    "q13_revenue_rollup",  # r1-stale
+    "q17_topk_per_group",  # r1-stale
+    "q18_semi_anti_joins",  # r1-stale
 ]
 
 

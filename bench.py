@@ -73,6 +73,39 @@ def materialize_partitioned(spark, sf_dir: str) -> str:
     return out
 
 
+def _canary(spark) -> float | None:
+    """Fixed-cost environment canary (VERDICT r8 #3): a constant-size
+    scan+aggregate over the sf0.001 lineitem file (same input no
+    matter what SF the bench runs at), timed best-of-two. Run once
+    right after warmup and once after the last query, its two
+    readings separate host/window elevation (both readings high, or
+    last ≫ first) from genuine per-query regressions (canary flat,
+    query slow) — arithmetically, instead of inferring from sibling
+    runs."""
+    from pyspark.sql import functions as F
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    if not os.path.exists(path):
+        return None
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(path)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from shopify_db_spark.plans import load_all
@@ -107,6 +140,8 @@ def main() -> None:
     # this, 54 queries of leaked cache + checkpoint RDDs degrade the
     # tail of the catalog by several ×(measured).
     spark.catalog.clearCache()
+
+    canary_first = _canary(spark)
 
     # Each query is timed as the best of two back-to-back runs:
     # single-run numbers swing ±50 % with GC timing, ContextCleaner
@@ -143,6 +178,8 @@ def main() -> None:
         if best is not None:
             timings[name] = round(best, 4)
 
+    canary_last = _canary(spark)
+
     total = round(sum(timings.values()), 4)
     try:
         sf_val: float | str = float(sf)
@@ -155,6 +192,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if canary_first is not None:
+        payload["canary"] = {"first": canary_first, "last": canary_last}
     if errors:
         payload["errors"] = errors
     if layout != "flat":
@@ -197,6 +236,8 @@ def main() -> None:
         "n_errors": len(errors),
         "full": os.path.basename(full_out),
     }
+    if canary_first is not None:
+        compact["canary"] = [round(canary_first, 2), round(canary_last, 2)]
     if errors:
         compact["error_queries"] = sorted(_short(n) for n in errors)[:20]
     if layout != "flat":

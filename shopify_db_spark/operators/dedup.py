@@ -279,6 +279,102 @@ def _simhash_blocks(max_hamming: int, bits: int) -> list[tuple[int, int]]:
     return out
 
 
+def hash64_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 4,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Pigeonhole-blocked near-dup pair join over a PRECOMPUTED
+    packed 64-bit fingerprint column — the generic geometry behind
+    :func:`simhash_pairs` (q27) and the media perceptual-hash dedup
+    (q118, where the fingerprint comes out of the injectable codec
+    boundary, not a Catalyst expression). Returns
+    (id_a, id_b, hamming), id_a < id_b, hamming ≤ ``max_hamming``.
+
+    Blocked self-join instead of O(n²): the signature splits into
+    ``max_hamming + 1`` disjoint blocks (the minimum block count
+    that still guarantees full recall — fewer blocks means WIDER
+    blocks, so each bucket key has ``2^width`` possible values and
+    buckets stay small); candidates must agree on at least one
+    (block_idx, block_value) key. Dedup of multi-block collisions
+    happens on (id_a, id_b) AFTER the cheap bit_count hamming
+    filter, so the shuffle dedups survivor pairs only.
+
+    ``max_bucket`` (the q26 LSH dial, mirrored declaratively by the
+    q118 oracle): at high ``max_hamming`` the blocks get NARROW
+    (e.g. 11 blocks of ~6 bits → ≤64 bucket values per block), so
+    at corpus scale every bucket goes hot and the candidate join
+    degrades toward N²/2^width. Capping bucket size keeps candidate
+    volume ≤ blocks × Σ cap² at a documented recall cost (pairs
+    whose every agreeing block is oversubscribed are missed) —
+    exactly the boilerplate-hot-key trade ``minhash_lsh_pairs``
+    makes. ``None`` (the q27 default, wide 13-bit blocks) keeps the
+    full-recall guarantee.
+
+    The signature table is localCheckpointed before the self-join:
+    AQE plans the pair join as broadcast (the signature side is tiny
+    — 8 bytes/doc), and a BroadcastExchange build side cannot reuse
+    the probe side's exchange, so without materialization the whole
+    signature lineage (tokenize→md5→64-sum, or the Arrow codec pass)
+    executes twice (measured ~40% of query time at sf0.1). The
+    checkpointed frame is #docs×16-byte rows — negligible at any
+    scale where the pair join itself is feasible — and its blocks
+    are reclaimed by ContextCleaner when the result is dropped (a
+    bare .persist() would accumulate across a long-lived session)."""
+    sh = signatures.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__sig")
+    ).localCheckpoint()
+    blocks = sh.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("__sig"), start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_value"),
+                    )
+                    for i, (start, width) in enumerate(
+                        _simhash_blocks(max_hamming, bits)
+                    )
+                ]
+            )
+        ).alias("blk"),
+    ).select("__id", "__sig", "blk.block_idx", "blk.block_value")
+    if max_bucket is not None:
+        sized = (
+            blocks.groupBy("block_idx", "block_value")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("block_idx", "block_value")
+        )
+        blocks = blocks.join(sized, ["block_idx", "block_value"])
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
+    ).alias("hamming")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_value") == F.col("b.block_value"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming,
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -289,64 +385,16 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs whose SimHash differs in ≤ ``max_hamming`` of
     ``bits`` bits. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
-
-    Blocked self-join instead of O(n²): the signature splits into
-    ``max_hamming + 1`` disjoint blocks (the minimum block count
-    that still guarantees full recall — fewer blocks means WIDER
-    blocks, so each bucket key has ``2^width`` possible values and
-    buckets stay small); candidates must agree on at least one
-    (block_idx, block_value) key. Dedup of multi-block collisions
-    happens on (doc_a, doc_b) AFTER the cheap bit_count hamming
-    filter, so the shuffle dedups survivor pairs only.
-
-    The signature table is localCheckpointed before the self-join:
-    AQE plans the pair join as broadcast (the signature side is tiny
-    — 8 bytes/doc), and a BroadcastExchange build side cannot reuse
-    the probe side's exchange, so without materialization the whole
-    tokenize→md5→64-sum lineage executes twice (measured ~40% of
-    query time at sf0.1). The checkpointed frame is #docs×16-byte
-    rows — negligible at any scale where the pair join itself is
-    feasible — and its blocks are reclaimed by ContextCleaner when
-    the result is dropped (a bare .persist() would accumulate
-    across a long-lived session)."""
-    sh = simhash(docs, id_col, text_col, bits, hash_family).localCheckpoint()
-    blocks = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_idx"),
-                        F.shiftright(F.col("simhash"), start)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("block_value"),
-                    )
-                    for i, (start, width) in enumerate(
-                        _simhash_blocks(max_hamming, bits)
-                    )
-                ]
-            )
-        ).alias("blk"),
-    ).select("doc_id", "simhash", "blk.block_idx", "blk.block_value")
-    a, b = blocks.alias("a"), blocks.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).alias("hamming")
-    return (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_value") == F.col("b.block_value"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming,
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    Signature from :func:`simhash`; pair geometry (pigeonhole blocks,
+    post-filter dedup, checkpointed signature) in
+    :func:`hash64_pairs`."""
+    sh = simhash(docs, id_col, text_col, bits, hash_family)
+    return hash64_pairs(
+        sh, max_hamming=max_hamming, bits=bits, hash_col="simhash"
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
     )
 
 

@@ -156,6 +156,95 @@ def extract_features(
     )
 
 
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def byte_ngram_phash(content: bytes, kind: str) -> int:
+    """Deterministic stand-in for a perceptual image hash: a 64-bit
+    SimHash over the blob's DISTINCT 4-grams (decoded as UTF-8 —
+    the synthetic media blobs are text bytes), packed exactly like
+    ``operators.dedup.simhash``'s md5 family (bit i = sign of the
+    summed ±1 charges from bit i%32 of hex half i//32 of
+    md5(gram)). Locality-sensitive by construction — blobs sharing
+    most 4-grams differ in few signature bits — and every step is
+    SQL-expressible, so the q118 DuckDB oracle reproduces the
+    fingerprint bit-for-bit from the source text. A real deployment
+    swaps in :func:`pil_ahash` (below) at the same injectable
+    boundary."""
+    s = content.decode("utf-8")
+    grams = {s[i : i + 4] for i in range(max(len(s) - 3, 1))}
+    acc = [0] * 64
+    for g in grams:
+        hexd = hashlib.md5(g.encode("utf-8")).hexdigest()
+        h0, h1 = int(hexd[:8], 16), int(hexd[8:16], 16)
+        for i in range(32):
+            acc[i] += ((h0 >> i) & 1) * 2 - 1
+            acc[32 + i] += ((h1 >> i) & 1) * 2 - 1
+    val = sum(1 << i for i in range(64) if acc[i] > 0)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def pil_ahash(content: bytes, kind: str) -> int:
+    """Real-codec perceptual hash for the injectable boundary: PIL
+    decode → 8×8 grayscale thumbnail → mean-threshold bits (the
+    classic aHash; bit i = pixel i ≥ mean, row-major), packed into
+    one signed 64-bit long with the same wrap convention as
+    :func:`byte_ngram_phash`. Non-image kinds fall back to the
+    deterministic stand-in; missing PIL degrades to
+    ``NotImplementedError`` exactly like :func:`decode_media`."""
+    if kind != "image":
+        return byte_ngram_phash(content, kind)
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "PIL is not installed; inject another fingerprint or use "
+            "byte_ngram_phash"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(content)).convert("L")
+    px = list(img.resize((8, 8), resample=Image.NEAREST).getdata())
+    mean = sum(px) / 64.0
+    val = sum(1 << i for i, p in enumerate(px) if p >= mean)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def media_fingerprint(
+    media: DataFrame,
+    fingerprint: Callable[[bytes, str], int] = byte_ngram_phash,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched 64-bit fingerprint extraction over the binary
+    column — :func:`extract_features`'s plumbing with a packed-long
+    output (8 bytes per media row downstream instead of a float
+    array; the pair join in ``dedup.hash64_pairs`` moves fingerprints
+    only, never blobs). Repartitions by ``media_id`` so blob bytes
+    spread evenly across tasks regardless of upstream layout."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "phash": pd.array(
+                    [
+                        fingerprint(bytes(c), k)
+                        for c, k in zip(pdf["content"], pdf["kind"])
+                    ],
+                    dtype="int64",
+                ),
+            })
+
+    return (
+        media.repartition("media_id")
+        .select("media_id", "kind", "content")
+        .mapInPandas(run, schema=PHASH_SCHEMA)
+    )
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes content through untouched (STUB — a
     real pipeline transcodes in the same mapInPandas shape as

@@ -1034,12 +1034,25 @@ def kmeans_codebook(
     codebook when recall matters more than reproducibility (k-means
     cells follow the data distribution; fixed seed keeps runs
     repeatable on identical input partitioning). Requires
-    ``pyspark.ml`` (always bundled with Spark)."""
+    ``pyspark.ml`` (always bundled with Spark).
+
+    The training input is hash-repartitioned on ``id_col`` to a
+    FIXED partition count and sorted within partitions (ADVICE r8):
+    kmeans|| init is partitioning-dependent, so without the pin the
+    trained codebook — and any recall gate built on it (q112) —
+    would shift with the session's parallelism / input splits. With
+    it, the model is a pure function of (data, k, seed)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = vectors.select(
-        array_to_vector(as_double(F.col(vec_col))).alias("features")
+    train = (
+        vectors.select(
+            F.col(id_col).alias("__id"),
+            array_to_vector(as_double(F.col(vec_col))).alias("features"),
+        )
+        .repartition(8, F.col("__id"))
+        .sortWithinPartitions("__id")
+        .select("features")
     )
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(train)
     centers = [

@@ -44,7 +44,10 @@ def _owner_alive(marker: str) -> bool:
     """True if ``marker`` names a pid that is still running (so the
     scratch dir beside it must not be pruned). Unreadable or
     malformed markers count as dead — the mtime gate already said
-    the dir is old."""
+    the dir is old. A live process owned by ANOTHER user raises
+    PermissionError from ``os.kill(pid, 0)`` — that is an ALIVE
+    signal (ADVICE r8), not a dead one; only ProcessLookupError
+    (no such pid) and read/parse failures mean dead."""
     import os
 
     try:
@@ -52,6 +55,8 @@ def _owner_alive(marker: str) -> bool:
             pid = int(fh.read().strip())
         os.kill(pid, 0)
         return True
+    except PermissionError:
+        return True  # pid exists, owned by another user
     except (OSError, ValueError):
         return False
 
@@ -93,7 +98,19 @@ def _scratch_dir(spark: SparkSession, prefix: str, sf_dir: str) -> str:
         for pfx in _SCRATCH_PREFIXES:
             for d in glob.glob(os.path.join(tmp, pfx + "*")):
                 if d.endswith(".owner"):
-                    continue  # handled beside its directory
+                    # Reclaim a marker orphaned by a racing remover /
+                    # partial cleanup (ADVICE r8): its companion dir is
+                    # gone, so nothing else will ever delete it.
+                    try:
+                        if (
+                            not os.path.exists(d[: -len(".owner")])
+                            and now - os.path.getmtime(d)
+                            > _SCRATCH_STALE_SECONDS
+                        ):
+                            os.remove(d)
+                    except OSError:  # pragma: no cover - racing remover
+                        pass
+                    continue  # live markers handled beside their dir
                 try:
                     stale = (
                         now - os.path.getmtime(d) > _SCRATCH_STALE_SECONDS

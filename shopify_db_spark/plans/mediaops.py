@@ -92,6 +92,127 @@ def q34_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q118: perceptual-hash image dedup (VERDICT r8 #4) — the multimodal
+# tier's missing dedup step. Composition of two driver-certified
+# pieces: the injectable codec boundary (q34's mapInPandas plumbing,
+# here emitting a packed 64-bit fingerprint instead of a float
+# array) and the SimHash pigeonhole block join (q27's geometry,
+# factored into ``dedup.hash64_pairs``). The fake codec is a SimHash
+# over the blob's distinct byte 4-grams with q27's exact md5 bit
+# convention, so the oracle recomputes the fingerprint bit-for-bit
+# from the source text — packing into one unsigned 64-bit value via
+# UBIGINT multiplication (DuckDB's signed << overflows at bit 63,
+# the reason q27's oracle kept two halves; xor/bit_count/>>/& all
+# take UBIGINT, so the pair SQL stays one-column).
+#
+# max_hamming=10 is the measured knee of the corpus's fingerprint
+# distance distribution (pairs: 16 at sf0.01, 1206 at sf0.1; the
+# density explodes ~2x per bit above it). 11 pigeonhole blocks of
+# 5-6 bits means ≤64 bucket values per block — hot at corpus scale —
+# so the engine passes max_bucket=50 (the q26 LSH dial) and the
+# oracle mirrors the cap declaratively in its `sized` CTE: recall
+# loss is only possible where EVERY agreeing block is oversubscribed,
+# and the two sides agree exactly by construction.
+_Q118_MAX_HAMMING = 10
+_Q118_MAX_BUCKET = 50
+
+_Q118_CHARGES = ",\n".join(
+    f"         SUM(((h{i // 32} >> {i % 32}) & 1) * 2 - 1) AS b{i:02d}"
+    for i in range(64)
+)
+_Q118_PACK = " + ".join(
+    f"CASE WHEN b{i:02d} > 0 THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END"
+    for i in range(64)
+)
+
+
+def _q118_oracle() -> str:
+    # One UNION ALL branch per pigeonhole block (DuckDB folds the
+    # union into one projection — measured sub-second at sf0.01).
+
+    from shopify_db_spark.operators.dedup import _simhash_blocks
+
+    block_rows = "\n  UNION ALL\n".join(
+        f"  SELECT media_id, phash, {i} AS block_idx,"
+        f" (phash >> {start}) & {(1 << width) - 1}::UBIGINT AS block_value"
+        f" FROM sig"
+        for i, (start, width) in enumerate(
+            _simhash_blocks(_Q118_MAX_HAMMING, 64)
+        )
+    )
+    return f"""
+WITH img AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+),
+grams AS (
+  SELECT DISTINCT media_id, substring(text, i, 4) AS g
+  FROM img, UNNEST(generate_series(1, GREATEST(length(text) - 3, 1))) AS u(i)
+),
+hs AS (
+  SELECT media_id,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h0,
+         CAST('0x' || substr(md5(g), 9, 8) AS BIGINT) AS h1
+  FROM grams
+),
+charges AS (
+  SELECT media_id,
+{_Q118_CHARGES}
+  FROM hs GROUP BY media_id
+),
+sig AS (
+  SELECT media_id, {_Q118_PACK} AS phash FROM charges
+),
+blocks AS (
+{block_rows}
+),
+sized AS (
+  SELECT block_idx, block_value FROM blocks
+  GROUP BY block_idx, block_value HAVING COUNT(*) <= {_Q118_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, a.phash AS ph_a,
+                  b.media_id AS media_b, b.phash AS ph_b
+  FROM blocks a
+  JOIN sized s ON s.block_idx = a.block_idx AND s.block_value = a.block_value
+  JOIN blocks b ON b.block_idx = a.block_idx AND b.block_value = a.block_value
+              AND a.media_id < b.media_id
+)
+SELECT media_a, media_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {_Q118_MAX_HAMMING}
+"""
+
+
+@query("q118_image_phash_dedup", oracle=_q118_oracle())
+def q118_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over the image subset of
+    the media table: fingerprints come out of the injectable Arrow
+    codec boundary (``multimodal.media_fingerprint`` — swap
+    ``pil_ahash`` in for real images, one function), pairs out of
+    the pigeonhole block join (``dedup.hash64_pairs``, q27's
+    driver-certified geometry) with the q26-style bucket cap. Blobs
+    are decoded exactly once; everything downstream of the codec
+    moves 8-byte fingerprints. Returns (media_a, media_b, hamming ≤
+    {_Q118_MAX_HAMMING})."""
+    from shopify_db_spark.operators.dedup import hash64_pairs
+
+    media = MM.synthesize_media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    sig = MM.media_fingerprint(media.filter(F.col("kind") == "image"))
+    return hash64_pairs(
+        sig,
+        max_hamming=_Q118_MAX_HAMMING,
+        id_col="media_id",
+        hash_col="phash",
+        max_bucket=_Q118_MAX_BUCKET,
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
+    )
+
+
 @query(
     "q35_frame_sample_plan",
     oracle="""

@@ -788,11 +788,19 @@ def streaming_ann_maintenance(
     )
 
     stream_dir = _write_batch_files(vectors, "batch", n_batches)
-    state: dict = {"index": None, "counts": None, "out": None, "arr": 0}
+    state: dict = {"index": None, "counts": None, "out": None, "seen": set()}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a transient failure can
+        # re-invoke the sink with the SAME batch_id (ADVICE r8).
+        # Arrival order is therefore derived from batch_id itself
+        # (== the file index under maxFilesPerTrigger=1 + oldest-
+        # first + availableNow), and replayed ids are skipped so a
+        # redelivery can't probe/admit the same batch twice.
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
         if batch_df.isEmpty():
-            state["arr"] += 1
             return
         a = ivf_assign(
             batch_df, centroids, keep_score=(admit == "distance")
@@ -805,9 +813,8 @@ def streaming_ann_maintenance(
                 else state["out"].unionByName(out)
             ).localCheckpoint()
         state["index"], state["counts"] = ann_index_admit(
-            a, state["index"], state["counts"], cell_cap, admit, state["arr"]
+            a, state["index"], state["counts"], cell_cap, admit, int(batch_id)
         )
-        state["arr"] += 1
 
     try:
         q = (

@@ -1,0 +1,110 @@
+"""Forced-ANSI smoke tests for the PUBLIC library entry points
+(VERDICT r8 #7).
+
+The catalog's ``@query`` wrapper pins ``spark.sql.ansi.enabled=false``
+(plans/catalog.py), so every gate/driver/bench run masks ANSI-only
+failures — but Spark 4 defaults ANSI ON, so a user calling these
+operators as library functions on a vanilla session gets the ANSI
+semantics. Round 8 found exactly one such latent crash
+(``element_at(acc, -1)`` in the BPE fold); this module makes the
+sweep systematic: each documented entry point runs once under a
+forced-ANSI session on small inputs. These are smoke tests (does the
+plan analyze + execute under ANSI), not value oracles — the value
+contracts live in the catalog gate and the per-operator tests.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.commerce_fixtures import build_tables
+from tests.conftest import SF_SMOKE
+
+
+@contextmanager
+def forced_ansi(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap here"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_filter_jaccard_pairs_ansi(spark, tiny_docs):
+    from shopify_db_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    with forced_ansi(spark):
+        pairs = prefix_filter_jaccard_pairs(
+            tiny_docs, n=3, threshold=0.5
+        ).collect()
+    # docs 1 and 4 are identical -> jaccard 1.0 pair must survive
+    assert any(
+        {r["doc_a"], r["doc_b"]} == {1, 4} and r["jaccard"] == 1.0
+        for r in pairs
+    )
+
+
+def test_incremental_ivf_topk_ansi_both_policies(spark):
+    from shopify_db_spark.operators.similarity import incremental_ivf_topk
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    batches = [
+        emb.filter(F.col("vec_id") % 3 == b).limit(40) for b in range(3)
+    ]
+    with forced_ansi(spark):
+        for admit in ("arrival", "distance"):
+            out = incremental_ivf_topk(
+                batches, centroids, k=2, cell_cap=8, admit=admit
+            )
+            assert out.count() > 0
+
+
+def test_ann_int8_ansi(spark):
+    from shopify_db_spark.plans.vectorops import ann_int8
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    with forced_ansi(spark):
+        out = ann_int8(queries, emb, k=3, nprobe=2, n_cells=8, seed=42)
+        rows = out.groupBy("query_id").count().collect()
+    assert rows and all(r["count"] <= 3 for r in rows)
+
+
+def test_bpe_encode_ansi(spark, tiny_docs):
+    from shopify_db_spark.plans.textops import bpe_encode
+
+    with forced_ansi(spark):
+        encoded = bpe_encode(tiny_docs, n_rounds=3).collect()
+    assert len(encoded) == tiny_docs.count()
+    assert all(
+        r["n_tokens_encoded"] <= r["n_tokens_raw"] for r in encoded
+    )
+
+
+def test_build_and_verify_invoices_ansi(spark):
+    from shopify_db_spark.plans.invoice import build_invoices
+    from shopify_db_spark.plans.verify_invoices import verify_invoices
+
+    tables = build_tables(spark)
+    with forced_ansi(spark):
+        inv = build_invoices(tables, "2024-01-01", "2024-01-31", 1000)
+        report = verify_invoices(inv)
+    assert report.n_ordinary_orders > 0

@@ -297,3 +297,64 @@ def test_hopping_counts_match_batch(spark):
     n_total = batch_events.count()
     assigned = sum(r["n_events"] for r in streamed.collect())
     assert assigned == 2 * n_total
+
+
+def test_media_fingerprint_and_hash64_pairs(spark):
+    """q118's two composed pieces at unit scale: the Arrow codec
+    boundary emits one packed int64 per blob (deterministic — equal
+    bytes, equal fingerprint) and ``hash64_pairs`` finds the
+    hamming-0 pair for identical blobs via the pigeonhole block
+    join. A near-identical blob (one 4-gram changed) lands within
+    the hamming budget; an unrelated blob does not pair at all."""
+    from shopify_db_spark.operators.dedup import hash64_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("lazy", "hazy")
+    rows = [
+        (1, "image", base.encode(), None),
+        (2, "image", base.encode(), None),
+        (3, "image", near.encode(), None),
+        (4, "image", ("completely different content " * 6).encode(), None),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    sig = MM.media_fingerprint(media)
+    by_id = {r["media_id"]: r["phash"] for r in sig.collect()}
+    assert by_id[1] == by_id[2] == MM.byte_ngram_phash(base.encode(), "image")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash64_pairs(
+            sig, max_hamming=16, id_col="media_id", hash_col="phash"
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert 0 < pairs[(1, 3)] <= 16
+    assert not any(4 in p for p in pairs)
+
+
+def test_pil_ahash_integration():
+    """Real-codec perceptual hash: solid images hash to all-ones
+    (every pixel >= mean), a half-split image differs from solid in
+    exactly half its bits — the locality property the q118 pair
+    join needs. Skips when PIL is absent."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from shopify_db_spark.operators import multimodal as mm
+
+    def png(pixels) -> bytes:
+        img = Image.new("L", (8, 8))
+        img.putdata(pixels)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    solid = png([200] * 64)
+    split = png([255] * 32 + [0] * 32)
+    h_solid = mm.pil_ahash(solid, "image")
+    h_split = mm.pil_ahash(split, "image")
+    assert h_solid == -1  # all 64 bits set, signed wrap
+    assert bin((h_solid ^ h_split) & ((1 << 64) - 1)).count("1") == 32
+    # non-image kinds fall back to the deterministic stand-in
+    assert mm.pil_ahash(b"xyz", "audio") == mm.byte_ngram_phash(b"xyz", "audio")
