@@ -1617,3 +1617,106 @@ def q117_contrastive_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_neg=_Q117_KN,
         nprobe=NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# q119: balanced (size-capped) cluster assignment — curriculum /
+# mixture construction needs per-bucket budgets, and a raw codebook's
+# cells are unbalanced. `similarity.balanced_assign` places each
+# vector in the nearest of its nprobe candidate cells that still has
+# room, as a ROUND-SYNCHRONOUS greedy: exactly nprobe rounds, in
+# round r the still-unassigned vectors propose to their rank-r cell
+# and each cell admits the top (cap − held) by (c_cos DESC, vec_id)
+# — acceptances final. Because the schedule is round-synchronous
+# (never "first come" within a round), every round is one window
+# over that round's proposers and the WHOLE assignment is
+# declarative: the oracle restates the rounds as chained CTEs (the
+# q110/q113 trick — fixed round count, prefix-stable state). The
+# gate checks assignment EXACTNESS row-by-row (cell, cosine, round
+# per vector, NULLs for overflow), which subsumes the size gate:
+# a cell over cap would hash-mismatch.
+_Q119_CAP = 95
+_Q119_NPROBE = 3
+
+
+def _q119_oracle() -> str:
+    cos = _sql_cosine("v.embedding", "c.cv")
+    rounds = []
+    prev_accept = []
+    for r in range(1, _Q119_NPROBE + 1):
+        if prev_accept:
+            held_union = " UNION ALL ".join(
+                f"SELECT centroid_id FROM {a}" for a in prev_accept
+            )
+            assigned_union = " UNION ALL ".join(
+                f"SELECT vec_id FROM {a}" for a in prev_accept
+            )
+            held_cte = (
+                f"h{r} AS (SELECT centroid_id, COUNT(*) AS held FROM"
+                f" ({held_union}) GROUP BY centroid_id)"
+            )
+            extra_pred = (
+                f" AND p.vec_id NOT IN (SELECT vec_id FROM ({assigned_union}))"
+            )
+            held_join = f"LEFT JOIN h{r} ON h{r}.centroid_id = p.centroid_id"
+            held_expr = "COALESCE(held, 0)"
+            rounds.append(held_cte)
+        else:
+            extra_pred, held_join, held_expr = "", "", "0"
+        rounds.append(
+            f"""a{r} AS (
+  SELECT vec_id, centroid_id, c_cos, {r} AS assigned_round FROM (
+    SELECT p.vec_id, p.centroid_id, p.c_cos, {held_expr} AS held0,
+           ROW_NUMBER() OVER (PARTITION BY p.centroid_id
+                              ORDER BY p.c_cos DESC, p.vec_id ASC) AS rn
+    FROM cand p {held_join}
+    WHERE p.prop_rank = {r}{extra_pred}
+  ) WHERE rn <= {_Q119_CAP} - held0
+)"""
+        )
+        prev_accept.append(f"a{r}")
+    accepted_union = " UNION ALL ".join(
+        f"SELECT * FROM {a}" for a in prev_accept
+    )
+    round_ctes = ",\n".join(rounds)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+cand AS (
+  SELECT vec_id, centroid_id, c_cos, prop_rank FROM (
+    SELECT v.vec_id, c.centroid_id, {cos} AS c_cos,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos} DESC, c.centroid_id ASC)
+               AS prop_rank
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE prop_rank <= {_Q119_NPROBE}
+),
+{round_ctes},
+accepted AS ({accepted_union})
+SELECT v.vec_id, a.centroid_id, a.c_cos,
+       CAST(a.assigned_round AS INT) AS assigned_round
+FROM embeddings v LEFT JOIN accepted a ON a.vec_id = v.vec_id
+"""
+
+
+@query("q119_balanced_clusters", oracle=_q119_oracle())
+def q119_balanced_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-capped cluster assignment
+    (``operators.similarity.balanced_assign``) over the embeddings
+    corpus with the deterministic coarse codebook: cap 95 per
+    cell, 3 proposal rounds; overflow vectors emit NULL assignment.
+    95 sits just under the ~100-per-cell first-choice load of the
+    near-uniform corpus (500 vectors / 5 cells, 2000 / 20), so the
+    gate exercises all three paths on real data: round-1 admission,
+    round-2 spill into cells left under cap, and overflow (measured
+    at sf0.001: 471 round-1, 4 round-2, 25 NULL). The synthetic
+    spill test in tests/test_dedup_similarity.py pins the mechanism
+    exactly. Returns
+    (vec_id, centroid_id, c_cos, assigned_round)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    return SIM.balanced_assign(
+        emb, centroids, cell_cap=_Q119_CAP, nprobe=_Q119_NPROBE
+    )

@@ -1081,3 +1081,61 @@ def test_contrastive_topk_semantics_and_grid_parity(spark, clustered_vecs):
         ).collect()
     }
     assert got_b == got_g, "grid path diverges from broadcast path"
+
+
+def test_balanced_assign_caps_on_real_embeddings(spark):
+    """q119's operator on the real smoke embeddings with a hard-
+    binding cap: every cell ends exactly at cap (500 first-choice
+    proposers saturate 5 cells of 10 in round 1), overflow vectors
+    come back with NULL assignment, one row per input vector."""
+    from shopify_db_spark.operators.similarity import balanced_assign
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0)  # 5 cells
+    out = balanced_assign(emb, centroids, cell_cap=10, nprobe=3).collect()
+    assert len(out) == emb.count()  # one row per vector
+    by_cell: dict = {}
+    n_null = 0
+    for r in out:
+        if r["centroid_id"] is None:
+            assert r["assigned_round"] is None and r["c_cos"] is None
+            n_null += 1
+        else:
+            by_cell[r["centroid_id"]] = by_cell.get(r["centroid_id"], 0) + 1
+    assert all(n <= 10 for n in by_cell.values())
+    assert sum(by_cell.values()) == 50  # 5 cells x cap 10, cap binds
+    assert n_null == len(out) - 50
+
+
+def test_balanced_assign_spill_and_overflow_exact(spark):
+    """The round-synchronous schedule pinned on a hand-built
+    fixture: five vectors prefer cell 0 (graded cosines), cap 2 —
+    round 1 admits the two closest; the rejected three spill to
+    their second-choice cell 1 in round 2, which admits its two
+    best; the rest exhaust nprobe=2 and emit NULL. Exact expected
+    assignment, including the zero-vector tie broken to the lowest
+    centroid id."""
+    from shopify_db_spark.operators.similarity import balanced_assign
+
+    rows = [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0])]
+    centroids = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    vecs = [(10 + i, [10.0, float(i), 0.0, 0.0]) for i in range(1, 6)]
+    vecs.append((16, [0.0, 0.0, 1.0, 0.0]))  # cos 0 to both cells
+    vectors = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["assigned_round"])
+        for r in balanced_assign(
+            vectors, centroids, cell_cap=2, nprobe=2
+        ).collect()
+    }
+    # round 1: cell 0 admits the two highest-cosine proposers (i=1,2)
+    assert out[11] == (0, 1) and out[12] == (0, 1)
+    # round 2: cell 1 admits the two best spillers (i=5,4 by cos)
+    assert out[15] == (1, 2) and out[14] == (1, 2)
+    # i=3 and the zero vector exhaust both candidates -> overflow
+    assert out[13] == (None, None) and out[16] == (None, None)
