@@ -552,9 +552,21 @@ _PERSISTED_FRAMES: list[DataFrame] = []
 
 
 def _register_persisted(df: DataFrame) -> None:
-    """Register ``df`` as this module's single pinned frame,
-    releasing any prior registrations (bounded-by-one contract)."""
+    """Persist and register ``df`` as this module's single pinned
+    frame, releasing any prior registrations (bounded-by-one
+    contract).
+
+    ORDER MATTERS (round-9 root-cause of the q84 r6→r8 slowdown,
+    2.35 s → 3.93 s): Spark's CacheManager keys cache entries by
+    LOGICAL PLAN, and consecutive calls over the same input build
+    the same plan — so the prior frame and the new frame share ONE
+    cache entry. Releasing the prior frame AFTER persisting the new
+    one therefore uncached the new frame too, and every run after
+    the first executed the shared sort-aggregate once per consumer
+    (the exact recompute the persist exists to avoid; measured
+    median 5.2 s vs 3.3 s at sf0.1). Release first, persist after."""
     release_persisted_frames()
+    df.persist()
     _PERSISTED_FRAMES.append(df)
 
 
@@ -661,8 +673,9 @@ def prefix_filter_jaccard_pairs(
         # since the frame is #docs rows of shingle arrays, far
         # smaller than any corpus where this query is feasible.
         # Long-lived sessions reclaim deterministically via
-        # release_persisted_frames() (the frame registers below).
-        .persist()
+        # release_persisted_frames(); the persist itself happens
+        # inside _register_persisted — release-then-persist order is
+        # load-bearing (see its docstring).
     )
     _register_persisted(ordered)
     prefix_len = (

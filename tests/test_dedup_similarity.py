@@ -1139,3 +1139,24 @@ def test_balanced_assign_spill_and_overflow_exact(spark):
     assert out[15] == (1, 2) and out[14] == (1, 2)
     # i=3 and the zero vector exhaust both candidates -> overflow
     assert out[13] == (None, None) and out[16] == (None, None)
+
+
+def test_prefix_filter_reregistration_keeps_cache(spark):
+    """Round-9 regression guard: Spark's CacheManager keys entries
+    by logical plan, so two consecutive prefix-filter calls over the
+    same input share one cache entry — releasing the prior frame
+    AFTER persisting the new one uncached the new frame too (the
+    q84 r8 slowdown). After the fix (release-then-persist inside
+    _register_persisted) the second call's frame must still report
+    a real storage level."""
+    import shopify_db_spark.operators.dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    DD.prefix_filter_jaccard_pairs(docs).collect()
+    DD.prefix_filter_jaccard_pairs(docs).collect()
+    assert len(DD._PERSISTED_FRAMES) == 1  # bounded-by-one contract
+    assert DD._PERSISTED_FRAMES[-1].storageLevel.useMemory
+    DD.release_persisted_frames()
