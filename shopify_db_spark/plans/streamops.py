@@ -802,8 +802,19 @@ def streaming_ann_maintenance(
         state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
+        # The one-file-per-trigger replay source delivers each
+        # micro-batch as a SINGLE partition, and ivf_assign's n×K
+        # cosine projection runs pre-shuffle at source parallelism —
+        # measured 9-14 s/batch single-threaded vs ~1-3 s spread at
+        # the ×10 scale point (SCALE.md round 9). A production
+        # kafka/kinesis source arrives partitioned already; the
+        # repartition restores that property for the bounded-replay
+        # harness (hash on the id keeps it deterministic).
+        spread = batch_df.repartition(
+            spark.sparkContext.defaultParallelism, F.col("vec_id")
+        )
         a = ivf_assign(
-            batch_df, centroids, keep_score=(admit == "distance")
+            spread, centroids, keep_score=(admit == "distance")
         ).localCheckpoint()
         if state["index"] is not None:
             out = ann_index_probe(a, state["index"], k)
