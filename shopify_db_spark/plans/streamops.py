@@ -533,11 +533,17 @@ def incremental_minhash_dedup(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Single-partition micro-batch → spread before the per-doc
+        # signature pass runs pre-shuffle (same root cause and fix
+        # as the q114 sink — SCALE.md round 9).
+        spread = batch_df.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
         bands = (
             banded_minhash(
-                batch_df, "doc_id", "text", n_seeds=n_seeds, band_size=band_size
+                spread, "doc_id", "text", n_seeds=n_seeds, band_size=band_size
             )
-            .join(batch_df.select("doc_id", "batch_no"), "doc_id")
+            .join(spread.select("doc_id", "batch_no"), "doc_id")
             .localCheckpoint()
         )
         # Append-side cap: rank the batch's new rows within each
@@ -699,8 +705,14 @@ def q90_incremental_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # spread the single-partition micro-batch so the tokenize +
+        # per-term md5 bucketing runs at session parallelism (the
+        # q114 single-partition root cause — SCALE.md round 9)
         counts = (
-            batch_df.select(F.explode(tokens(F.col("text"))).alias("term"))
+            batch_df.repartition(
+                spark.sparkContext.defaultParallelism, F.col("doc_id")
+            )
+            .select(F.explode(tokens(F.col("text"))).alias("term"))
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("n"))
         )
