@@ -1720,3 +1720,63 @@ def q119_balanced_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.balanced_assign(
         emb, centroids, cell_cap=_Q119_CAP, nprobe=_Q119_NPROBE
     )
+
+
+# ---------------------------------------------------------------------------
+# q120: curriculum sampling over balanced clusters — the composition
+# q119 exists for: balanced cells give every cluster a defensible
+# per-bucket budget, and a curriculum orders each bucket easy-first.
+# Assignment from `balanced_assign` (q119's exact declarative
+# schedule), difficulty key = n_chars (an INTEGER column, so the
+# per-cell rank is engine-portable with zero float-parity risk),
+# budget B docs per cell. Overflow (NULL-cell) vectors are excluded
+# by definition — they go to the next codebook pass, not the batch.
+_Q120_BUDGET = 16
+
+
+def _q120_oracle() -> str:
+    # q119's chained-CTE assignment, reused verbatim, with the
+    # curriculum rank on top.
+    q119 = _q119_oracle()
+    head, _, _tail = q119.rpartition("SELECT v.vec_id")
+    return f"""{head.rstrip()},
+picked AS (
+  SELECT a.centroid_id, a.vec_id AS doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY a.centroid_id
+                            ORDER BY d.n_chars ASC, a.vec_id ASC)
+             AS cur_rank
+  FROM accepted a JOIN documents d ON d.doc_id = a.vec_id
+)
+SELECT centroid_id, doc_id, n_chars, CAST(cur_rank AS INT) AS cur_rank
+FROM picked WHERE cur_rank <= {_Q120_BUDGET}
+"""
+
+
+@query("q120_curriculum_sample", oracle=_q120_oracle())
+def q120_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster curriculum batch construction: balanced cell
+    assignment (``similarity.balanced_assign``, q119's schedule) →
+    join document metadata → easy-first rank within each cell by
+    the integer difficulty key (n_chars ASC, doc_id ASC) → keep the
+    per-cell budget. One extra equi-join and one per-cell window on
+    top of q119's shape — the window is budget-bounded per cell by
+    the assignment cap itself. Returns
+    (centroid_id, doc_id, n_chars, cur_rank ≤ budget)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    assigned = SIM.balanced_assign(
+        emb, centroids, cell_cap=_Q119_CAP, nprobe=_Q119_NPROBE
+    ).filter(F.col("centroid_id").isNotNull())
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.asc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        assigned.select("centroid_id", F.col("vec_id").alias("doc_id"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("cur_rank", F.row_number().over(w))
+        .filter(F.col("cur_rank") <= _Q120_BUDGET)
+        .select("centroid_id", "doc_id", "n_chars", F.col("cur_rank").cast("int"))
+    )
