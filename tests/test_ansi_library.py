@@ -108,3 +108,28 @@ def test_build_and_verify_invoices_ansi(spark):
         inv = build_invoices(tables, "2024-01-01", "2024-01-31", 1000)
         report = verify_invoices(inv)
     assert report.n_ordinary_orders > 0
+
+
+def test_round9_entry_points_ansi(spark, tiny_docs):
+    from shopify_db_spark.operators.dedup import hash64_pairs
+    from shopify_db_spark.operators.multimodal import (
+        media_fingerprint,
+        synthesize_media_from_documents,
+    )
+    from shopify_db_spark.operators.similarity import balanced_assign
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0)
+    media = synthesize_media_from_documents(tiny_docs)
+    with forced_ansi(spark):
+        sig = media_fingerprint(media)
+        pairs = hash64_pairs(
+            sig, max_hamming=16, id_col="media_id", hash_col="phash"
+        ).collect()
+        assigned = balanced_assign(emb, centroids, cell_cap=10, nprobe=2)
+        assert assigned.count() == emb.count()
+    # docs 1 and 4 are identical blobs -> hamming-0 pair under ANSI too
+    assert any(
+        (r["id_a"], r["id_b"]) == (1, 4) and r["hamming"] == 0 for r in pairs
+    )
