@@ -37,12 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: green in CORRECTNESS_r08, so the list rotates to the STALE set —
 #: queries whose newest driver pass is round 1, four of which
 #: (q30/q31/q32/q38) sit on `operators/similarity.py`, substantially
-#: restructured in rounds 7–8 after that evidence — plus the three new
+#: restructured in rounds 7–8 after that evidence — plus the four new
 #: round-9 queries.
 _NEVER_DRIVER_SAMPLED = [
     "q118_image_phash_dedup",  # new in round 9
     "q119_balanced_clusters",  # new in round 9
     "q120_curriculum_sample",  # new in round 9
+    "q121_domain_centroids",  # new in round 9
     "q30_cosine_topk",  # r1-stale; similarity.py rebuilt r7-r8
     "q31_lsh_ann",  # r1-stale; similarity.py rebuilt r7-r8
     "q32_embedding_dedup",  # r1-stale; similarity.py rebuilt r7-r8

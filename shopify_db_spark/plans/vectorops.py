@@ -1780,3 +1780,70 @@ def q120_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cur_rank") <= _Q120_BUDGET)
         .select("centroid_id", "doc_id", "n_chars", F.col("cur_rank").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q121: per-domain embedding centroid statistics — the mixture-
+# balancing primitive next to q119/q120: curriculum and mixture
+# construction weigh DOMAINS (source/lang buckets) by where their
+# mass sits in embedding space, which needs per-domain component
+# sums at corpus scale. Components are FLOOR-scaled to integers
+# (floor(x·10⁶) — floor is unambiguous in every engine, unlike
+# round-half ties) so the grouped sums are EXACT BIGINTs: no
+# float-summation order dependence between partitionings or engines,
+# the same portability trick as the integer dot products in
+# sparse_cosine_topk. Long format (source, dim, comp_sum, n_vecs)
+# keeps the declared output scalar (catalog lint) and the oracle a
+# plain UNNEST-with-ordinality aggregate. Scale shape: ONE shuffle —
+# posexplode is map-side, the (source, dim) hash aggregate gets full
+# partial aggregation, output is #domains × dim rows.
+_Q121_SCALE = 1_000_000
+
+
+@query(
+    "q121_domain_centroids",
+    oracle=f"""
+SELECT d.source,
+       CAST(g.i - 1 AS INT) AS dim,
+       SUM(CAST(FLOOR(CAST(e.embedding[g.i] AS DOUBLE) * {_Q121_SCALE})
+           AS BIGINT)) AS comp_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM documents d
+JOIN embeddings e ON e.vec_id = d.doc_id,
+     UNNEST(generate_series(1, {DIM})) AS g(i)
+GROUP BY d.source, g.i
+""",
+)
+def q121_domain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain embedding centroid statistics (see section
+    comment): join document metadata, posexplode the embedding,
+    exact integer component sums per (source, dim). The centroid
+    itself is comp_sum / (n_vecs · SCALE) — consumers divide; the
+    declared output stays exact. Returns
+    (source, dim, comp_sum, n_vecs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    joined = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    return (
+        joined.select(
+            "source", F.posexplode("embedding").alias("dim", "val")
+        )
+        .groupBy("source", "dim")
+        .agg(
+            # widen float32 → double BEFORE the scale multiply: a
+            # float32 multiply rounds differently than the oracle's
+            # CAST(… AS DOUBLE) * SCALE (off-by-one floors, caught
+            # by the gate); the widening itself is exact
+            F.sum(
+                F.floor(
+                    F.col("val").cast("double") * _Q121_SCALE
+                ).cast("long")
+            ).alias("comp_sum"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select(
+            "source", F.col("dim").cast("int"), "comp_sum", "n_vecs"
+        )
+    )
