@@ -314,6 +314,17 @@ def hash64_pairs(
     makes. ``None`` (the q27 default, wide 13-bit blocks) keeps the
     full-recall guarantee.
 
+    When the cap is on, IDENTICAL fingerprints short-circuit through
+    a direct equality self-join (one hash shuffle on the 64-bit
+    value): an exact duplicate's every block bucket is hot by
+    definition — precisely the rows the cap drops — yet hamming-0
+    pairs are the one class a dedup operator must never miss. With
+    the short-circuit the cap's recall trade applies ONLY to
+    near-dup candidates. Fan-out is Σ group² over identical
+    fingerprints — inherent to the pair contract itself (a
+    keeper-style output like ``exact_dedup`` is the escape when
+    groups are pathological).
+
     The signature table is localCheckpointed before the self-join:
     AQE plans the pair join as broadcast (the signature side is tiny
     — 8 bytes/doc), and a BroadcastExchange build side cannot reuse
@@ -358,7 +369,7 @@ def hash64_pairs(
     hamming = F.bit_count(
         F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
     ).alias("hamming")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
@@ -371,8 +382,20 @@ def hash64_pairs(
             hamming,
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if max_bucket is not None:
+        x, y = sh.alias("x"), sh.alias("y")
+        exact = x.join(
+            y,
+            (F.col("x.__sig") == F.col("y.__sig"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        ).select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+        pairs = pairs.unionByName(exact)
+    return pairs.distinct()
 
 
 def simhash_pairs(

@@ -176,6 +176,12 @@ cand AS (
   JOIN sized s ON s.block_idx = a.block_idx AND s.block_value = a.block_value
   JOIN blocks b ON b.block_idx = a.block_idx AND b.block_value = a.block_value
               AND a.media_id < b.media_id
+  UNION
+  -- identical-fingerprint short-circuit: exact dups survive the
+  -- bucket cap (their buckets are hot by definition) — mirrors
+  -- hash64_pairs' exact equality tier
+  SELECT x.media_id, x.phash, y.media_id, y.phash
+  FROM sig x JOIN sig y ON x.phash = y.phash AND x.media_id < y.media_id
 )
 SELECT media_a, media_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
 FROM cand

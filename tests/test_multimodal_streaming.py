@@ -358,3 +358,30 @@ def test_pil_ahash_integration():
     assert bin((h_solid ^ h_split) & ((1 << 64) - 1)).count("1") == 32
     # non-image kinds fall back to the deterministic stand-in
     assert mm.pil_ahash(b"xyz", "audio") == mm.byte_ngram_phash(b"xyz", "audio")
+
+
+def test_hash64_pairs_exact_dups_survive_hot_bucket_cap(spark):
+    """Round-9 hardening: with a bucket cap, an exact duplicate's
+    every block bucket is hot by definition — exactly the rows the
+    cap drops — so identical fingerprints short-circuit through the
+    equality tier and the hamming-0 pair must ALWAYS be emitted,
+    even when the cap is smaller than the duplicate group."""
+    from shopify_db_spark.operators.dedup import hash64_pairs
+
+    # ten identical fingerprints + one near miss: every bucket of
+    # the identical group has 10-11 members, over the cap of 2
+    rows = [(i, 0x0123456789ABCDEF) for i in range(10)]
+    rows.append((10, 0x0123456789ABCDEE))  # hamming 1 from the group
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash64_pairs(sig, max_hamming=4, max_bucket=2).collect()
+    }
+    # all 45 identical pairs present at hamming 0 despite the cap
+    assert sum(1 for h in pairs.values() if h == 0) == 45
+    # the near-dup is a CAPPED candidate (its buckets are the hot
+    # group's buckets) -> correctly absent under the cap's trade
+    assert not any(10 in p for p in pairs)
+    # without the cap the near-dup pairs appear (full recall)
+    full = hash64_pairs(sig, max_hamming=4).collect()
+    assert sum(1 for r in full if r["hamming"] == 1) == 10
