@@ -1847,3 +1847,130 @@ def q121_domain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.col("dim").cast("int"), "comp_sum", "n_vecs"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q122: nearest-centroid domain classification — the consumer of
+# q121's exact centroid statistics: label every document's embedding
+# with the domain whose centroid it is most affine to, and report
+# the domain confusion matrix (how separable the mixture's sources
+# are in embedding space — the gate a curriculum/mixture builder
+# runs before trusting source labels as proxies for content).
+#
+# Exact math end-to-end, the q121/q103 discipline: components are
+# floor-scaled to BIGINTs, the per-(doc, domain) dot product and the
+# per-domain component sums are exact integer aggregates, and the
+# affinity = dot / n_vecs is a single IEEE quotient of two exact
+# BIGINTs — bit-identical on any engine, so the argmax (tie-broken
+# on domain name) is portable with no float-sum order dependence.
+# Affinity (mean dot with the domain's members) rather than
+# euclidean-to-mean keeps every intermediate integral: no ||m||²
+# term whose BIGINT square overflows at a few thousand docs/domain.
+#
+# Scale shape: one shuffle for the centroid stats (q121's — full
+# partial aggregation, #domains × DIM rows out), the candidate
+# expansion is a MAP-SIDE cross join against the broadcast
+# #domains-row centroid frame with a codegen'd zip_with/aggregate
+# dot (no Python, no shuffle), and the per-doc argmax is a
+# ``min_by`` groupBy — partial-aggregated, so the shuffle moves ~one
+# row per doc, not #domains rows per doc. Confusion rollup is
+# #domains²-sized.
+_Q122_SCALE = 1_000_000
+
+
+_Q122_ORACLE = f"""
+WITH xi AS (
+  SELECT e.vec_id, d.source AS true_source,
+         list_transform(e.embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * {_Q122_SCALE}) AS BIGINT))
+             AS xi
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+comp AS (
+  SELECT true_source AS src, g.i AS dim, SUM(xi[g.i]) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM xi, UNNEST(generate_series(1, {DIM})) AS g(i)
+  GROUP BY true_source, g.i
+),
+aff AS (
+  SELECT x.vec_id, x.true_source, c.src AS cand,
+         CAST(SUM(x.xi[c.dim] * c.s) AS DOUBLE)
+             / CAST(ANY_VALUE(c.n) AS DOUBLE) AS a
+  FROM xi x JOIN comp c ON TRUE
+  GROUP BY x.vec_id, x.true_source, c.src
+),
+pred AS (
+  SELECT true_source, cand,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY a DESC, cand ASC) AS rk
+  FROM aff
+)
+SELECT true_source, cand AS pred_source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY true_source, cand
+"""
+
+
+@query("q122_centroid_classify", oracle=_Q122_ORACLE)
+def q122_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid domain classification + confusion matrix
+    (see section comment): floor-scaled integer components, exact
+    integer centroid sums per domain, map-side broadcast dot against
+    every domain centroid, per-doc argmax via partial-aggregating
+    ``min_by`` (ties broken on domain name), #domains²-row confusion
+    rollup. Returns (true_source, pred_source, n_docs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    xi = emb.join(
+        docs.select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("source").alias("true_source"),
+        ),
+        "vec_id",
+    ).select(
+        "vec_id",
+        "true_source",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * _Q122_SCALE).cast("long"),
+        ).alias("xi"),
+    )
+    # q121's aggregate reshaped: per-domain exact component sums,
+    # re-collected into a DIM-ordered array so the broadcast side is
+    # #domains rows of (src, centroid-vector, n_vecs).
+    cent = (
+        xi.select(
+            F.col("true_source").alias("src"),
+            F.posexplode("xi").alias("dim", "v"),
+        )
+        .groupBy("src", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("src")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda t: t["s"],
+            ).alias("cvec"),
+            F.max("n").alias("n_vecs"),
+        )
+    )
+    pairs = xi.crossJoin(
+        F.broadcast(cent.select(F.col("src").alias("cand"), "cvec", "n_vecs"))
+    ).withColumn(
+        "a",
+        F.aggregate(
+            F.zip_with("xi", "cvec", lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).cast("double")
+        / F.col("n_vecs").cast("double"),
+    )
+    pred = pairs.groupBy("vec_id", "true_source").agg(
+        F.min_by("cand", F.struct(-F.col("a"), F.col("cand"))).alias(
+            "pred_source"
+        )
+    )
+    return pred.groupBy("true_source", "pred_source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
