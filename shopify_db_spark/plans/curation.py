@@ -1122,3 +1122,89 @@ def q100_corpus_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"tok_start % {w}").cast("long").alias("pack_offset"),
         (end_pack > start_pack).alias("crosses_boundary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123: corpus snapshot diff — incremental-refresh change detection.
+# A production training corpus is rebuilt from upstream dumps on a
+# cadence; the refresh pipeline needs (added, removed, changed,
+# unchanged) per document BEFORE re-running dedup/decontamination so
+# downstream stages touch only the delta. The operator is
+# ``snapshot_diff``: fingerprint each side (md5 — 16 bytes moves
+# through the shuffle, never the document text), FULL OUTER join on
+# the key, classify. At 100 TB both snapshots are key-bucketed
+# parquet, making the join shuffle-free; here the two snapshots are
+# deterministic derived views of `documents` (curr drops 1/17 of
+# doc_ids to exercise 'removed'; prev drops 1/11 to exercise
+# 'added' and truncates the last character of 1/13 to exercise
+# 'changed') so the oracle is plain SQL over the same table.
+_Q123_PREV_TEXT = (
+    "CASE WHEN doc_id % 13 = 5 "
+    "THEN SUBSTRING(text, 1, GREATEST(LENGTH(text) - 1, 0)) "
+    "ELSE text END"
+)
+
+_Q123_ORACLE = f"""
+WITH curr AS (
+  SELECT doc_id, MD5(text) AS fp, CAST(LENGTH(text) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 17 != 2
+),
+prev AS (
+  SELECT doc_id, MD5({_Q123_PREV_TEXT}) AS fp,
+         CAST(LENGTH({_Q123_PREV_TEXT}) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 11 != 3
+)
+SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'added'
+            WHEN c.doc_id IS NULL THEN 'removed'
+            WHEN c.fp != p.fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       c.n - p.n AS len_delta
+FROM curr c FULL OUTER JOIN prev p ON p.doc_id = c.doc_id
+"""
+
+
+def snapshot_diff(
+    prev: DataFrame, curr: DataFrame, key: str, text_col: str
+) -> DataFrame:
+    """Classify each key across two corpus snapshots as
+    added/removed/changed/unchanged. Fingerprints (md5) and lengths
+    are computed BEFORE the join so the full-outer shuffle moves
+    (key, 32-hex, bigint) rows, never document text; with both
+    snapshots bucketed by ``key`` the join is shuffle-free. Returns
+    (key, status, len_delta) — len_delta is NULL for added/removed."""
+    p = prev.select(
+        F.col(key).alias("__pk"),
+        F.md5(text_col).alias("__pfp"),
+        F.length(text_col).cast("long").alias("__pn"),
+    )
+    c = curr.select(
+        F.col(key).alias("__ck"),
+        F.md5(text_col).alias("__cfp"),
+        F.length(text_col).cast("long").alias("__cn"),
+    )
+    joined = c.join(p, F.col("__ck") == F.col("__pk"), "full_outer")
+    return joined.select(
+        F.coalesce("__ck", "__pk").alias(key),
+        F.when(F.col("__pk").isNull(), F.lit("added"))
+        .when(F.col("__ck").isNull(), F.lit("removed"))
+        .when(F.col("__cfp") != F.col("__pfp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        (F.col("__cn") - F.col("__pn")).alias("len_delta"),
+    )
+
+
+@query("q123_snapshot_diff", oracle=_Q123_ORACLE)
+def q123_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (see section comment): derive the two
+    deterministic snapshot views of `documents`, then classify via
+    ``snapshot_diff`` — fingerprint-before-join, full-outer on the
+    key. Returns (doc_id, status, len_delta)."""
+    docs = load_table(spark, sf_dir, "documents")
+    curr = docs.filter(F.col("doc_id") % 17 != 2).select("doc_id", "text")
+    prev = (
+        docs.filter(F.col("doc_id") % 11 != 3)
+        .select("doc_id", F.expr(_Q123_PREV_TEXT).alias("text"))
+    )
+    return snapshot_diff(prev, curr, "doc_id", "text")
