@@ -1208,3 +1208,138 @@ def q123_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(_Q123_PREV_TEXT).alias("text"))
     )
     return snapshot_diff(prev, curr, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q124: per-source token-distribution drift — pairwise chi-squared
+# distance between the unigram distributions of every source pair.
+# The mixture-monitoring primitive beside q70 (mixture weights count
+# documents; this measures whether two sources DIFFER in content,
+# which is what decides if they deserve separate mixture weights,
+# and detects upstream drift between corpus refreshes).
+#
+# Exact math, the q103/q121 discipline — no transcendental log (a
+# KL/JS divergence would need one): chi²(a,b) = Σ_t (p_t−q_t)²/(p_t+q_t)
+# over the union vocabulary. Terms present in only one source
+# contribute exactly p_t (resp. q_t), and Σ_only-a p = 1 − Σ_shared p,
+# so the whole metric reduces to 2 + Σ_shared [(p−q)²/(p+q) − p − q]
+# — an INNER join over the shared vocabulary suffices; no full-outer
+# pair expansion. p and q are IEEE quotients of exact BIGINT counts,
+# every subsequent +,−,×,÷ is a deterministic double op written with
+# identical association on both engines, and the per-term value is
+# floor-scaled to a BIGINT so the final SUM is exact and
+# order-independent. Each per-term summand is ≤ 0 and ≥ −2, so the
+# scaled sum is bounded by ±2·SCALE·|V∩| — no overflow.
+#
+# Scale shape: one token shuffle for (source, term) counts, a
+# term-keyed self-join whose expansion is O(V·S²) — S (#sources,
+# the mixture arity) is a constant, so linear in vocabulary — with
+# the S-row totals frame broadcast, and a #pairs-sized rollup.
+# Disjoint-vocabulary pairs are absent from the output (their chi²
+# is exactly 2·SCALE); the oracle computes the same.
+_Q124_SCALE = 1_000_000_000_000_000  # 1e15; summands in [-2, 0]
+
+_Q124_ORACLE = f"""
+WITH toks AS (
+  SELECT source, u.term
+  FROM (SELECT source, {_TOKS} AS t FROM documents),
+       UNNEST(t) AS u(term)
+),
+c AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, term
+),
+n AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE) AS p,
+         CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE) AS q
+  FROM c a JOIN c b ON a.term = b.term AND a.source < b.source
+  JOIN n na ON na.source = a.source
+  JOIN n nb ON nb.source = b.source
+),
+w AS (
+  SELECT source_a, source_b,
+         CAST(FLOOR(((((p - q) * (p - q)) / (p + q)) - p - q)
+             * {_Q124_SCALE}.0) AS BIGINT) AS ws
+  FROM shared
+)
+SELECT source_a, source_b,
+       CAST(2 * {_Q124_SCALE} AS BIGINT) + SUM(ws) AS chi2_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+FROM w GROUP BY source_a, source_b
+"""
+
+
+def distribution_drift(
+    docs: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Pairwise chi-squared distance between the unigram token
+    distributions of every ``group_col`` pair — see the q124 section
+    comment for the exact-math reduction to the shared vocabulary.
+    Returns (source_a, source_b, chi2_scaled, n_shared_terms) with
+    chi2_scaled = floor-scaled chi² in units of 1/_Q124_SCALE."""
+    toks = docs.select(
+        F.col(group_col).alias("source"),
+        F.explode(TX.tokens(F.col(text_col))).alias("term"),
+    )
+    c = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = c.select(
+        F.col("source").alias("source_a"), "term", F.col("c").alias("ca")
+    )
+    b = c.select(
+        F.col("source").alias("source_b"),
+        F.col("term").alias("term_b"),
+        F.col("c").alias("cb"),
+    )
+    shared = (
+        a.join(
+            b,
+            (F.col("term") == F.col("term_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n").alias("na"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n").alias("nb"),
+                )
+            ),
+            "source_b",
+        )
+    )
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    v = ((p - q) * (p - q)) / (p + q)
+    ws = F.floor((v - p - q) * F.lit(float(_Q124_SCALE))).cast("long")
+    return (
+        shared.select("source_a", "source_b", ws.alias("ws"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            (F.lit(2 * _Q124_SCALE) + F.sum("ws")).alias("chi2_scaled"),
+            F.count(F.lit(1)).alias("n_shared_terms"),
+        )
+    )
+
+
+@query("q124_source_drift", oracle=_Q124_ORACLE)
+def q124_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise per-source token-distribution drift (see section
+    comment): shared-vocabulary chi-squared with exact floor-scaled
+    summands. Returns (source_a, source_b, chi2_scaled,
+    n_shared_terms)."""
+    return distribution_drift(
+        load_table(spark, sf_dir, "documents"), "source", "text"
+    )
