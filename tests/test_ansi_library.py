@@ -133,3 +133,44 @@ def test_round9_entry_points_ansi(spark, tiny_docs):
     assert any(
         (r["id_a"], r["id_b"]) == (1, 4) and r["hamming"] == 0 for r in pairs
     )
+
+
+def test_snapshot_diff_and_drift_ansi(spark, tiny_docs):
+    from shopify_db_spark.plans.curation import (
+        distribution_drift,
+        snapshot_diff,
+    )
+
+    prev = tiny_docs.filter(F.col("doc_id") != 2)
+    curr = tiny_docs.filter(F.col("doc_id") != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 4, F.concat("text", F.lit("!"))).otherwise(
+            F.col("text")
+        ),
+    )
+    labeled = tiny_docs.withColumn(
+        "src", F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    )
+    with forced_ansi(spark):
+        diff = {r["doc_id"]: r["status"] for r in
+                snapshot_diff(prev, curr, "doc_id", "text").collect()}
+        drift = distribution_drift(labeled, "src", "text").collect()
+    assert diff == {1: "unchanged", 2: "added", 3: "removed", 4: "changed"}
+    # one pair, shared vocabulary non-empty, chi2 within [0, 2]*SCALE
+    from shopify_db_spark.plans.curation import _Q124_SCALE
+
+    assert len(drift) == 1
+    assert 0 <= drift[0]["chi2_scaled"] <= 2 * _Q124_SCALE
+    assert drift[0]["n_shared_terms"] > 0
+
+
+def test_centroid_classify_ansi(spark):
+    from shopify_db_spark.plans.vectorops import q122_centroid_classify
+    from tests.conftest import SF_SMOKE
+
+    with forced_ansi(spark):
+        # the catalog wrapper would pin ANSI off; call the undecorated
+        # implementation so the plan really analyzes under ANSI
+        conf = q122_centroid_classify(spark, SF_SMOKE)
+        rows = conf.collect()
+    assert sum(r["n_docs"] for r in rows) > 0
