@@ -26,7 +26,7 @@ from shopify_db_spark.operators import dedup as DD
 from shopify_db_spark.operators.graph import dup_clusters
 from shopify_db_spark.operators.numbering import global_ntile, global_running_sum
 from shopify_db_spark.plans.catalog import query
-from shopify_db_spark.plans.textops import _Q27_ORACLE, _TOKS
+from shopify_db_spark.plans.textops import _NORM, _Q27_ORACLE, _TOKS
 from shopify_db_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1343,3 +1343,112 @@ def q124_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(
         load_table(spark, sf_dir, "documents"), "source", "text"
     )
+
+
+# ---------------------------------------------------------------------------
+# q125: canonical-corpus selection — the step q50 stops short of:
+# q50 labels near-dup clusters with the MIN-ID keeper; a production
+# pipeline keeps the BEST document per cluster. This composes three
+# driver-certified pieces — q27's SimHash pairs, q50's connected
+# components, q23's quality score — into per-document
+# (doc_id, rep_id, cluster_size, kept): `kept` marks each cluster's
+# highest-quality member (ties: lowest doc_id), singleton documents
+# (in no near-dup pair) keep themselves. `filter(kept)` IS the
+# deduplicated corpus. Quality values are deterministic doubles
+# (q23's hash-checked arithmetic), so the within-cluster ordering —
+# and hence the representative choice — is engine-portable.
+#
+# Scale shape: the pair generator and CC loop are q50's (pigeonhole
+# block join + localCheckpoint-truncated propagation); the ranking
+# window is partitioned BY CLUSTER (cluster sizes are small and
+# bounded by dedup semantics — no data-sized partition), the
+# singleton path is a left-anti join on doc_id against the
+# cluster-member set, which is corpus-scale but key-only.
+_Q125_STOPS = "'the','a','of','and','to','in','is','that','it','for'"
+
+_Q125_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_Q27_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         FROM reach GROUP BY node),
+qt AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter({_TOKS},
+              x -> list_contains([{_Q125_STOPS}], x)))
+              AS DOUBLE) AS n_stop,
+         CAST(length({_NORM}) AS DOUBLE) AS n_chars,
+         CAST(length({_NORM})
+              - length(regexp_replace({_NORM}, '[.,;:!?''"()\\[\\]-]', '', 'g'))
+              AS DOUBLE) AS n_punct
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         0.5 * LEAST(n_tok / 100.0, 1.0)
+           + 0.3 * LEAST((n_stop / n_tok) * 4.0, 1.0)
+           - 0.2 * LEAST((n_punct / n_chars) * 5.0, 1.0)
+           + 0.2 AS quality
+  FROM qt
+),
+sel AS (
+  SELECT c.doc_id,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rk,
+         FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rep_id
+  FROM comp c JOIN qual q USING (doc_id)
+)
+SELECT doc_id, rep_id, cluster_size, rk = 1 AS kept FROM sel
+UNION ALL
+SELECT d.doc_id, d.doc_id AS rep_id, CAST(1 AS BIGINT) AS cluster_size,
+       TRUE AS kept
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+"""
+
+
+@query("q125_canonical_corpus", oracle=_Q125_ORACLE)
+def q125_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-corpus selection (see section comment): SimHash
+    pairs → connected components → per-cluster quality ranking;
+    singletons keep themselves. Returns (doc_id, rep_id,
+    cluster_size, kept) — ``filter(kept)`` is the deduplicated
+    corpus."""
+    from shopify_db_spark.plans.textops import q23_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.simhash_pairs(docs, max_hamming=4, hash_family="md5")
+    clusters = dup_clusters(pairs)
+    qual = q23_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    sel = (
+        clusters.select("doc_id", "cluster_id", "cluster_size")
+        .join(qual, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rep_id", F.first("doc_id").over(w))
+    )
+    clustered = sel.select(
+        "doc_id", "rep_id", "cluster_size", (F.col("rk") == 1).alias("kept")
+    )
+    singles = docs.join(
+        clusters.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("rep_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.lit(True).alias("kept"),
+    )
+    return clustered.unionByName(singles)
