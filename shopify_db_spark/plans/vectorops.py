@@ -1974,3 +1974,173 @@ def q122_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_source", "pred_source").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# q126/q127: k-NN label inference (auto-labeling / weak supervision)
+# — propagate labels from a labeled pool to an unlabeled slice by
+# majority vote over each vector's 5 nearest labeled neighbors. The
+# training-data use case: a small human-labeled pool labels the
+# rest of the corpus (quality tiers, topic buckets, safety classes)
+# before mixture construction. The held-out slice (vec_id %
+# _Q126_HOLD == 0) KEEPS its true label in the output, so the query
+# doubles as the accuracy gate of the labeler against ground truth.
+#
+# q126 is the exact brute-force tier (q30's geometry: gated
+# broadcast or blocked pair grid, codegen'd cosine); q127 is the
+# production tier — the SAME vote over IVF nprobe=2 candidates
+# (q101's cell-bounded join), so the pair volume is cell-sized, not
+# corpus². Vote determinism: neighbor sets are rank-tie-broken
+# (cosine DESC, neighbor_id ASC — q30/q38's contract) and the vote
+# argmax ties break toward the smaller label; both engines order
+# identically because every cosine is the same IEEE expression.
+_Q126_HOLD = 5  # vec_id % 5 == 0 is the "unlabeled" held-out slice
+_Q126_K = 5
+
+
+def _q1xx_label_vote_oracle(cand_sql: str) -> str:
+    """Shared oracle tail: rank candidates, vote top-K labels."""
+    return f"""
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM ({cand_sql})
+),
+votes AS (
+  SELECT query_id, nl AS label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ranked WHERE rk <= {_Q126_K} GROUP BY query_id, nl
+),
+pred AS (
+  SELECT query_id, label, cnt,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cnt DESC, label ASC) AS pr
+  FROM votes
+)
+SELECT p.query_id AS vec_id, h.label AS true_label,
+       p.label AS pred_label, p.cnt AS n_votes,
+       p.label = h.label AS correct
+FROM pred p JOIN embeddings h ON h.vec_id = p.query_id
+WHERE pr = 1
+"""
+
+
+_Q126_ORACLE = f"""
+WITH held AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_Q126_HOLD} = 0
+),
+pool AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id % {_Q126_HOLD} != 0
+),
+{_q1xx_label_vote_oracle(f'''
+  SELECT h.vec_id AS query_id, p.vec_id AS neighbor_id, p.label AS nl,
+         {_sql_cosine('h.embedding', 'p.embedding')} AS cosine
+  FROM held h CROSS JOIN pool p
+''')}
+"""
+
+
+def knn_label_votes(knn: DataFrame, labeled: DataFrame) -> DataFrame:
+    """Majority vote over a (query_id, neighbor_id, rank) neighbor
+    frame against a (vec_id, label) pool: per-query argmax of label
+    counts, ties toward the smaller label. Partial-aggregating
+    ``min_by`` — the vote shuffle moves ~one row per (query, label),
+    never the neighbor lists."""
+    votes = (
+        knn.join(
+            labeled.select(
+                F.col("vec_id").alias("neighbor_id"), "label"
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return votes.groupBy("query_id").agg(
+        F.min_by(
+            F.struct("label", "cnt"), F.struct(-F.col("cnt"), F.col("label"))
+        ).alias("p")
+    )
+
+
+def _label_infer_out(pred: DataFrame, emb: DataFrame) -> DataFrame:
+    return (
+        pred.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("p.label").alias("pred_label"),
+            F.col("p.cnt").alias("n_votes"),
+        )
+        .join(emb.select("vec_id", F.col("label").alias("true_label")), "vec_id")
+        .select(
+            "vec_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+@query("q126_knn_label_infer", oracle=_Q126_ORACLE)
+def q126_knn_label_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN label inference (see section comment): brute-force
+    cosine top-5 from the labeled pool per held-out vector, majority
+    vote, scored against the held-out ground truth. Returns (vec_id,
+    true_label, pred_label, n_votes, correct)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    held = emb.filter(F.col("vec_id") % _Q126_HOLD == 0)
+    pool = emb.filter(F.col("vec_id") % _Q126_HOLD != 0)
+    knn = SIM.cosine_topk(held, pool, k=_Q126_K)
+    return _label_infer_out(knn_label_votes(knn, pool), emb)
+
+
+_Q127_NPROBE = 2
+
+
+_Q127_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+pool_assign AS (
+  SELECT v.vec_id, v.embedding, v.label, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                    c.centroid_id ASC) AS r
+  FROM (SELECT * FROM embeddings WHERE vec_id % {_Q126_HOLD} != 0) v
+  CROSS JOIN cent c
+),
+cand AS (
+  SELECT vec_id, embedding, label, centroid_id FROM pool_assign WHERE r = 1
+),
+held_assign AS (
+  SELECT v.vec_id, v.embedding, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                    c.centroid_id ASC) AS r
+  FROM (SELECT * FROM embeddings WHERE vec_id % {_Q126_HOLD} = 0) v
+  CROSS JOIN cent c
+),
+{_q1xx_label_vote_oracle(f'''
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+         {_sql_cosine('q.embedding', 'c.embedding')} AS cosine
+  FROM (SELECT * FROM held_assign WHERE r <= {_Q127_NPROBE}) q
+  JOIN cand c ON c.centroid_id = q.centroid_id
+''')}
+"""
+
+
+@query("q127_ivf_label_infer", oracle=_Q127_ORACLE)
+def q127_ivf_label_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q126's production tier: the same 5-NN majority vote over IVF
+    nprobe={_Q127_NPROBE} candidates (q101's cell-bounded equi-join)
+    instead of the corpus² pair grid. Returns (vec_id, true_label,
+    pred_label, n_votes, correct)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    held = emb.filter(F.col("vec_id") % _Q126_HOLD == 0)
+    pool = emb.filter(F.col("vec_id") % _Q126_HOLD != 0)
+    knn = SIM.ivf_ann(held, pool, centroids, k=_Q126_K, nprobe=_Q127_NPROBE)
+    return _label_infer_out(knn_label_votes(knn, pool), emb)
