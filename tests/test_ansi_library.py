@@ -174,3 +174,17 @@ def test_centroid_classify_ansi(spark):
         conf = q122_centroid_classify(spark, SF_SMOKE)
         rows = conf.collect()
     assert sum(r["n_docs"] for r in rows) > 0
+
+
+def test_label_infer_ansi(spark):
+    from shopify_db_spark.plans.vectorops import (
+        q126_knn_label_infer,
+        q127_ivf_label_infer,
+    )
+    from tests.conftest import SF_SMOKE
+
+    with forced_ansi(spark):
+        exact = q126_knn_label_infer(spark, SF_SMOKE).collect()
+        ivf = q127_ivf_label_infer(spark, SF_SMOKE).collect()
+    assert len(exact) > 0 and len(ivf) > 0
+    assert all(1 <= r["n_votes"] <= 5 for r in exact)
