@@ -40,6 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: restructured in rounds 7–8 after that evidence — plus the four new
 #: round-9 queries.
 _NEVER_DRIVER_SAMPLED = [
+    "q122_centroid_classify",  # new in round 9
+    "q123_snapshot_diff",  # new in round 9
+    "q124_source_drift",  # new in round 9
+    "q125_canonical_corpus",  # new in round 9
+    "q126_knn_label_infer",  # new in round 9
+    "q127_ivf_label_infer",  # new in round 9
     "q118_image_phash_dedup",  # new in round 9
     "q119_balanced_clusters",  # new in round 9
     "q120_curriculum_sample",  # new in round 9
