@@ -1452,3 +1452,169 @@ def q125_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("kept"),
     )
     return clustered.unionByName(singles)
+
+
+# ---------------------------------------------------------------------------
+# q128: delta-refresh dedup — the composition the two pieces were
+# built for: q123's snapshot diff decides WHICH documents re-enter
+# near-dup detection (added + changed), and only those probe the
+# banded-MinHash index of the settled (unchanged) corpus — the
+# refresh-cadence counterpart of q73/q102's arrival-order streaming
+# shape. At 100 TB the unchanged side's index rows are persisted
+# from the previous refresh; per refresh the work is
+# O(delta × bands) probe rows against an equi-join, never a corpus
+# rescan. Delta-vs-delta duplicates are intentionally out of scope
+# here (they settle at the next refresh; the batch pair generator
+# q26 covers the full-corpus pass) — the contract is "is this
+# new/edited document a near-dup of anything already shipped".
+#
+# The oracle restates the whole composition declaratively: q123's
+# status CASE feeds q73's signature/band CTEs, candidates are
+# (delta × unchanged) bucket matches at est-Jaccard ≥ 0.5, dup_of
+# is the minimum matching settled doc.
+_Q128_ORACLE = f"""
+WITH curr AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 != 2
+),
+prevv AS (
+  SELECT doc_id, MD5({_Q123_PREV_TEXT}) AS fp
+  FROM documents WHERE doc_id % 11 != 3
+),
+st AS (
+  SELECT c.doc_id, c.text,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN MD5(c.text) != p.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM curr c LEFT JOIN prevv p ON p.doc_id = c.doc_id
+),
+toks AS (
+  SELECT doc_id, status, {_TOKS} AS t FROM st
+),
+shingles AS (
+  SELECT DISTINCT doc_id, status, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+),
+salted AS (
+  SELECT doc_id, status, seed,
+         md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+  FROM shingles, UNNEST(generate_series(0, 7)) AS s(seed)
+),
+sig AS (
+  SELECT doc_id, status, seed, MIN(h) AS minhash
+  FROM salted GROUP BY doc_id, status, seed
+),
+bands AS (
+  SELECT doc_id, status, CAST(FLOOR(seed / 2) AS INT) AS band,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+                        ORDER BY CAST(seed AS VARCHAR) || ':' || minhash))
+             AS band_key
+  FROM sig GROUP BY doc_id, status, CAST(FLOOR(seed / 2) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS base_id
+  FROM bands a
+  JOIN bands b ON b.band = a.band AND b.band_key = a.band_key
+  WHERE a.status IN ('added', 'changed') AND b.status = 'unchanged'
+),
+scored AS (
+  SELECT delta_id, base_id,
+         CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+              AS DOUBLE) / 8 AS est_j
+  FROM cand
+  JOIN sig sa ON sa.doc_id = delta_id
+  JOIN sig sb ON sb.doc_id = base_id AND sb.seed = sa.seed
+  GROUP BY delta_id, base_id
+),
+dups AS (
+  SELECT delta_id, MIN(base_id) AS dup_of
+  FROM scored WHERE est_j >= 0.5 GROUP BY delta_id
+)
+SELECT s.doc_id, s.status, (d.delta_id IS NOT NULL) AS is_dup, d.dup_of
+FROM st s LEFT JOIN dups d ON d.delta_id = s.doc_id
+WHERE s.status IN ('added', 'changed')
+"""
+
+
+def refresh_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int | None = 50,
+) -> DataFrame:
+    """Probe each delta document's banded-MinHash rows against the
+    settled corpus index; a delta doc is a duplicate when any
+    settled doc agrees on ≥ ``threshold`` of signature positions.
+    ``max_bucket`` caps the SETTLED side per bucket (the q26/q102
+    degenerate-boilerplate guard; pass None for the exact spec).
+    Returns (delta_id, dup_of) — only duplicate delta docs appear."""
+    idx = DD.banded_minhash(base, id_col, text_col).select(
+        F.col("doc_id").alias("base_id"),
+        F.col("minhashes").alias("base_min"),
+        "band",
+        "band_key",
+    )
+    if max_bucket is not None:
+        sizes = idx.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("bucket_n")
+        )
+        idx = idx.join(
+            sizes.filter(F.col("bucket_n") <= max_bucket),
+            ["band", "band_key"],
+        ).drop("bucket_n")
+    probe = DD.banded_minhash(delta, id_col, text_col).select(
+        F.col("doc_id").alias("delta_id"),
+        F.col("minhashes").alias("delta_min"),
+        "band",
+        "band_key",
+    )
+    scored = (
+        probe.join(idx, ["band", "band_key"])
+        .select("delta_id", "base_id", "delta_min", "base_min")
+        .distinct()
+        .select(
+            "delta_id",
+            "base_id",
+            DD.signature_agreement(
+                F.col("delta_min"), F.col("base_min"), DD.DEFAULT_SEEDS
+            ).alias("est_j"),
+        )
+    )
+    return (
+        scored.filter(F.col("est_j") >= threshold)
+        .groupBy("delta_id")
+        .agg(F.min("base_id").alias("dup_of"))
+    )
+
+
+@query("q128_refresh_dedup", oracle=_Q128_ORACLE)
+def q128_refresh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-refresh dedup (see section comment): q123's snapshot
+    statuses route added/changed docs into a banded-MinHash probe of
+    the unchanged corpus. Catalog query passes ``max_bucket=None``
+    so the oracle is the exact full-recall spec (the library default
+    keeps the production cap). Returns (doc_id, status, is_dup,
+    dup_of) for the delta slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    curr = docs.filter(F.col("doc_id") % 17 != 2).select("doc_id", "text")
+    prev = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id", F.expr(_Q123_PREV_TEXT).alias("text")
+    )
+    st = snapshot_diff(prev, curr, "doc_id", "text").filter(
+        F.col("status") != "removed"
+    )
+    labeled = curr.join(st.select("doc_id", "status"), "doc_id")
+    base = labeled.filter(F.col("status") == "unchanged")
+    delta = labeled.filter(F.col("status").isin("added", "changed"))
+    dups = refresh_dedup(base, delta, max_bucket=None)
+    return (
+        delta.select("doc_id", "status")
+        .join(dups, delta["doc_id"] == dups["delta_id"], "left")
+        .select(
+            "doc_id",
+            "status",
+            F.col("delta_id").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
