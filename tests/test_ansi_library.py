@@ -188,3 +188,13 @@ def test_label_infer_ansi(spark):
         ivf = q127_ivf_label_infer(spark, SF_SMOKE).collect()
     assert len(exact) > 0 and len(ivf) > 0
     assert all(1 <= r["n_votes"] <= 5 for r in exact)
+
+
+def test_refresh_dedup_ansi(spark, tiny_docs):
+    from shopify_db_spark.plans.curation import refresh_dedup
+
+    base = tiny_docs.filter(F.col("doc_id") <= 3)
+    delta = tiny_docs.filter(F.col("doc_id") == 4)  # dup of doc 1
+    with forced_ansi(spark):
+        dups = refresh_dedup(base, delta).collect()
+    assert len(dups) == 1 and dups[0]["dup_of"] == 1
