@@ -1912,16 +1912,12 @@ GROUP BY true_source, cand
 """
 
 
-@query("q122_centroid_classify", oracle=_Q122_ORACLE)
-def q122_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-centroid domain classification + confusion matrix
-    (see section comment): floor-scaled integer components, exact
-    integer centroid sums per domain, map-side broadcast dot against
-    every domain centroid, per-doc argmax via partial-aggregating
-    ``min_by`` (ties broken on domain name), #domains²-row confusion
-    rollup. Returns (true_source, pred_source, n_docs)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
+def _centroid_affinities(
+    emb: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """(vec_id, true_source, cand, a): every document's exact mean-dot
+    affinity against every domain centroid — the shared engine of
+    q122 (classification rollup) and q129 (outlier margins)."""
     xi = emb.join(
         docs.select(
             F.col("doc_id").alias("vec_id"),
@@ -1955,17 +1951,36 @@ def q122_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n_vecs"),
         )
     )
-    pairs = xi.crossJoin(
-        F.broadcast(cent.select(F.col("src").alias("cand"), "cvec", "n_vecs"))
-    ).withColumn(
-        "a",
-        F.aggregate(
-            F.zip_with("xi", "cvec", lambda x, c: x * c),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        ).cast("double")
-        / F.col("n_vecs").cast("double"),
+    return (
+        xi.crossJoin(
+            F.broadcast(
+                cent.select(F.col("src").alias("cand"), "cvec", "n_vecs")
+            )
+        )
+        .withColumn(
+            "a",
+            F.aggregate(
+                F.zip_with("xi", "cvec", lambda x, c: x * c),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+            / F.col("n_vecs").cast("double"),
+        )
+        .select("vec_id", "true_source", "cand", "a")
     )
+
+
+@query("q122_centroid_classify", oracle=_Q122_ORACLE)
+def q122_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid domain classification + confusion matrix
+    (see section comment): floor-scaled integer components, exact
+    integer centroid sums per domain, map-side broadcast dot against
+    every domain centroid, per-doc argmax via partial-aggregating
+    ``min_by`` (ties broken on domain name), #domains²-row confusion
+    rollup. Returns (true_source, pred_source, n_docs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _centroid_affinities(emb, docs)
     pred = pairs.groupBy("vec_id", "true_source").agg(
         F.min_by("cand", F.struct(-F.col("a"), F.col("cand"))).alias(
             "pred_source"
@@ -2144,3 +2159,97 @@ def q127_ivf_label_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = emb.filter(F.col("vec_id") % _Q126_HOLD != 0)
     knn = SIM.ivf_ann(held, pool, centroids, k=_Q126_K, nprobe=_Q127_NPROBE)
     return _label_infer_out(knn_label_votes(knn, pool), emb)
+
+
+# ---------------------------------------------------------------------------
+# q129: domain-affinity outlier margins — mislabeled-data detection
+# at doc level, the drill-down under q122's confusion rollup: for
+# each document, margin = affinity-to-own-domain − best
+# other-domain affinity; a negative margin means the doc sits
+# closer to another domain's centroid than its own (mislabeled
+# source, boilerplate contamination, or genuine cross-domain
+# content) — the rows a curation pass re-routes or drops before
+# mixture construction. Same exact-integer affinity engine as q122
+# (`_centroid_affinities`); the margin is one deterministic IEEE
+# subtraction of two exact-quotient doubles, so the sign — and the
+# best-other argmax — is engine-portable.
+#
+# Scale shape: q122's (one centroid shuffle, map-side broadcast
+# expansion); the own/other split is two partial-aggregating passes
+# over the same pair frame, each shuffling ~one row per doc.
+_Q129_ORACLE = f"""
+WITH xi AS (
+  SELECT e.vec_id, d.source AS true_source,
+         list_transform(e.embedding,
+             v -> CAST(FLOOR(CAST(v AS DOUBLE) * {_Q122_SCALE}) AS BIGINT))
+             AS xi
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+comp AS (
+  SELECT true_source AS src, g.i AS dim, SUM(xi[g.i]) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM xi, UNNEST(generate_series(1, {DIM})) AS g(i)
+  GROUP BY true_source, g.i
+),
+aff AS (
+  SELECT x.vec_id, x.true_source, c.src AS cand,
+         CAST(SUM(x.xi[c.dim] * c.s) AS DOUBLE)
+             / CAST(ANY_VALUE(c.n) AS DOUBLE) AS a
+  FROM xi x JOIN comp c ON TRUE
+  GROUP BY x.vec_id, x.true_source, c.src
+),
+own AS (
+  SELECT vec_id, true_source, a AS own_aff FROM aff
+  WHERE cand = true_source
+),
+other AS (
+  SELECT vec_id, cand, a,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY a DESC, cand ASC) AS rk
+  FROM aff WHERE cand != true_source
+)
+SELECT o.vec_id, w.true_source, w.own_aff,
+       o.cand AS best_other_source, o.a AS best_other_aff,
+       w.own_aff - o.a AS margin,
+       w.own_aff < o.a AS is_outlier
+FROM other o JOIN own w ON w.vec_id = o.vec_id
+WHERE o.rk = 1
+"""
+
+
+@query("q129_domain_outliers", oracle=_Q129_ORACLE)
+def q129_domain_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-affinity outlier margins (see section comment): own-
+    vs best-other centroid affinity per document. Returns (vec_id,
+    true_source, own_aff, best_other_source, best_other_aff, margin,
+    is_outlier)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _centroid_affinities(emb, docs)
+    own = pairs.filter(F.col("cand") == F.col("true_source")).select(
+        "vec_id", "true_source", F.col("a").alias("own_aff")
+    )
+    other = (
+        pairs.filter(F.col("cand") != F.col("true_source"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cand"), F.col("a")),
+                F.struct(-F.col("a"), F.col("cand")),
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.cand").alias("best_other_source"),
+            F.col("b.a").alias("best_other_aff"),
+        )
+    )
+    return own.join(other, "vec_id").select(
+        "vec_id",
+        "true_source",
+        "own_aff",
+        "best_other_source",
+        "best_other_aff",
+        (F.col("own_aff") - F.col("best_other_aff")).alias("margin"),
+        (F.col("own_aff") < F.col("best_other_aff")).alias("is_outlier"),
+    )
