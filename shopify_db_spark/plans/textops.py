@@ -1164,3 +1164,124 @@ def q115_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortens a document by exactly one token, so the count pair
     hash-checks the greedy fold application rule-for-rule."""
     return bpe_encode(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q130: HyperLogLog distinct-token sketch per source — the
+# cardinality sketch beside q86's count-min (frequency): per-source
+# distinct-token estimates at 100 TB without a per-source DISTINCT
+# shuffle. The register representation IS the 100 TB design:
+# registers merge by MAX, so Spark's partial aggregation combines
+# per-partition sketches map-side and the shuffle moves ≤ #sources
+# × m rows regardless of corpus size; cross-refresh / cross-dataset
+# union is the same MAX merge (the mergeability that made the
+# sketch canonical — Flajolet et al. 2007, Heule et al. 2013).
+#
+# Engine-portable EXACT math throughout: the 48-bit hash value is
+# md5-hex via the q86 '0x'-cast/conv trick, the register index is
+# v % m, rho is 1 + leading-zeros of the remaining 42-bit word
+# computed EXACTLY as 43 − length(bin(w)) (bin() is the binary
+# string on both engines — no log2 boundary risk), and the
+# indicator sum Σ 2^(−rho_j) is carried as the exact BIGINT
+# Σ 2^(43−rho_j) (left shift) with empty registers contributing
+# 2^43 — floats appear only in the final single-expression
+# estimate, identical IEEE ops on both engines. The standard
+# small-range linear-counting correction needs ln(); it is left to
+# consumers (n_empty_registers is in the output) — the raw
+# estimator is the sketch contract here.
+_Q130_M = 64  # registers; alpha_64 = 0.709 (0.7213/(1+1.079/m))
+_Q130_W = 43  # 42-bit rho word + 1
+
+
+_Q130_ORACLE = f"""
+WITH toks AS (
+  SELECT source, u.term
+  FROM (SELECT source, {_TOKS} AS t FROM documents),
+       UNNEST(t) AS u(term)
+),
+hashed AS (
+  SELECT source,
+         ('0x' || substr(md5('hll:' || term), 1, 12))::BIGINT AS v
+  FROM toks
+),
+regs AS (
+  SELECT source, v % {_Q130_M} AS idx,
+         MAX(CASE WHEN v // {_Q130_M} = 0 THEN {_Q130_W}
+                  ELSE {_Q130_W} - LENGTH(bin(v // {_Q130_M})) END) AS rho
+  FROM hashed GROUP BY source, v % {_Q130_M}
+),
+sums AS (
+  SELECT source,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_Q130_W} - rho))
+              + ({_Q130_M} - COUNT(*))
+                * (CAST(1 AS BIGINT) << {_Q130_W}) AS BIGINT)
+             AS register_sum,
+         CAST({_Q130_M} - COUNT(*) AS BIGINT) AS n_empty_registers
+  FROM regs GROUP BY source
+),
+exact AS (
+  SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct
+  FROM toks GROUP BY source
+)
+SELECT s.source, e.exact_distinct, s.register_sum, s.n_empty_registers,
+       (709.0 * {_Q130_M}.0 * {_Q130_M}.0
+        * CAST(CAST(1 AS BIGINT) << {_Q130_W} AS DOUBLE))
+           / (1000.0 * CAST(s.register_sum AS DOUBLE)) AS hll_estimate
+FROM sums s JOIN exact e ON e.source = s.source
+"""
+
+
+@query("q130_hll_distinct", oracle=_Q130_ORACLE)
+def q130_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-token estimate vs the exact
+    count (see section comment). Returns (source, exact_distinct,
+    register_sum, n_empty_registers, hll_estimate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("term"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = toks.select("source", v.alias("v"))
+    w = F.expr(f"v DIV {_Q130_M}")
+    rho = F.when(w == 0, F.lit(_Q130_W)).otherwise(
+        F.lit(_Q130_W) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select(
+            "source", (F.col("v") % _Q130_M).alias("idx"), rho.alias("rho")
+        )
+        .groupBy("source", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    sums = regs.groupBy("source").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_Q130_W} - rho)"))
+            + (F.lit(_Q130_M) - F.count(F.lit(1)))
+            * F.lit(1 << _Q130_W).cast("long")
+        ).cast("long").alias("register_sum"),
+        (F.lit(_Q130_M) - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_empty_registers"),
+    )
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("term").alias("exact_distinct")
+    )
+    est = (
+        F.lit(709.0)
+        * F.lit(float(_Q130_M))
+        * F.lit(float(_Q130_M))
+        * F.lit(float(1 << _Q130_W))
+    ) / (F.lit(1000.0) * F.col("register_sum").cast("double"))
+    return sums.join(exact, "source").select(
+        "source",
+        "exact_distinct",
+        "register_sum",
+        "n_empty_registers",
+        est.alias("hll_estimate"),
+    )
