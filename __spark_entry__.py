@@ -40,6 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: restructured in rounds 7–8 after that evidence — plus the four new
 #: round-9 queries.
 _NEVER_DRIVER_SAMPLED = [
+    "q128_refresh_dedup",  # new in round 9
+    "q129_domain_outliers",  # new in round 9
+    "q130_hll_distinct",  # new in round 9
     "q122_centroid_classify",  # new in round 9
     "q123_snapshot_diff",  # new in round 9
     "q124_source_drift",  # new in round 9
