@@ -1618,3 +1618,81 @@ def q128_refresh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q131: temperature-scaled mixture sampling rates — the standard
+# multilingual/multi-source rebalancing step (sample source s with
+# probability ∝ n_s^τ, τ < 1 upweights small sources; XLM-R/mT5
+# style) at τ = 1/2, the one temperature whose power is an exact
+# IEEE primitive: sqrt is CORRECTLY ROUNDED by both engines, so
+# w_s = floor(sqrt(n_s)·10⁶) is the same BIGINT everywhere, the
+# normalizer Σ w_s is an exact integer sum (no float-sum order
+# dependence — the q121 trick applied to the weights themselves),
+# and every downstream share/rate is a deterministic expression of
+# exact integers. The token budget is a fixed operator parameter;
+# expected_tokens = floor(rate·n_s) gives the integer allocation.
+# Scale shape: one token-count shuffle (#sources rows out), a
+# 1-row normalizer broadcast — nothing else touches the corpus.
+_Q131_BUDGET = 50_000
+_Q131_WSCALE = 1_000_000
+
+_Q131_ORACLE = f"""
+WITH n AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * {_Q131_WSCALE})
+              AS BIGINT) AS w_scaled
+  FROM n
+),
+tot AS (SELECT SUM(w_scaled) AS w_tot FROM w)
+SELECT w.source, w.n_tokens, w.w_scaled,
+       CAST(w.w_scaled AS DOUBLE) / CAST(t.w_tot AS DOUBLE) AS share,
+       LEAST(1.0, ({_Q131_BUDGET}.0
+                   * (CAST(w.w_scaled AS DOUBLE) / CAST(t.w_tot AS DOUBLE)))
+                  / CAST(w.n_tokens AS DOUBLE)) AS sample_rate,
+       CAST(FLOOR(LEAST(1.0, ({_Q131_BUDGET}.0
+                   * (CAST(w.w_scaled AS DOUBLE) / CAST(t.w_tot AS DOUBLE)))
+                  / CAST(w.n_tokens AS DOUBLE))
+                  * CAST(w.n_tokens AS DOUBLE)) AS BIGINT)
+           AS expected_tokens
+FROM w CROSS JOIN tot t
+"""
+
+
+@query("q131_mixture_temperature", oracle=_Q131_ORACLE)
+def q131_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (τ=1/2) mixture sampling rates under a
+    fixed token budget (see section comment). Returns (source,
+    n_tokens, w_scaled, share, sample_rate, expected_tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "source", F.size(TX.tokens(F.col("text"))).cast("long").alias("nt")
+    ).groupBy("source").agg(F.sum("nt").alias("n_tokens"))
+    w = n.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double")) * _Q131_WSCALE
+        ).cast("long").alias("w_scaled"),
+    )
+    tot = w.agg(F.sum("w_scaled").alias("w_tot"))
+    share = F.col("w_scaled").cast("double") / F.col("w_tot").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(_Q131_BUDGET)) * share)
+        / F.col("n_tokens").cast("double"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "w_scaled",
+        share.alias("share"),
+        rate.alias("sample_rate"),
+        F.floor(rate * F.col("n_tokens").cast("double"))
+        .cast("long")
+        .alias("expected_tokens"),
+    )

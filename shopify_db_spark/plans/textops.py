@@ -11,7 +11,7 @@ sides (bit-identical IEEE ops, no rounding)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shopify_db_spark.functions import text as TX
@@ -1231,15 +1231,11 @@ FROM sums s JOIN exact e ON e.source = s.source
 """
 
 
-@query("q130_hll_distinct", oracle=_Q130_ORACLE)
-def q130_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source HyperLogLog distinct-token estimate vs the exact
-    count (see section comment). Returns (source, exact_distinct,
-    register_sum, n_empty_registers, hll_estimate)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(TX.tokens(F.col("text"))).alias("term")
-    )
+def hll_registers(toks: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(key..., idx, rho): HyperLogLog registers of the ``term``
+    column per key group. MAX-mergeable: partial aggregation unions
+    per-partition sketches map-side, and any further key rollup (or
+    cross-snapshot union) is the same ``max(rho)``."""
     v = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("hll:"), F.col("term"))), 1, 12
@@ -1247,19 +1243,24 @@ def q130_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    hashed = toks.select("source", v.alias("v"))
+    hashed = toks.select(*key_cols, v.alias("v"))
     w = F.expr(f"v DIV {_Q130_M}")
     rho = F.when(w == 0, F.lit(_Q130_W)).otherwise(
         F.lit(_Q130_W) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         hashed.select(
-            "source", (F.col("v") % _Q130_M).alias("idx"), rho.alias("rho")
+            *key_cols, (F.col("v") % _Q130_M).alias("idx"), rho.alias("rho")
         )
-        .groupBy("source", "idx")
+        .groupBy(*key_cols, "idx")
         .agg(F.max("rho").alias("rho"))
     )
-    sums = regs.groupBy("source").agg(
+
+
+def hll_register_sum(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Collapse registers to the exact BIGINT indicator sum
+    Σ 2^(W−rho) (empty registers contribute 2^W) + the empty count."""
+    return regs.groupBy(*key_cols).agg(
         (
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_Q130_W} - rho)"))
             + (F.lit(_Q130_M) - F.count(F.lit(1)))
@@ -1269,19 +1270,191 @@ def q130_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_empty_registers"),
     )
-    exact = toks.groupBy("source").agg(
-        F.count_distinct("term").alias("exact_distinct")
-    )
-    est = (
+
+
+def hll_estimate(register_sum: Column) -> Column:
+    """Raw HLL estimate from the exact indicator sum — the only
+    floating-point step, a single fixed-order IEEE expression."""
+    return (
         F.lit(709.0)
         * F.lit(float(_Q130_M))
         * F.lit(float(_Q130_M))
         * F.lit(float(1 << _Q130_W))
-    ) / (F.lit(1000.0) * F.col("register_sum").cast("double"))
+    ) / (F.lit(1000.0) * register_sum.cast("double"))
+
+
+@query("q130_hll_distinct", oracle=_Q130_ORACLE)
+def q130_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-token estimate vs the exact
+    count (see section comment). Returns (source, exact_distinct,
+    register_sum, n_empty_registers, hll_estimate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    sums = hll_register_sum(hll_registers(toks, ["source"]), ["source"])
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("term").alias("exact_distinct")
+    )
     return sums.join(exact, "source").select(
         "source",
         "exact_distinct",
         "register_sum",
         "n_empty_registers",
-        est.alias("hll_estimate"),
+        hll_estimate(F.col("register_sum")).alias("hll_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132: cross-source vocabulary overlap via HLL register merge — the
+# payoff of q130's mergeability: |A ∪ B| comes from MAX-merging the
+# two sources' 64-register sketches (64·S² tiny rows — no re-scan
+# of either corpus), and |A ∩ B| by inclusion–exclusion
+# E_a + E_b − E_a∪b. At 100 TB this is how source-overlap matrices
+# are actually computed: per-source sketches persist from the
+# profiling pass (q130), and any pair/group rollup is register MAX.
+# The exact intersection count rides along for calibration (a
+# vocabulary-sized term self-join, the q124 shape — the expensive
+# path the sketch replaces). Same exact-integer register math as
+# q130; estimates are single fixed-order IEEE expressions.
+_Q132_EST = (
+    f"(709.0 * {_Q130_M}.0 * {_Q130_M}.0 "
+    f"* CAST(CAST(1 AS BIGINT) << {_Q130_W} AS DOUBLE)) "
+    "/ (1000.0 * CAST({col} AS DOUBLE))"
+)
+
+
+def _sql_hll_est(col: str) -> str:
+    return _Q132_EST.format(col=col)
+
+
+_Q132_ORACLE = f"""
+WITH toks AS (
+  SELECT source, u.term
+  FROM (SELECT source, {_TOKS} AS t FROM documents),
+       UNNEST(t) AS u(term)
+),
+hashed AS (
+  SELECT source,
+         ('0x' || substr(md5('hll:' || term), 1, 12))::BIGINT AS v
+  FROM toks
+),
+regs AS (
+  SELECT source, v % {_Q130_M} AS idx,
+         MAX(CASE WHEN v // {_Q130_M} = 0 THEN {_Q130_W}
+                  ELSE {_Q130_W} - LENGTH(bin(v // {_Q130_M})) END) AS rho
+  FROM hashed GROUP BY source, v % {_Q130_M}
+),
+ssums AS (
+  SELECT source,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_Q130_W} - rho))
+              + ({_Q130_M} - COUNT(*))
+                * (CAST(1 AS BIGINT) << {_Q130_W}) AS BIGINT)
+             AS register_sum
+  FROM regs GROUP BY source
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+prs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+uregs AS (
+  SELECT p.sa, p.sb, r.idx, MAX(r.rho) AS rho
+  FROM prs p JOIN regs r ON r.source = p.sa OR r.source = p.sb
+  GROUP BY p.sa, p.sb, r.idx
+),
+usums AS (
+  SELECT sa, sb,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_Q130_W} - rho))
+              + ({_Q130_M} - COUNT(*))
+                * (CAST(1 AS BIGINT) << {_Q130_W}) AS BIGINT)
+             AS register_sum
+  FROM uregs GROUP BY sa, sb
+),
+tset AS (SELECT DISTINCT source, term FROM toks),
+ov AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(COUNT(*) AS BIGINT) AS exact_overlap
+  FROM tset a JOIN tset b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT u.sa AS source_a, u.sb AS source_b,
+       u.register_sum AS union_register_sum,
+       {_sql_hll_est('u.register_sum')} AS union_estimate,
+       (({_sql_hll_est('s1.register_sum')}
+         + {_sql_hll_est('s2.register_sum')})
+        - {_sql_hll_est('u.register_sum')}) AS overlap_estimate,
+       COALESCE(o.exact_overlap, CAST(0 AS BIGINT)) AS exact_overlap
+FROM usums u
+JOIN ssums s1 ON s1.source = u.sa
+JOIN ssums s2 ON s2.source = u.sb
+LEFT JOIN ov o ON o.sa = u.sa AND o.sb = u.sb
+"""
+
+
+@query("q132_hll_overlap", oracle=_Q132_ORACLE)
+def q132_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap from MAX-merged HLL sketches
+    (see section comment), with the exact intersection count for
+    calibration. Returns (source_a, source_b, union_register_sum,
+    union_estimate, overlap_estimate, exact_overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    regs = hll_registers(toks, ["source"])
+    ssums = hll_register_sum(regs, ["source"])
+    srcs = docs.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(
+            srcs.select(F.col("source").alias("sb")),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    uregs = (
+        regs.join(
+            F.broadcast(prs),
+            (F.col("source") == F.col("sa"))
+            | (F.col("source") == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    usums = hll_register_sum(uregs, ["sa", "sb"]).select(
+        "sa", "sb", F.col("register_sum").alias("u_sum")
+    )
+    tset = toks.distinct()
+    ov = (
+        tset.select(F.col("source").alias("sa"), "term")
+        .join(
+            tset.select(F.col("source").alias("sb"), F.col("term").alias("tb")),
+            (F.col("term") == F.col("tb")) & (F.col("sa") < F.col("sb")),
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    out = (
+        usums.join(
+            ssums.select(F.col("source").alias("sa"), F.col("register_sum").alias("a_sum")),
+            "sa",
+        )
+        .join(
+            ssums.select(F.col("source").alias("sb"), F.col("register_sum").alias("b_sum")),
+            "sb",
+        )
+        .join(ov, ["sa", "sb"], "left")
+    )
+    return out.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("u_sum").alias("union_register_sum"),
+        hll_estimate(F.col("u_sum")).alias("union_estimate"),
+        (
+            (hll_estimate(F.col("a_sum")) + hll_estimate(F.col("b_sum")))
+            - hll_estimate(F.col("u_sum"))
+        ).alias("overlap_estimate"),
+        F.coalesce(F.col("exact_overlap"), F.lit(0).cast("long")).alias(
+            "exact_overlap"
+        ),
     )
