@@ -40,6 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: restructured in rounds 7–8 after that evidence — plus the four new
 #: round-9 queries.
 _NEVER_DRIVER_SAMPLED = [
+    "q131_mixture_temperature",  # new in round 9
+    "q132_hll_overlap",  # new in round 9
     "q128_refresh_dedup",  # new in round 9
     "q129_domain_outliers",  # new in round 9
     "q130_hll_distinct",  # new in round 9
