@@ -198,3 +198,26 @@ def test_refresh_dedup_ansi(spark, tiny_docs):
     with forced_ansi(spark):
         dups = refresh_dedup(base, delta).collect()
     assert len(dups) == 1 and dups[0]["dup_of"] == 1
+
+
+def test_hll_and_mixture_ansi(spark, tiny_docs):
+    from shopify_db_spark.plans.textops import (
+        hll_estimate,
+        hll_register_sum,
+        hll_registers,
+    )
+
+    labeled = tiny_docs.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    )
+    toks = labeled.selectExpr(
+        "source", "explode(split(lower(text), ' ')) AS term"
+    )
+    with forced_ansi(spark):
+        sums = hll_register_sum(
+            hll_registers(toks, ["source"]), ["source"]
+        ).withColumn("est", hll_estimate(F.col("register_sum")))
+        rows = {r["source"]: r for r in sums.collect()}
+    assert set(rows) == {"even", "odd"}
+    # ~9 distinct tokens per source; raw estimator within a loose band
+    assert all(0 < r["est"] < 200 for r in rows.values())
