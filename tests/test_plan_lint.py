@@ -30,6 +30,12 @@ CROSS_JOIN_OK = {
     "q48_hourly_gapfill",  # hour x type grid (both dimension-sized)
     "q74_semantic_dedup",  # n x K codebook assignment (codebook broadcast,
                            # fixed-size or sublinear — see semantic_dedup)
+    "q122_centroid_classify",  # n x #domains broadcast centroid scoring
+    "q126_knn_label_infer",  # brute-force baseline tier (q30's gated shape; production tier is q127)
+    "q127_ivf_label_infer",  # n x K centroid scoring (q101's geometry; pair join is cell-keyed)
+    "q129_domain_outliers",  # n x #domains broadcast centroid scoring (q122's engine)
+    "q131_mixture_temperature",  # 1-row normalizer broadcast applied to #sources rows
+    "q132_hll_overlap",  # S x S source-pair grid + OR-keyed register fan-out — both #sources-sized, never corpus-sized
 }
 
 ALL = sorted(load_all())
@@ -88,6 +94,7 @@ SINGLE_PARTITION_OK = {
     "q100_corpus_ship": (1, "two-phase prefix-sum offsets, #partitions rows (q58's bound)"),
     "q103_lexical_rarity": (1, "two-phase NTILE offsets over the vocabulary, #partitions rows"),
     "q112_ann_recall_gate": (1, "final scalar aggregate over partial aggs (one verdict row)"),
+    "q131_mixture_temperature": (1, "scalar normalizer aggregate over #sources partial rows"),
 }
 
 
