@@ -899,3 +899,92 @@ def q114_streaming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_cap=_Q113_CAP,
         admit="distance",
     )
+
+
+# ---------------------------------------------------------------------------
+# q133: streaming HyperLogLog maintenance — the MAX-merge twin of
+# q130, completing the sketch tier's streaming pairs (q86→q90 is
+# merge-by-ADDITION for count-min; q130→q133 is merge-by-MAX for
+# HLL). Each micro-batch's registers are unioned into the
+# accumulated state with ``max(rho)``; because HLL registers merge
+# by MAX, the final state must equal the batch sketch over the
+# whole corpus — which is exactly what the oracle computes
+# declaratively. State is ≤ #sources × 64 rows; per-batch work is
+# batch-sized; the corpus is never re-scanned.
+from shopify_db_spark.plans.textops import _Q130_M, _Q130_W, hll_registers
+
+_Q133_ORACLE = f"""
+WITH toks AS (
+  SELECT source, u.term
+  FROM (SELECT source,
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                      'g'))), ' ') AS t
+        FROM documents),
+       UNNEST(t) AS u(term)
+),
+hashed AS (
+  SELECT source,
+         ('0x' || substr(md5('hll:' || term), 1, 12))::BIGINT AS v
+  FROM toks
+)
+SELECT source, CAST(v % {_Q130_M} AS BIGINT) AS idx,
+       CAST(MAX(CASE WHEN v // {_Q130_M} = 0 THEN {_Q130_W}
+                     ELSE {_Q130_W} - LENGTH(bin(v // {_Q130_M})) END)
+            AS INT) AS rho
+FROM hashed GROUP BY source, v % {_Q130_M}
+"""
+
+
+@query("q133_streaming_hll", oracle=_Q133_ORACLE)
+def q133_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL register maintenance (see section comment):
+    three deterministic micro-batches (doc_id % 3), per-batch
+    registers MAX-merged into the accumulated state inside
+    ``foreachBatch``. Returns the final (source, idx, rho) register
+    table — bit-identical to the one-shot batch sketch."""
+    from shopify_db_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", (F.col("doc_id") % 3).alias("batch_no")
+    )
+    stream_dir = _write_batch_files(docs, "batch_no", 3)
+    empty = spark.createDataFrame([], "source string, idx long, rho int")
+    state = {"regs": empty}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # spread the single-partition micro-batch (q114 root cause)
+        toks = (
+            batch_df.repartition(
+                spark.sparkContext.defaultParallelism, F.col("doc_id")
+            )
+            .select(
+                "source", F.explode(tokens(F.col("text"))).alias("term")
+            )
+        )
+        regs = hll_registers(toks, ["source"]).select(
+            "source", "idx", F.col("rho").cast("int").alias("rho")
+        )
+        state["regs"] = (
+            state["regs"]
+            .unionByName(regs)
+            .groupBy("source", "idx")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return state["regs"]
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
