@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: restructured in rounds 7–8 after that evidence — plus the four new
 #: round-9 queries.
 _NEVER_DRIVER_SAMPLED = [
+    "q133_streaming_hll",  # new in round 9
     "q131_mixture_temperature",  # new in round 9
     "q132_hll_overlap",  # new in round 9
     "q128_refresh_dedup",  # new in round 9
