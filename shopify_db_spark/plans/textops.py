@@ -1458,3 +1458,98 @@ def q132_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_overlap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q134: distinctive keywords per source (c-TF-IDF-style lift) — the
+# per-TERM attribution under q124's scalar drift number: for each
+# source, which terms over-index vs the corpus. score =
+# (tf_st/n_s)/(tf_t/N) — the lift of the term's in-source rate over
+# its corpus rate — computed as ONE IEEE quotient of two exact
+# BIGINT cross-products (tf_st·N vs tf_t·n_s, both < 2^53 at any
+# measured scale), so ranking is engine-portable with no float-sum
+# anywhere. A tf_st ≥ 3 noise floor drops hapax artifacts; top 10
+# per source, ties toward the lexicographically smaller term.
+# Scale shape: one token shuffle for (source, term) counts, a
+# vocab-keyed join for corpus totals, #sources-row and 1-row
+# broadcast totals; the ranking window partitions by SOURCE over
+# its vocabulary (sublinear in the corpus).
+_Q134_MIN_TF = 3
+_Q134_TOPK = 10
+
+_Q134_ORACLE = f"""
+WITH toks AS (
+  SELECT source, u.term
+  FROM (SELECT source, {_TOKS} AS t FROM documents),
+       UNNEST(t) AS u(term)
+),
+st AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf_st
+  FROM toks GROUP BY source, term
+),
+tt AS (
+  SELECT term, CAST(SUM(tf_st) AS BIGINT) AS tf_t FROM st GROUP BY term
+),
+ns AS (
+  SELECT source, CAST(SUM(tf_st) AS BIGINT) AS n_s FROM st GROUP BY source
+),
+nn AS (SELECT CAST(SUM(tf_st) AS BIGINT) AS n FROM st),
+scored AS (
+  SELECT st.source, st.term, st.tf_st,
+         CAST(st.tf_st * nn.n AS DOUBLE)
+             / CAST(tt.tf_t * ns.n_s AS DOUBLE) AS score
+  FROM st
+  JOIN tt ON tt.term = st.term
+  JOIN ns ON ns.source = st.source
+  CROSS JOIN nn
+  WHERE st.tf_st >= {_Q134_MIN_TF}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, term, tf_st, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_Q134_TOPK}
+"""
+
+
+@query("q134_source_keywords", oracle=_Q134_ORACLE)
+def q134_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive keywords per source by exact-integer lift (see
+    section comment). Returns (source, term, tf_st, score, rank)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf_st")
+    )
+    tt = st.groupBy("term").agg(F.sum("tf_st").alias("tf_t"))
+    ns = st.groupBy("source").agg(F.sum("tf_st").alias("n_s"))
+    nn = st.agg(F.sum("tf_st").alias("n"))
+    scored = (
+        st.filter(F.col("tf_st") >= _Q134_MIN_TF)
+        .join(tt, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "term",
+            "tf_st",
+            (
+                (F.col("tf_st") * F.col("n")).cast("double")
+                / (F.col("tf_t") * F.col("n_s")).cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q134_TOPK)
+        .select("source", "term", "tf_st", "score", F.col("rank").cast("int"))
+    )
