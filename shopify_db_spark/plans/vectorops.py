@@ -2253,3 +2253,215 @@ def q129_domain_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("own_aff") - F.col("best_other_aff")).alias("margin"),
         (F.col("own_aff") < F.col("best_other_aff")).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q135: MMR diverse reranking — maximal marginal relevance over each
+# query's exact top-C cosine candidates: round r picks
+# argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), the standard
+# retrieval-diversification step (RAG context assembly, near-dup-
+# aware retrieval) between ANN (q30/q38) and fusion (q109). λ=1/2
+# so every score is one fixed-order IEEE expression of cosines both
+# engines compute identically (q30's contract); ties break toward
+# the smaller neighbor id, so the greedy trajectory — a fixed
+# K-round schedule, declaratively expressible as one CTE chain per
+# round (the q119 technique) — is engine-portable.
+#
+# Scale shape: the candidate pool is top-C per query (C=10), so the
+# pair-sim table is C²·#queries rows and every round's join/argmax
+# is candidate-pool-sized, never corpus-sized; the per-round argmax
+# is a partial-aggregating min_by. Candidate generation itself is
+# q30's gated baseline (or any ANN tier — the operator only needs
+# (query_id, neighbor_id, rel) + pair sims).
+_Q135_C = 10  # candidate pool per query
+_Q135_K = 5  # selections per query
+
+
+def _q135_oracle() -> str:
+    rounds = []
+    sel_union = "SELECT query_id, neighbor_id FROM a1"
+    for r in range(2, _Q135_K + 1):
+        rounds.append(f"""sel{r - 1} AS ({sel_union}),
+m{r} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel, MAX(p.s) AS ms
+  FROM cand c
+  LEFT JOIN sel{r - 1} x ON x.query_id = c.query_id
+   AND x.neighbor_id = c.neighbor_id
+  JOIN ps p ON p.query_id = c.query_id AND p.a = c.neighbor_id
+  JOIN sel{r - 1} s ON s.query_id = p.query_id AND s.neighbor_id = p.b
+  WHERE x.neighbor_id IS NULL
+  GROUP BY c.query_id, c.neighbor_id, c.rel
+),
+a{r} AS (
+  SELECT query_id, neighbor_id, score, {r} AS mmr_rank FROM (
+    SELECT query_id, neighbor_id,
+           (0.5 * rel) - (0.5 * ms) AS score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY (0.5 * rel) - (0.5 * ms) DESC,
+                                       neighbor_id ASC) AS rn
+    FROM m{r}
+  ) WHERE rn = 1
+)""")
+        sel_union += f" UNION ALL SELECT query_id, neighbor_id FROM a{r}"
+    out_union = " UNION ALL ".join(
+        f"SELECT * FROM a{r}" for r in range(1, _Q135_K + 1)
+    )
+    round_ctes = ",\n".join(rounds)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+cand AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_sql_cosine('q.qv', 'c.embedding')} AS rel,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cosine('q.qv', 'c.embedding')}
+                                  DESC, c.vec_id ASC) AS rank
+    FROM q JOIN embeddings c ON c.vec_id != q.query_id
+  ) WHERE rank <= {_Q135_C}
+),
+ps AS (
+  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         {_sql_cosine('e1.embedding', 'e2.embedding')} AS s
+  FROM cand c1
+  JOIN cand c2 ON c2.query_id = c1.query_id
+   AND c2.neighbor_id != c1.neighbor_id
+  JOIN embeddings e1 ON e1.vec_id = c1.neighbor_id
+  JOIN embeddings e2 ON e2.vec_id = c2.neighbor_id
+),
+a1 AS (
+  SELECT query_id, neighbor_id, rel AS score, 1 AS mmr_rank FROM (
+    SELECT query_id, neighbor_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+{round_ctes}
+SELECT query_id, neighbor_id, score, CAST(mmr_rank AS INT) AS mmr_rank
+FROM ({out_union})
+"""
+
+
+def mmr_rerank(
+    cand: DataFrame, pairsim: DataFrame, k: int, lam: float = 0.5
+) -> DataFrame:
+    """Greedy MMR over (query_id, neighbor_id, rel) candidates with
+    (query_id, a, b, s) pairwise sims: k fixed rounds, each a
+    candidate-pool-sized join + partial-aggregating min_by argmax.
+    Returns (query_id, neighbor_id, score, mmr_rank)."""
+    # cand/ps are consumed every round and each round's pick by every
+    # later round — truncate lineage once (the invoice.py:713 idiom;
+    # both frames are candidate-pool-sized, #queries·C and ·C² rows)
+    cand = cand.localCheckpoint()
+    pairsim = pairsim.localCheckpoint()
+    first = (
+        cand.groupBy("query_id")
+        .agg(
+            F.min_by(
+                F.struct("neighbor_id", F.col("rel").alias("score")),
+                F.struct(-F.col("rel"), F.col("neighbor_id")),
+            ).alias("p")
+        )
+        .select(
+            "query_id",
+            F.col("p.neighbor_id").alias("neighbor_id"),
+            F.col("p.score").alias("score"),
+            F.lit(1).cast("int").alias("mmr_rank"),
+        )
+    )
+    rounds = [first]
+    for r in range(2, k + 1):
+        sel = rounds[0].select("query_id", "neighbor_id")
+        for prev in rounds[1:]:
+            sel = sel.unionByName(prev.select("query_id", "neighbor_id"))
+        rem = cand.join(sel, ["query_id", "neighbor_id"], "left_anti")
+        ms = (
+            rem.join(
+                pairsim,
+                (F.col("a") == F.col("neighbor_id"))
+                & (pairsim["query_id"] == rem["query_id"]),
+            )
+            .drop(pairsim["query_id"])
+            .join(
+                sel.select(
+                    F.col("query_id").alias("__sq"),
+                    F.col("neighbor_id").alias("b2"),
+                ),
+                (F.col("__sq") == F.col("query_id"))
+                & (F.col("b2") == F.col("b")),
+            )
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg(F.max("s").alias("ms"))
+        )
+        score = (F.lit(lam) * F.col("rel")) - (
+            F.lit(1.0 - lam) * F.col("ms")
+        )
+        pick = (
+            ms.select(
+                "query_id", "neighbor_id", score.alias("score")
+            )
+            .groupBy("query_id")
+            .agg(
+                F.min_by(
+                    F.struct("neighbor_id", "score"),
+                    F.struct(-F.col("score"), F.col("neighbor_id")),
+                ).alias("p")
+            )
+            .select(
+                "query_id",
+                F.col("p.neighbor_id").alias("neighbor_id"),
+                F.col("p.score").alias("score"),
+                F.lit(r).cast("int").alias("mmr_rank"),
+            )
+        )
+        rounds.append(pick.localCheckpoint())
+    out = rounds[0]
+    for nxt in rounds[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+@query("q135_mmr_rerank", oracle=_q135_oracle())
+def q135_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse reranking (see section comment): exact top-10
+    candidates per query (q30's gated baseline), pairwise candidate
+    sims, 5 greedy λ=1/2 rounds. Returns (query_id, neighbor_id,
+    score, mmr_rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    topk = SIM.cosine_topk(queries, emb, k=_Q135_C)
+    cand = topk.select(
+        "query_id", "neighbor_id", F.col("cosine").alias("rel")
+    )
+    ce = cand.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            SIM.as_double(F.col("embedding")).alias("ev"),
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "ev")
+    a = ce.select(
+        "query_id", F.col("neighbor_id").alias("a"), F.col("ev").alias("ea")
+    )
+    b = ce.select(
+        F.col("query_id").alias("__bq"),
+        F.col("neighbor_id").alias("b"),
+        F.col("ev").alias("eb"),
+    )
+    ps = (
+        a.join(
+            b,
+            (F.col("__bq") == F.col("query_id"))
+            & (F.col("b") != F.col("a")),
+        )
+        .select(
+            "query_id",
+            "a",
+            "b",
+            SIM.cosine(F.col("ea"), F.col("eb")).alias("s"),
+        )
+    )
+    return mmr_rerank(cand, ps, k=_Q135_K, lam=0.5)
