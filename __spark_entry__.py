@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round-9 queries.
 _NEVER_DRIVER_SAMPLED = [
     "q133_streaming_hll",  # new in round 9
+    "q134_source_keywords",  # new in round 9
+    "q135_mmr_rerank",  # new in round 9
     "q131_mixture_temperature",  # new in round 9
     "q132_hll_overlap",  # new in round 9
     "q128_refresh_dedup",  # new in round 9

@@ -221,3 +221,16 @@ def test_hll_and_mixture_ansi(spark, tiny_docs):
     assert set(rows) == {"even", "odd"}
     # ~9 distinct tokens per source; raw estimator within a loose band
     assert all(0 < r["est"] < 200 for r in rows.values())
+
+
+def test_mmr_rerank_ansi(spark):
+    from shopify_db_spark.plans.vectorops import q135_mmr_rerank
+    from tests.conftest import SF_SMOKE
+
+    with forced_ansi(spark):
+        out = q135_mmr_rerank(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["mmr_rank"])
+    # every query gets exactly ranks 1..5, no repeats
+    assert all(v == {1, 2, 3, 4, 5} for v in by_q.values())
