@@ -1696,3 +1696,170 @@ def q131_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("expected_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q136/q137: split leakage — the evaluation-integrity pair. A
+# hash-per-document split (q71) puts near-duplicate documents on
+# BOTH sides of the train/holdout boundary, which silently inflates
+# eval scores (the test set "leaks" into training). q136 DETECTS it:
+# q26's MinHash-LSH pairs at est-Jaccard ≥ 0.5, each endpoint joined
+# to a 50/50 deterministic hash split, keeping pairs that cross the
+# boundary. q137 FIXES it: split by the near-dup CLUSTER (q50's
+# connected components; singletons are their own group), so every
+# near-dup group lands on one side atomically — by construction no
+# detected pair can cross, the property tests/test_curation_extras
+# asserts. Scale shape: q26's banded geometry + a key-only split
+# join (q136); q50's CC + one md5 threshold on the group id (q137).
+_Q136_T = 0.5
+_Q136_SPLIT = "CASE WHEN {h} < '8000' THEN 'train' ELSE 'holdout' END"
+
+
+def _split_sql(key_expr: str, seed: str) -> str:
+    h = f"substr(md5('{seed}|' || CAST({key_expr} AS VARCHAR)), 1, 4)"
+    return _Q136_SPLIT.format(h=h)
+
+
+_Q136_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+),
+salted AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+  FROM shingles, UNNEST(generate_series(0, 7)) AS s(seed)
+),
+sig AS (
+  SELECT doc_id, seed, MIN(h) AS minhash FROM salted GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS INT) AS band,
+         md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+                        ORDER BY CAST(seed AS VARCHAR) || ':' || minhash))
+             AS band_key
+  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 2) AS INT)
+),
+sized AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key HAVING COUNT(*) <= 50
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN sized s ON s.band = a.band AND s.band_key = a.band_key
+  JOIN bands b ON b.band = a.band AND b.band_key = a.band_key
+             AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+              AS DOUBLE) / 8 AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+  GROUP BY doc_a, doc_b
+),
+sp AS (
+  SELECT doc_id, {_split_sql('doc_id', 'leak-seed-1')} AS split
+  FROM documents
+)
+SELECT s.doc_a, s.doc_b, s.est_jaccard,
+       pa.split AS split_a, pb.split AS split_b
+FROM scored s
+JOIN sp pa ON pa.doc_id = s.doc_a
+JOIN sp pb ON pb.doc_id = s.doc_b
+WHERE s.est_jaccard >= {_Q136_T} AND pa.split != pb.split
+"""
+
+
+def hash_split(df: DataFrame, key_col: str, seed: str) -> Column:
+    """50/50 deterministic split column from a salted md5 hash of
+    ``key_col`` — reproducible, stable under corpus growth."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed + "|"), F.col(key_col).cast("string"))),
+        1,
+        4,
+    )
+    return F.when(h < "8000", F.lit("train")).otherwise(F.lit("holdout"))
+
+
+@query("q136_split_leakage", oracle=_Q136_ORACLE)
+def q136_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup leakage detection (see section comment):
+    q26's LSH pairs at est ≥ 0.5 whose endpoints land on opposite
+    sides of a per-document hash split. Returns (doc_a, doc_b,
+    est_jaccard, split_a, split_b) — every row is a leak."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, n_seeds=8, band_size=2, max_bucket=50
+    ).filter(F.col("est_jaccard") >= _Q136_T)
+    sp = docs.select(
+        "doc_id", hash_split(docs, "doc_id", "leak-seed-1").alias("split")
+    )
+    return (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "est_jaccard", "split_a", "split_b")
+    )
+
+
+_Q137_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_Q27_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, group_id,
+       {_split_sql('group_id', 'gsplit-seed-1')} AS split
+FROM grouped
+"""
+
+
+@query("q137_cluster_split", oracle=_Q137_ORACLE)
+def q137_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free group-aware split (see section comment): the
+    split hash is taken over the near-dup CLUSTER id (q50's
+    connected components; singletons group as themselves), so dup
+    groups land on one side atomically. Returns (doc_id, group_id,
+    split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.simhash_pairs(docs, max_hamming=4, hash_family="md5")
+    clusters = dup_clusters(pairs)
+    grouped = docs.join(
+        clusters.select("doc_id", "cluster_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+    )
+    return grouped.select(
+        "doc_id",
+        "group_id",
+        hash_split(grouped, "group_id", "gsplit-seed-1").alias("split"),
+    )

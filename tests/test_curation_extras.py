@@ -102,3 +102,39 @@ def test_lexical_rarity_orders_gibberish_above_boilerplate(spark):
         assert 1.0 <= r["mean_freq_decile"] <= 10.0
         assert 0.0 <= r["hapax_share"] <= 1.0
         assert r["n_tokens"] > 0
+
+
+def test_cluster_split_eliminates_leakage(spark):
+    """The q136→q137 contract: a per-document hash split leaks
+    near-dup pairs across the boundary (q136 finds some on the
+    smoke corpus), while the cluster-atomic split (q137) leaks NONE
+    of the pairs its clustering is built from — every simhash pair
+    lands on one side."""
+    from pyspark.sql import functions as F
+
+    from shopify_db_spark.operators import dedup as DD
+    from shopify_db_spark.plans.curation import q137_cluster_split
+    from shopify_db_spark.sources.tables import load_table
+
+    split = q137_cluster_split(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = DD.simhash_pairs(docs, max_hamming=4, hash_family="md5")
+    crossings = (
+        pairs.join(
+            split.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            split.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossings == 0
+    # and the split itself is total + deterministic
+    assert split.count() == docs.count()
