@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_SAMPLED = [
     "q133_streaming_hll",  # new in round 9
     "q134_source_keywords",  # new in round 9
+    "q136_split_leakage",  # new in round 9
+    "q137_cluster_split",  # new in round 9
     "q135_mmr_rerank",  # new in round 9
     "q131_mixture_temperature",  # new in round 9
     "q132_hll_overlap",  # new in round 9
