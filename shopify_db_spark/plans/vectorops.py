@@ -2465,3 +2465,103 @@ def q135_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mmr_rerank(cand, ps, k=_Q135_K, lam=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q138: MMR over IVF candidates — q135's production tier, the same
+# greedy λ=1/2 diversification run over q101's cell-bounded
+# nprobe=2 candidates instead of the brute-force pair grid (the
+# q116→q117 / q126→q127 tier pairing). The MMR schedule, scoring
+# and tie-breaks are byte-identical (`mmr_rerank` is shared code);
+# only the candidate generator changes, so the scale exponent drops
+# to the IVF tier's while the oracle still restates the entire
+# composition declaratively (q101's assignment CTEs + q135's round
+# chain).
+def _q138_oracle() -> str:
+    mmr = _q135_oracle()
+    # splice q101's IVF candidate CTEs in place of the brute-force
+    # candidate CTE; everything downstream (ps, a1, rounds) is
+    # byte-identical to q135's oracle.
+    brute = f"""cand AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_sql_cosine('q.qv', 'c.embedding')} AS rel,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cosine('q.qv', 'c.embedding')}
+                                  DESC, c.vec_id ASC) AS rank
+    FROM q JOIN embeddings c ON c.vec_id != q.query_id
+  ) WHERE rank <= {_Q135_C}
+),"""
+    ivf = f"""cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+scored_assign AS (
+  SELECT v.vec_id, v.embedding, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                    c.centroid_id ASC) AS r
+  FROM embeddings v CROSS JOIN cent c
+),
+cellmates AS (
+  SELECT vec_id, embedding, centroid_id FROM scored_assign WHERE r = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS pqv, centroid_id
+  FROM scored_assign WHERE r <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
+),
+cand AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           {_sql_cosine('p.pqv', 'c.embedding')} AS rel,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {_sql_cosine('p.pqv', 'c.embedding')}
+                                  DESC, c.vec_id ASC) AS rank
+    FROM probes p JOIN cellmates c
+      ON c.centroid_id = p.centroid_id AND c.vec_id != p.query_id
+  ) WHERE rank <= {_Q135_C}
+),"""
+    out = mmr.replace(brute, ivf)
+    if out == mmr:  # pragma: no cover - import-time guard (q102 idiom)
+        raise RuntimeError(
+            "q138 oracle splice did not match q135's candidate CTE"
+        )
+    return out
+
+
+@query("q138_mmr_ivf", oracle=_q138_oracle())
+def q138_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q135's MMR diversification over q101's IVF nprobe={NPROBE}
+    candidates — shared `mmr_rerank` schedule, cell-bounded
+    candidate generation. Returns (query_id, neighbor_id, score,
+    mmr_rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    topk = SIM.ivf_ann(queries, emb, centroids, k=_Q135_C, nprobe=NPROBE)
+    cand = topk.select(
+        "query_id", "neighbor_id", F.col("cosine").alias("rel")
+    )
+    ce = cand.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            SIM.as_double(F.col("embedding")).alias("ev"),
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "ev")
+    a = ce.select(
+        "query_id", F.col("neighbor_id").alias("a"), F.col("ev").alias("ea")
+    )
+    b = ce.select(
+        F.col("query_id").alias("__bq"),
+        F.col("neighbor_id").alias("b"),
+        F.col("ev").alias("eb"),
+    )
+    ps = a.join(
+        b,
+        (F.col("__bq") == F.col("query_id")) & (F.col("b") != F.col("a")),
+    ).select(
+        "query_id", "a", "b", SIM.cosine(F.col("ea"), F.col("eb")).alias("s")
+    )
+    return mmr_rerank(cand, ps, k=_Q135_K, lam=0.5)

@@ -36,6 +36,9 @@ CROSS_JOIN_OK = {
     "q129_domain_outliers",  # n x #domains broadcast centroid scoring (q122's engine)
     "q131_mixture_temperature",  # 1-row normalizer broadcast applied to #sources rows
     "q132_hll_overlap",  # S x S source-pair grid + OR-keyed register fan-out — both #sources-sized, never corpus-sized
+    "q134_source_keywords",  # 1-row corpus-total broadcast applied to the scored vocab (q131's normalizer idiom)
+    "q135_mmr_rerank",  # brute-force candidate baseline tier (q30's gated shape; production tier is q138)
+    "q138_mmr_ivf",  # n x K centroid scoring (q101's geometry; candidate pair join is cell-keyed)
 }
 
 ALL = sorted(load_all())
@@ -95,6 +98,7 @@ SINGLE_PARTITION_OK = {
     "q103_lexical_rarity": (1, "two-phase NTILE offsets over the vocabulary, #partitions rows"),
     "q112_ann_recall_gate": (1, "final scalar aggregate over partial aggs (one verdict row)"),
     "q131_mixture_temperature": (1, "scalar normalizer aggregate over #sources partial rows"),
+    "q134_source_keywords": (1, "scalar corpus-total aggregate over partial aggs (one n row)"),
 }
 
 
