@@ -1553,3 +1553,231 @@ def q134_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _Q134_TOPK)
         .select("source", "term", "tf_st", "score", F.col("rank").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q139: log-histogram quantile sketch of document token lengths per
+# source — the QUANTILE sketch completing the mergeable-sketch tier
+# (q130 HLL = distinct, q86/q90 count-min = frequency). The shape is
+# DDSketch's (Masson et al., VLDB 2019) with base √2: bucket
+# b = 2·(⌊log2 n⌋) + second-most-significant-bit, i.e. two buckets
+# per octave, guaranteeing the sketched quantile's bucket bounds
+# enclose the true value within ~41% relative error. Registers are
+# per-(source, bucket) COUNTS, so they merge by ADDITION — Spark's
+# partial aggregation unions per-partition sketches map-side and
+# the shuffle moves ≤ #sources × #buckets (~40) rows at ANY corpus
+# size; cross-refresh / cross-dataset union is the same SUM.
+#
+# Engine-portable EXACT math throughout — there are NO floats in
+# this query at all: the bucket index is integer bit arithmetic
+# (LENGTH(bin(n)) is ⌊log2 n⌋+1 on both engines — no log2 boundary
+# risk, q130's trick), bucket bounds are shifts, the quantile target
+# index is ceil-division (q·n + 99) // 100, the sketch answer is the
+# first bucket whose cumulative count reaches the target (a window
+# over the ≤40-row per-source histogram), and the EXACT calibration
+# quantile uses the same inverse-empirical-CDF definition via a
+# row_number selection (tie-broken on doc_id) — the corpus-sized
+# sort the sketch exists to replace, kept as the comparison column
+# exactly like q130's exact_distinct.
+_Q139_QS = (25, 50, 75, 90)
+
+
+_Q139_BUCKET = """CASE WHEN {n} <= 0 THEN -1
+     WHEN LENGTH(bin({n})) = 1 THEN 0
+     ELSE 2 * (LENGTH(bin({n})) - 1)
+          + (({n} >> (LENGTH(bin({n})) - 2)) & 1) END"""
+
+_Q139_LO = """CASE WHEN {b} < 0 THEN 0 WHEN {b} = 0 THEN 1
+     ELSE (2 + ({b} % 2)) << CAST({b} // 2 - 1 AS INT) END"""
+
+#: hi(b) = lo(b+1) − 1 for b ≥ 1; buckets −1/0 are the singletons 0/1
+_Q139_HI = """CASE WHEN {b} < 0 THEN 0 WHEN {b} = 0 THEN 1
+     ELSE ((2 + (({b} + 1) % 2)) << CAST(({b} + 1) // 2 - 1 AS INT)) - 1 END"""
+
+
+_Q139_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+hist AS (
+  SELECT source,
+         CAST({_Q139_BUCKET.format(n='n_tok')} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lens GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+totals AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs FROM hist GROUP BY source
+),
+targets AS (
+  SELECT t.source, t.n_docs, qv.q_pct,
+         (qv.q_pct * t.n_docs + 99) // 100 AS idx
+  FROM totals t CROSS JOIN (VALUES (25), (50), (75), (90)) AS qv(q_pct)
+),
+picked AS (
+  SELECT g.source, g.q_pct, g.n_docs,
+         CAST({_Q139_LO.format(b='c.bucket')} AS BIGINT) AS sketch_lo,
+         CAST({_Q139_HI.format(b='c.bucket')} AS BIGINT) AS sketch_hi
+  FROM targets g JOIN cum c
+    ON c.source = g.source AND c.cum >= g.idx AND c.cum - c.cnt < g.idx
+),
+ranked AS (
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_tok ASC, doc_id ASC) AS rn
+  FROM lens
+),
+exact AS (
+  SELECT g.source, g.q_pct, r.n_tok AS exact_q
+  FROM targets g JOIN ranked r
+    ON r.source = g.source AND r.rn = g.idx
+)
+SELECT p.source, CAST(p.q_pct AS INT) AS q_pct, p.n_docs,
+       p.sketch_lo, p.sketch_hi, e.exact_q
+FROM picked p JOIN exact e
+  ON e.source = p.source AND e.q_pct = p.q_pct
+"""
+
+
+# Spark-side renderings of the bucket/bound templates above —
+# DuckDB spells integer-div/shift as ``//``/``<<``, Spark as
+# ``DIV``/``shiftleft()``; the MATH is identical token for token.
+def _bucket_col(n: str) -> Column:
+    return F.expr(
+        f"""CASE WHEN {n} <= 0 THEN -1
+            WHEN LENGTH(bin({n})) = 1 THEN 0
+            ELSE 2 * (LENGTH(bin({n})) - 1)
+                 + (shiftright({n},
+                        CAST(LENGTH(bin({n})) AS INT) - 2) & 1) END"""
+    ).cast("long")
+
+
+def _bucket_lo(b: str) -> Column:
+    return F.expr(
+        f"""CASE WHEN {b} < 0 THEN CAST(0 AS BIGINT)
+            WHEN {b} = 0 THEN CAST(1 AS BIGINT)
+            ELSE shiftleft(CAST(2 + ({b} % 2) AS BIGINT),
+                           CAST({b} DIV 2 AS INT) - 1) END"""
+    ).cast("long")
+
+
+def _bucket_hi(b: str) -> Column:
+    return F.expr(
+        f"""CASE WHEN {b} < 0 THEN CAST(0 AS BIGINT)
+            WHEN {b} = 0 THEN CAST(1 AS BIGINT)
+            ELSE shiftleft(CAST(2 + (({b} + 1) % 2) AS BIGINT),
+                           CAST(({b} + 1) DIV 2 AS INT) - 1) - 1 END"""
+    ).cast("long")
+
+
+def length_histogram(lens: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(key..., bucket, cnt): base-√2 log-histogram registers of the
+    ``n_tok`` column per key group. SUM-mergeable: partial
+    aggregation unions per-partition sketches map-side, and any
+    further key rollup (or cross-snapshot union) is the same
+    ``sum(cnt)``."""
+    bucket = _bucket_col("n_tok")
+    return (
+        lens.select(*key_cols, bucket.alias("bucket"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, key_cols: list[str], q_pcts: tuple[int, ...] = _Q139_QS
+) -> DataFrame:
+    """(key..., q_pct, n_docs, sketch_lo, sketch_hi): bucket bounds
+    enclosing each requested percentile, from the histogram alone.
+    Every step is exact integer math over the ≤ #keys × #buckets
+    register frame — never the corpus."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    totals = hist.groupBy(*key_cols).agg(F.sum("cnt").alias("n_docs"))
+    qf = F.explode(
+        F.array(*[F.lit(q).cast("int") for q in q_pcts])
+    ).alias("q_pct")
+    targets = totals.select(*key_cols, "n_docs", qf).withColumn(
+        "idx", F.expr("(q_pct * n_docs + 99) DIV 100")
+    )
+    joined = targets.join(
+        cum.select(
+            *[F.col(k).alias(f"__h_{k}") for k in key_cols],
+            "bucket",
+            "cnt",
+            "cum",
+        ),
+        [F.col(k) == F.col(f"__h_{k}") for k in key_cols]
+        + [
+            F.col("cum") >= F.col("idx"),
+            (F.col("cum") - F.col("cnt")) < F.col("idx"),
+        ],
+    )
+    return joined.select(
+        *key_cols,
+        "q_pct",
+        "n_docs",
+        _bucket_lo("bucket").alias("sketch_lo"),
+        _bucket_hi("bucket").alias("sketch_hi"),
+    )
+
+
+@query("q139_length_quantile_sketch", oracle=_Q139_ORACLE)
+def q139_length_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source token-length quantile sketch (see section comment):
+    SUM-mergeable log-histogram registers, sketch bucket bounds for
+    p25/p50/p75/p90, exact inverse-CDF quantile as the calibration
+    column. Returns (source, q_pct, n_docs, sketch_lo, sketch_hi,
+    exact_q)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    sk = histogram_quantiles(
+        length_histogram(lens, ["source"]), ["source"]
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.asc("n_tok"), F.asc("doc_id")
+    )
+    ranked = lens.withColumn("rn", F.row_number().over(rw))
+    exact = sk.select(
+        F.col("source").alias("__es"),
+        F.col("q_pct").alias("__eq"),
+        F.expr("(q_pct * n_docs + 99) DIV 100").alias("__idx"),
+    ).join(
+        ranked.select("source", "n_tok", "rn"),
+        [
+            F.col("source") == F.col("__es"),
+            F.col("rn") == F.col("__idx"),
+        ],
+    ).select(
+        F.col("__es").alias("source"),
+        F.col("__eq").alias("q_pct"),
+        F.col("n_tok").alias("exact_q"),
+    )
+    return sk.join(exact, ["source", "q_pct"]).select(
+        "source",
+        F.col("q_pct").cast("int"),
+        "n_docs",
+        "sketch_lo",
+        "sketch_hi",
+        "exact_q",
+    )

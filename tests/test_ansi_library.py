@@ -234,3 +234,23 @@ def test_mmr_rerank_ansi(spark):
         by_q.setdefault(r["query_id"], set()).add(r["mmr_rank"])
     # every query gets exactly ranks 1..5, no repeats
     assert all(v == {1, 2, 3, 4, 5} for v in by_q.values())
+
+
+def test_length_quantile_sketch_ansi(spark, tiny_docs):
+    from shopify_db_spark.plans.textops import (
+        histogram_quantiles,
+        length_histogram,
+    )
+
+    labeled = tiny_docs.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    ).selectExpr(
+        "source", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok"
+    )
+    with forced_ansi(spark):
+        out = histogram_quantiles(
+            length_histogram(labeled, ["source"]), ["source"]
+        ).collect()
+    # 2 sources x 4 percentiles, bounds ordered
+    assert len(out) == 8
+    assert all(r["sketch_lo"] <= r["sketch_hi"] for r in out)

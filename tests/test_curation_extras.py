@@ -138,3 +138,43 @@ def test_cluster_split_eliminates_leakage(spark):
     assert crossings == 0
     # and the split itself is total + deterministic
     assert split.count() == docs.count()
+
+
+def test_length_histogram_merges_by_addition(spark):
+    """The q139 scale contract: log-histogram registers built on
+    disjoint corpus shards, merged by per-bucket addition, must equal
+    the histogram built on the union — and the sketch's quantile
+    bucket bounds must enclose the exact inverse-CDF quantile."""
+    from pyspark.sql import functions as F
+
+    from shopify_db_spark.functions import text as TX
+    from shopify_db_spark.plans import load_all
+    from shopify_db_spark.plans.textops import length_histogram
+    from shopify_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    lens = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    full = {
+        (r["source"], r["bucket"]): r["cnt"]
+        for r in length_histogram(lens, ["source"]).collect()
+    }
+    h1 = length_histogram(lens.filter("doc_id % 2 = 0"), ["source"])
+    h2 = length_histogram(lens.filter("doc_id % 2 = 1"), ["source"])
+    merged = {
+        (r["source"], r["bucket"]): r["cnt"]
+        for r in h1.unionByName(h2)
+        .groupBy("source", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == full
+
+    rows = (
+        load_all()["q139_length_quantile_sketch"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    assert all(r["sketch_lo"] <= r["exact_q"] <= r["sketch_hi"] for r in rows)
