@@ -1863,3 +1863,137 @@ def q137_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_id",
         hash_split(grouped, "group_id", "gsplit-seed-1").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q140: lexical target-domain affinity selection — the DSIR idea
+# (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling") re-expressed in the house exact-integer
+# discipline: classify every vocabulary term as TARGET-INDICATIVE
+# when its rate in the target domain exceeds λ=2× its rate in the
+# rest of the corpus, then score every non-target document by the
+# fraction of its token occurrences that are indicative, and select
+# documents whose affinity clears the 10% bar. DSIR's log-likelihood
+# ratio needs ln() (engine-divergent at FLOOR boundaries); the
+# rate-ratio CLASSIFICATION is the same decision boundary expressed
+# as one BIGINT cross-product per term — tf_t·n_r > 2·tf_r·n_t
+# (both sides < 2^53 at any measured scale) — so the selected set is
+# bit-identical on any engine. A tf_t ≥ 3 noise floor drops hapax
+# artifacts (q134's floor); the affinity itself is ONE IEEE quotient
+# of two exact BIGINTs, and the selection bar is the exact integer
+# comparison 10·n_ind > n_tok (no float threshold anywhere).
+#
+# Scale shape: one token shuffle for per-term class counts (full
+# partial aggregation), a 1-row corpus-totals broadcast (q134's
+# normalizer idiom), the indicative vocab joined back to the token
+# stream on term (vocab-sized build side — broadcastable; Zipf keeps
+# it sublinear in the corpus), and one per-doc aggregate moving ~1
+# row/doc. Nothing corpus-sized crosses a driver or a window.
+_Q140_TARGET = "src0"
+_Q140_LAMBDA = 2
+_Q140_MIN_TF = 3
+#: selected ⇔ affinity > 1/_Q140_BAR (exact: n_ind·BAR > n_tok)
+_Q140_BAR = 10
+
+
+_Q140_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, u.term
+  FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+       UNNEST(t) AS u(term)
+),
+tf AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN source = '{_Q140_TARGET}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS tf_t,
+         CAST(SUM(CASE WHEN source = '{_Q140_TARGET}' THEN 0 ELSE 1 END)
+              AS BIGINT) AS tf_r
+  FROM toks GROUP BY term
+),
+tot AS (
+  SELECT CAST(SUM(tf_t) AS BIGINT) AS n_t, CAST(SUM(tf_r) AS BIGINT) AS n_r
+  FROM tf
+),
+ind AS (
+  SELECT tf.term
+  FROM tf CROSS JOIN tot
+  WHERE tf.tf_t >= {_Q140_MIN_TF}
+    AND tf.tf_t * tot.n_r > {_Q140_LAMBDA} * tf.tf_r * tot.n_t
+),
+scored AS (
+  SELECT t.doc_id, ANY_VALUE(t.source) AS source,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(CASE WHEN i.term IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ind
+  FROM toks t LEFT JOIN ind i ON i.term = t.term
+  WHERE t.source != '{_Q140_TARGET}'
+  GROUP BY t.doc_id
+)
+SELECT doc_id, source, n_tok, n_ind,
+       CAST(n_ind AS DOUBLE) / CAST(n_tok AS DOUBLE) AS affinity,
+       CAST(CASE WHEN n_ind * {_Q140_BAR} > n_tok THEN 1 ELSE 0 END AS INT)
+           AS selected
+FROM scored
+"""
+
+
+def target_affinity(
+    docs: DataFrame,
+    target_source: str = _Q140_TARGET,
+    lam: int = _Q140_LAMBDA,
+    min_tf: int = _Q140_MIN_TF,
+    bar: int = _Q140_BAR,
+) -> DataFrame:
+    """DSIR-style lexical affinity of every non-target document to
+    ``target_source`` (see section comment). Returns (doc_id, source,
+    n_tok, n_ind, affinity, selected)."""
+    toks = docs.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    is_t = (F.col("source") == target_source).cast("long")
+    tf = toks.groupBy("term").agg(
+        F.sum(is_t).alias("tf_t"),
+        F.sum(1 - is_t).alias("tf_r"),
+    )
+    tot = tf.agg(
+        F.sum("tf_t").alias("n_t"), F.sum("tf_r").alias("n_r")
+    )
+    ind = (
+        tf.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("tf_t") >= min_tf)
+            & (F.col("tf_t") * F.col("n_r") > lam * F.col("tf_r") * F.col("n_t"))
+        )
+        .select("term", F.lit(1).alias("__ind"))
+    )
+    scored = (
+        toks.filter(F.col("source") != target_source)
+        .join(ind, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.coalesce(F.col("__ind"), F.lit(0)).cast("long")).alias(
+                "n_ind"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "n_ind",
+        (F.col("n_ind").cast("double") / F.col("n_tok").cast("double")).alias(
+            "affinity"
+        ),
+        (F.col("n_ind") * bar > F.col("n_tok")).cast("int").alias("selected"),
+    )
+
+
+@query("q140_target_affinity", oracle=_Q140_ORACLE)
+def q140_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style lexical target-domain selection (see section
+    comment): exact rate-ratio term classification, per-doc
+    indicative-token affinity, integer selection bar. Returns
+    (doc_id, source, n_tok, n_ind, affinity, selected)."""
+    return target_affinity(load_table(spark, sf_dir, "documents"))

@@ -254,3 +254,18 @@ def test_length_quantile_sketch_ansi(spark, tiny_docs):
     # 2 sources x 4 percentiles, bounds ordered
     assert len(out) == 8
     assert all(r["sketch_lo"] <= r["sketch_hi"] for r in out)
+
+
+def test_target_affinity_ansi(spark, tiny_docs):
+    from shopify_db_spark.plans.curation import target_affinity
+
+    labeled = tiny_docs.withColumn(
+        "source", F.when(F.col("doc_id") <= 2, "tgt").otherwise("rest")
+    )
+    with forced_ansi(spark):
+        out = target_affinity(
+            labeled, target_source="tgt", min_tf=1
+        ).collect()
+    # only the two non-target docs are scored; affinity in [0, 1]
+    assert len(out) == 2
+    assert all(0.0 <= r["affinity"] <= 1.0 for r in out)

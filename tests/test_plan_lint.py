@@ -39,6 +39,7 @@ CROSS_JOIN_OK = {
     "q134_source_keywords",  # 1-row corpus-total broadcast applied to the scored vocab (q131's normalizer idiom)
     "q135_mmr_rerank",  # brute-force candidate baseline tier (q30's gated shape; production tier is q138)
     "q138_mmr_ivf",  # n x K centroid scoring (q101's geometry; candidate pair join is cell-keyed)
+    "q140_target_affinity",  # 1-row corpus-totals broadcast applied to the vocab (q134's normalizer idiom)
 }
 
 ALL = sorted(load_all())
@@ -99,6 +100,7 @@ SINGLE_PARTITION_OK = {
     "q112_ann_recall_gate": (1, "final scalar aggregate over partial aggs (one verdict row)"),
     "q131_mixture_temperature": (1, "scalar normalizer aggregate over #sources partial rows"),
     "q134_source_keywords": (1, "scalar corpus-total aggregate over partial aggs (one n row)"),
+    "q140_target_affinity": (1, "scalar class-totals aggregate over vocab partial rows (one n_t/n_r row)"),
 }
 
 
