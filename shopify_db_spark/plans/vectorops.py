@@ -2565,3 +2565,128 @@ def q138_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "a", "b", SIM.cosine(F.col("ea"), F.col("eb")).alias("s")
     )
     return mmr_rerank(cand, ps, k=_Q135_K, lam=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q141: k-center greedy coreset selection — farthest-first traversal
+# over the embedding pool (Gonzalez 1985; the coreset selector of
+# Sener & Savarese 2018, "Active Learning for CNNs: A Core-Set
+# Approach"): center 1 is the smallest vec_id (deterministic seed),
+# and each later round picks the point FARTHEST from its nearest
+# selected center — argmin over candidates of max_{s∈sel} cos(c, s),
+# ties toward the smaller vec_id. The greedy trajectory is a fixed
+# K-round schedule, declaratively expressible as one CTE chain per
+# round (q135's technique), and every score is the q30-contract
+# fixed-order IEEE cosine, so the selected coreset is
+# engine-portable bit for bit.
+#
+# Scale shape: each round joins the pool against the ≤K-row selected
+# set (broadcast, map-side) and reduces with a partial-aggregating
+# per-point MAX then a global min_by argmin — so a round shuffles
+# ~1 row per point and the whole operator is K linear passes, the
+# honest cost of farthest-first (no quadratic pair table anywhere).
+# At 100 TB the pool would be a uniform pre-sample (q51/q71's
+# hash samplers) — the greedy itself is sample-sized.
+_Q141_K = 8
+
+
+def _q141_oracle() -> str:
+    # every round CTE is MATERIALIZED: sel{r} references a1..a{r}
+    # and each a{r} references m{r} which references sel{r-1} — left
+    # to DuckDB's default inlining this nest re-evaluates earlier
+    # rounds exponentially (measured 27 s at sf0.001 vs 0.4 s
+    # materialized); materialization makes the oracle linear in K,
+    # mirroring the engine side's per-round localCheckpoint
+    rounds = []
+    sel_union = "SELECT vec_id FROM a1"
+    for r in range(2, _Q141_K + 1):
+        rounds.append(f"""sel{r - 1} AS MATERIALIZED ({sel_union}),
+m{r} AS MATERIALIZED (
+  SELECT e.vec_id, MAX({_sql_cosine('e.embedding', 's.embedding')}) AS ms
+  FROM embeddings e
+  JOIN sel{r - 1} t ON TRUE
+  JOIN embeddings s ON s.vec_id = t.vec_id
+  LEFT JOIN sel{r - 1} x ON x.vec_id = e.vec_id
+  WHERE x.vec_id IS NULL
+  GROUP BY e.vec_id
+),
+a{r} AS MATERIALIZED (
+  SELECT vec_id, {r} AS k_rank, ms AS max_sim FROM (
+    SELECT vec_id, ms,
+           ROW_NUMBER() OVER (ORDER BY ms ASC, vec_id ASC) AS rn
+    FROM m{r}
+  ) WHERE rn = 1
+)""")
+        sel_union += f" UNION ALL SELECT vec_id FROM a{r}"
+    out_union = " UNION ALL ".join(
+        f"SELECT * FROM a{r}" for r in range(1, _Q141_K + 1)
+    )
+    round_ctes = ",\n".join(rounds)
+    return f"""
+WITH a1 AS (
+  SELECT MIN(vec_id) AS vec_id, 1 AS k_rank,
+         CAST(-1.0 AS DOUBLE) AS max_sim
+  FROM embeddings
+),
+{round_ctes}
+SELECT vec_id, CAST(k_rank AS INT) AS k_rank, max_sim
+FROM ({out_union})
+"""
+
+
+def kcenter_greedy(emb: DataFrame, k: int = _Q141_K) -> DataFrame:
+    """Farthest-first k-center selection over (vec_id, embedding)
+    rows (see section comment). Rank 1's max_sim is the -1.0
+    sentinel (no centers exist before the seed pick). Returns
+    (vec_id, k_rank, max_sim)."""
+    pool = emb.select(
+        "vec_id", SIM.as_double(F.col("embedding")).alias("ev")
+    ).localCheckpoint()
+    first = pool.agg(F.min("vec_id").alias("vec_id")).select(
+        "vec_id",
+        F.lit(1).cast("int").alias("k_rank"),
+        F.lit(-1.0).alias("max_sim"),
+    )
+    rounds = [first]
+    for r in range(2, k + 1):
+        sel = rounds[0].select("vec_id")
+        for prev in rounds[1:]:
+            sel = sel.unionByName(prev.select("vec_id"))
+        centers = pool.join(sel, "vec_id").select(
+            F.col("vec_id").alias("__c_id"), F.col("ev").alias("cv")
+        )
+        rem = pool.join(sel, "vec_id", "left_anti")
+        ms = (
+            rem.crossJoin(F.broadcast(centers))
+            .select(
+                "vec_id",
+                SIM.cosine(F.col("ev"), F.col("cv")).alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("ms"))
+        )
+        pick = (
+            ms.agg(
+                F.min_by(
+                    F.struct("vec_id", "ms"), F.struct("ms", "vec_id")
+                ).alias("p")
+            )
+            .select(
+                F.col("p.vec_id").alias("vec_id"),
+                F.lit(r).cast("int").alias("k_rank"),
+                F.col("p.ms").alias("max_sim"),
+            )
+        )
+        rounds.append(pick.localCheckpoint())
+    out = rounds[0]
+    for nxt in rounds[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+@query("q141_kcenter_coreset", oracle=_q141_oracle())
+def q141_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset over the embedding pool (see section
+    comment). Returns (vec_id, k_rank, max_sim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, k=_Q141_K)

@@ -269,3 +269,17 @@ def test_target_affinity_ansi(spark, tiny_docs):
     # only the two non-target docs are scored; affinity in [0, 1]
     assert len(out) == 2
     assert all(0.0 <= r["affinity"] <= 1.0 for r in out)
+
+
+def test_kcenter_greedy_ansi(spark):
+    from shopify_db_spark.plans.vectorops import kcenter_greedy
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with forced_ansi(spark):
+        out = kcenter_greedy(emb, k=4).collect()
+    # exactly ranks 1..4, all distinct points, coverage sims weakly
+    # increasing is NOT guaranteed, but each is a valid cosine
+    assert sorted(r["k_rank"] for r in out) == [1, 2, 3, 4]
+    assert len({r["vec_id"] for r in out}) == 4
+    assert all(-1.0 <= r["max_sim"] <= 1.0 for r in out)

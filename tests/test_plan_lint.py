@@ -101,6 +101,7 @@ SINGLE_PARTITION_OK = {
     "q131_mixture_temperature": (1, "scalar normalizer aggregate over #sources partial rows"),
     "q134_source_keywords": (1, "scalar corpus-total aggregate over partial aggs (one n row)"),
     "q140_target_affinity": (1, "scalar class-totals aggregate over vocab partial rows (one n_t/n_r row)"),
+    "q141_kcenter_coreset": (1, "global seed-pick aggregate over partial aggs (one row); per-round argmins are checkpoint-truncated out of the declared plan"),
 }
 
 
