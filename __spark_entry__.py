@@ -49,6 +49,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q139_length_quantile_sketch",  # new in round 9
     "q140_target_affinity",  # new in round 9
     "q141_kcenter_coreset",  # new in round 9
+    "q142_principal_direction",  # new in round 9
     "q131_mixture_temperature",  # new in round 9
     "q132_hll_overlap",  # new in round 9
     "q128_refresh_dedup",  # new in round 9

@@ -2690,3 +2690,217 @@ def q141_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment). Returns (vec_id, k_rank, max_sim)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_greedy(emb, k=_Q141_K)
+
+
+# ---------------------------------------------------------------------------
+# q142: dominant principal direction of the embedding second moment
+# by fixed-round power iteration — the anisotropy audit behind
+# "All-but-the-Top" (Mu & Viswanath, ICLR 2018): contextual/static
+# embedding spaces concentrate mass in a few common directions, and
+# post-processing (removing them) measurably improves retrieval —
+# so a pipeline wants the dominant direction and the fraction of
+# total (uncentered) second-moment mass it carries BEFORE trusting
+# cosine geometry. R=4 fixed Von Mises iterations v ← M·v,
+# M = Σ x xᵀ, renormalized each round to max-abs = S2.
+#
+# Exact integer math END TO END — the float-sum order dependence
+# that makes distributed PCA non-reproducible is exactly what this
+# construction eliminates: embeddings floor-quantize to S1=1e3
+# (the q104/q121 discipline; the result is the exact principal
+# direction OF THE QUANTIZED data), every dot/product/sum is BIGINT
+# (documented bounds: dot ≤ DIM·S1²·0.6 ≈ 4e7, per-dim sum ≤
+# N·2.1e10 — safe to N ≈ 4e8 vectors, two-level rescaling beyond),
+# and the per-round renormalization is an explicit floor division
+# (w·S2 − nonneg_mod(w·S2, m)) / m — pmod on Spark, ((a%b)+b)%b on
+# DuckDB — avoiding the engines' divergent negative-division
+# conventions. The Rayleigh mass fraction λ/(|v|²·trace) is
+# accumulated in DECIMAL(38,0)/HUGEINT (dot² sums exceed BIGINT at
+# ~20k vectors) and cast to DOUBLE once at the end: one IEEE
+# division of exactly-equal integers on both engines.
+#
+# Scale shape: each round is ONE linear pass — a map-side broadcast
+# of the 1-row v frame, a codegen'd integer fold per vector, and a
+# partial-aggregating (dim, Σ xi_d·dot) shuffle of DIM rows per
+# partition; the renormalization happens on a DIM-row frame. Power
+# iteration at 100 TB is R passes over the data by construction —
+# the declarative plan inherits exactly that cost.
+_Q142_S1 = 1_000  # embedding quantization scale
+_Q142_S2 = 1_000  # iterate normalization scale (max-abs)
+_Q142_R = 4  # Von Mises rounds
+
+
+_Q142_XI = (
+    f"list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+    f"* {_Q142_S1}) AS BIGINT))"
+)
+
+
+def _q142_oracle() -> str:
+    dot = (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        "i -> xi[i] * v[i]), (acc, x) -> acc + x)"
+    )
+    rounds = []
+    prev = "v0"
+    for r in range(1, _Q142_R + 1):
+        rounds.append(f"""d{r} AS MATERIALIZED (
+  SELECT vec_id, xi, {dot} AS dot FROM xi CROSS JOIN {prev}
+),
+w{r} AS MATERIALIZED (
+  SELECT g.i AS dim, SUM(xi[g.i] * dot) AS w
+  FROM d{r}, UNNEST(generate_series(1, {DIM})) AS g(i)
+  GROUP BY g.i
+),
+v{r} AS MATERIALIZED (
+  SELECT list_transform(wa, x ->
+      (x * {_Q142_S2} - ((x * {_Q142_S2} % m + m) % m)) // m) AS v
+  FROM (SELECT list(w ORDER BY dim) AS wa, MAX(ABS(w)) AS m FROM w{r})
+)""")
+        prev = f"v{r}"
+    round_ctes = ",\n".join(rounds)
+    return f"""
+WITH xi AS MATERIALIZED (
+  SELECT vec_id, {_Q142_XI} AS xi FROM embeddings
+),
+v0 AS (
+  SELECT list_transform(generate_series(1, {DIM}),
+                        i -> CAST({_Q142_S2} AS BIGINT)) AS v
+),
+{round_ctes},
+fin AS MATERIALIZED (
+  SELECT vec_id, xi, {dot} AS dot FROM xi CROSS JOIN {prev}
+),
+lam AS (SELECT SUM(CAST(dot AS HUGEINT) * dot) AS lam FROM fin),
+tr AS (
+  SELECT SUM(list_reduce(list_transform(xi, x -> x * x),
+                         (acc, x) -> acc + x)) AS tr
+  FROM xi
+),
+anis AS (
+  SELECT CAST(l.lam AS DOUBLE)
+         / ((SELECT CAST(list_reduce(list_transform(v, x -> x * x),
+                                     (acc, x) -> acc + x) AS DOUBLE)
+             FROM {prev})
+            * CAST(t.tr AS DOUBLE)) AS anisotropy
+  FROM lam l CROSS JOIN tr t
+)
+SELECT CAST(g.i - 1 AS INT) AS dim,
+       CAST(p.v[g.i] AS BIGINT) AS v_scaled,
+       a.anisotropy
+FROM {prev} p CROSS JOIN anis a,
+     UNNEST(generate_series(1, {DIM})) AS g(i)
+"""
+
+
+def _q142_dot(xi: Column, v: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(xi, v, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def power_iteration_direction(
+    emb: DataFrame, rounds: int = _Q142_R
+) -> DataFrame:
+    """Dominant principal direction of Σ x xᵀ by fixed-round integer
+    power iteration (see section comment). Returns
+    (dim, v_scaled, anisotropy)."""
+    xi = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+            f"* {_Q142_S1}) AS BIGINT))"
+        ).alias("xi"),
+    )
+    spark = emb.sparkSession
+    v = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(1, {DIM}), "
+            f"i -> CAST({_Q142_S2} AS BIGINT))"
+        ).alias("v")
+    )
+    for r in range(1, rounds + 1):
+        dots = xi.crossJoin(F.broadcast(v)).select(
+            "vec_id", "xi", _q142_dot(F.col("xi"), F.col("v")).alias("dot")
+        )
+        w = (
+            dots.select(
+                F.posexplode("xi").alias("dim", "xd"), F.col("dot")
+            )
+            .groupBy("dim")
+            .agg(F.sum(F.col("xd") * F.col("dot")).alias("w"))
+        )
+        v = (
+            w.agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, w))), "
+                    "s -> s.w)"
+                ).alias("wa")
+            )
+            .select(
+                "wa",
+                F.expr("array_max(transform(wa, x -> abs(x)))").alias("m"),
+            )
+            .select(
+                F.expr(
+                    f"transform(wa, x -> (x * {_Q142_S2} "
+                    f"- pmod(x * {_Q142_S2}, m)) DIV m)"
+                ).alias("v")
+            )
+            .localCheckpoint()
+        )
+    fin = xi.crossJoin(F.broadcast(v)).select(
+        "xi", _q142_dot(F.col("xi"), F.col("v")).alias("dot")
+    )
+    lam = fin.agg(
+        F.sum((F.col("dot") * F.col("dot")).cast("decimal(38,0)")).alias(
+            "lam"
+        )
+    )
+    tr = xi.agg(
+        F.sum(
+            F.aggregate(
+                F.transform(F.col("xi"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("decimal(38,0)")
+        ).alias("tr")
+    )
+    vv = v.select(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        .cast("double")
+        .alias("vv")
+    )
+    anis = (
+        lam.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            (
+                F.col("lam").cast("double")
+                / (F.col("vv") * F.col("tr").cast("double"))
+            ).alias("anisotropy")
+        )
+    )
+    return (
+        v.select(F.posexplode("v").alias("dim", "v_scaled"))
+        .crossJoin(F.broadcast(anis))
+        .select(
+            F.col("dim").cast("int"),
+            F.col("v_scaled").cast("long"),
+            "anisotropy",
+        )
+    )
+
+
+@query("q142_principal_direction", oracle=_q142_oracle())
+def q142_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction + anisotropy mass fraction of
+    the embedding table (see section comment). Returns
+    (dim, v_scaled, anisotropy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_direction(emb, rounds=_Q142_R)

@@ -283,3 +283,19 @@ def test_kcenter_greedy_ansi(spark):
     assert sorted(r["k_rank"] for r in out) == [1, 2, 3, 4]
     assert len({r["vec_id"] for r in out}) == 4
     assert all(-1.0 <= r["max_sim"] <= 1.0 for r in out)
+
+
+def test_power_iteration_direction_ansi(spark):
+    from shopify_db_spark.plans.vectorops import power_iteration_direction
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with forced_ansi(spark):
+        out = power_iteration_direction(emb, rounds=2).collect()
+    from shopify_db_spark.plans.vectorops import DIM, _Q142_S2
+
+    assert len(out) == DIM
+    # max-abs normalization: at least one component at full scale
+    assert max(abs(r["v_scaled"]) for r in out) == _Q142_S2
+    # mass fraction of one direction is a proper fraction
+    assert all(0.0 < r["anisotropy"] <= 1.0 for r in out)

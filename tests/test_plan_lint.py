@@ -40,6 +40,7 @@ CROSS_JOIN_OK = {
     "q135_mmr_rerank",  # brute-force candidate baseline tier (q30's gated shape; production tier is q138)
     "q138_mmr_ivf",  # n x K centroid scoring (q101's geometry; candidate pair join is cell-keyed)
     "q140_target_affinity",  # 1-row corpus-totals broadcast applied to the vocab (q134's normalizer idiom)
+    "q142_principal_direction",  # 1-row iterate/anisotropy broadcasts applied per vector and to the DIM-row output — never row x row
 }
 
 ALL = sorted(load_all())
@@ -102,6 +103,7 @@ SINGLE_PARTITION_OK = {
     "q134_source_keywords": (1, "scalar corpus-total aggregate over partial aggs (one n row)"),
     "q140_target_affinity": (1, "scalar class-totals aggregate over vocab partial rows (one n_t/n_r row)"),
     "q141_kcenter_coreset": (1, "global seed-pick aggregate over partial aggs (one row); per-round argmins are checkpoint-truncated out of the declared plan"),
+    "q142_principal_direction": (2, "lambda and trace scalar aggregates over partial aggs (one row each); per-round renormalizations are checkpoint-truncated"),
 }
 
 
