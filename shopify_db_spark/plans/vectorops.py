@@ -2904,3 +2904,173 @@ def q142_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dim, v_scaled, anisotropy)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return power_iteration_direction(emb, rounds=_Q142_R)
+
+
+# ---------------------------------------------------------------------------
+# q143: common-component removal — the TRANSFORM q142 audits for
+# (All-but-the-Top's step 2): subtract each vector's projection onto
+# the dominant direction, x' = x − (x·v̂)v̂, and account for the mass
+# removed per vector. Composes q142 exactly the way the house tiers
+# pair (q121 audit → q122 consumer; q116 → q117): the direction is
+# the SAME fixed-round integer iterate, then the projection is the
+# exact rational p_d = (x·v)·v_d / |v|² ROUND-TO-NEAREST per
+# component — xi'_d = xi_d − fdiv(2·dot·v_d + vv, 2·vv) in pure
+# BIGINT (dot ≤ 4e7, v_d ≤ 1e3, vv ≤ 6.4e7: products ≤ 8e10, no
+# overflow), built from the same portable floor division as q142's
+# renormalization (plain floor was measured to inject energy — a
+# small negative projection floors every component to −1, and 31 of
+# 500 smoke vectors came out with norm² ABOVE the original by up to
+# 1698; half-unit rounding kills the systematic bias). Output is
+# per-vector mass accounting: norm² before/after (exact BIGINTs)
+# and the removed fraction as ONE IEEE expression — the per-doc
+# signal a pipeline thresholds on to find "mostly common component"
+# boilerplate-like vectors.
+#
+# Scale shape: after the q142 rounds (R linear passes), the removal
+# itself is ONE map-side pass — the 1-row direction broadcast joined
+# to every vector, integer folds per row, no shuffle at all beyond
+# q142's. The rounding error is ≤ ½ per component, so norm² can
+# exceed the original only within the quantization envelope
+# Σ|xi_d| + DIM/4 (asserted in the ANSI test; consumers needing
+# tighter bounds raise S1).
+def _q143_oracle() -> str:
+    base = _q142_oracle()
+    # reuse q142's CTE chain up to the final iterate; replace the
+    # output block (everything from the lam CTE on) with the
+    # projection/removal accounting.
+    marker = "lam AS ("
+    head = base.split(marker)[0]
+    dot = (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        "i -> xi[i] * v[i]), (acc, x) -> acc + x)"
+    )
+    return f"""{head}vv AS (
+  SELECT list_reduce(list_transform(v, x -> x * x),
+                     (acc, x) -> acc + x) AS vv,
+         v
+  FROM v{_Q142_R}
+),
+proj AS MATERIALIZED (
+  SELECT x.vec_id,
+         list_transform(generate_series(1, {DIM}), i ->
+             x.xi[i] - (2 * x.dot * w.v[i] + w.vv
+                        - ((2 * x.dot * w.v[i] + w.vv) % (2 * w.vv)
+                           + 2 * w.vv) % (2 * w.vv))
+                       // (2 * w.vv)) AS xr,
+         x.xi
+  FROM fin x CROSS JOIN vv w
+)
+SELECT vec_id,
+       CAST(list_reduce(list_transform(xi, x -> x * x),
+                        (acc, x) -> acc + x) AS BIGINT) AS norm2_before,
+       CAST(list_reduce(list_transform(xr, x -> x * x),
+                        (acc, x) -> acc + x) AS BIGINT) AS norm2_after,
+       1.0 - (CAST(list_reduce(list_transform(xr, x -> x * x),
+                               (acc, x) -> acc + x) AS DOUBLE)
+              / CAST(list_reduce(list_transform(xi, x -> x * x),
+                                 (acc, x) -> acc + x) AS DOUBLE))
+           AS removed_frac
+FROM proj
+"""
+
+
+def remove_common_component(
+    emb: DataFrame, rounds: int = _Q142_R
+) -> DataFrame:
+    """All-but-the-Top step 2 (see section comment): per-vector
+    norm² before/after removing the dominant-direction projection.
+    Returns (vec_id, norm2_before, norm2_after, removed_frac)."""
+    xi = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+            f"* {_Q142_S1}) AS BIGINT))"
+        ).alias("xi"),
+    )
+    spark = emb.sparkSession
+    v = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(1, {DIM}), "
+            f"i -> CAST({_Q142_S2} AS BIGINT))"
+        ).alias("v")
+    )
+    for _ in range(rounds):
+        dots = xi.crossJoin(F.broadcast(v)).select(
+            "vec_id", "xi", _q142_dot(F.col("xi"), F.col("v")).alias("dot")
+        )
+        w = (
+            dots.select(
+                F.posexplode("xi").alias("dim", "xd"), F.col("dot")
+            )
+            .groupBy("dim")
+            .agg(F.sum(F.col("xd") * F.col("dot")).alias("w"))
+        )
+        v = (
+            w.agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, w))), "
+                    "s -> s.w)"
+                ).alias("wa")
+            )
+            .select(
+                "wa",
+                F.expr("array_max(transform(wa, x -> abs(x)))").alias("m"),
+            )
+            .select(
+                F.expr(
+                    f"transform(wa, x -> (x * {_Q142_S2} "
+                    f"- pmod(x * {_Q142_S2}, m)) DIV m)"
+                ).alias("v")
+            )
+            .localCheckpoint()
+        )
+    vv = v.select(
+        "v",
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("vv"),
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731 - local fold helper
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        xi.crossJoin(F.broadcast(vv))
+        .withColumn("dot", _q142_dot(F.col("xi"), F.col("v")))
+        .withColumn(
+            "xr",
+            F.expr(
+                "zip_with(xi, v, (x, c) -> x - (2 * dot * c + vv "
+                "- pmod(2 * dot * c + vv, 2 * vv)) DIV (2 * vv))"
+            ),
+        )
+        .select(
+            "vec_id",
+            norm2(F.col("xi")).alias("norm2_before"),
+            norm2(F.col("xr")).alias("norm2_after"),
+        )
+    )
+    return out.select(
+        "vec_id",
+        "norm2_before",
+        "norm2_after",
+        (
+            F.lit(1.0)
+            - (
+                F.col("norm2_after").cast("double")
+                / F.col("norm2_before").cast("double")
+            )
+        ).alias("removed_frac"),
+    )
+
+
+@query("q143_common_removal", oracle=_q143_oracle())
+def q143_common_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-component removal mass accounting per vector (see
+    section comment). Returns (vec_id, norm2_before, norm2_after,
+    removed_frac)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return remove_common_component(emb, rounds=_Q142_R)

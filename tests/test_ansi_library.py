@@ -299,3 +299,26 @@ def test_power_iteration_direction_ansi(spark):
     assert max(abs(r["v_scaled"]) for r in out) == _Q142_S2
     # mass fraction of one direction is a proper fraction
     assert all(0.0 < r["anisotropy"] <= 1.0 for r in out)
+
+
+def test_remove_common_component_ansi(spark):
+    from shopify_db_spark.plans.vectorops import remove_common_component
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with forced_ansi(spark):
+        out = remove_common_component(emb, rounds=2).collect()
+    assert len(out) == emb.count()
+    from shopify_db_spark.plans.vectorops import DIM, _Q142_S1
+
+    # the round-to-nearest projection can exceed the original norm²
+    # only within the quantization envelope Σ|xi_d| + DIM/4
+    # ≤ DIM·(0.6·S1) + DIM/4 (see the q143 section comment)
+    slack = DIM * int(0.6 * _Q142_S1) + DIM // 4
+    assert all(
+        0 <= r["norm2_after"] <= r["norm2_before"] + slack for r in out
+    )
+    assert all(-0.01 <= r["removed_frac"] <= 1.0 for r in out)
+    # and the typical vector genuinely loses mass
+    n_reduced = sum(1 for r in out if r["norm2_after"] < r["norm2_before"])
+    assert n_reduced > len(out) // 2
