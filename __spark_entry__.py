@@ -51,6 +51,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q141_kcenter_coreset",  # new in round 9
     "q142_principal_direction",  # new in round 9
     "q143_common_removal",  # new in round 9
+    "q144_streaming_histogram",  # new in round 9
     "q131_mixture_temperature",  # new in round 9
     "q132_hll_overlap",  # new in round 9
     "q128_refresh_dedup",  # new in round 9

@@ -988,3 +988,84 @@ def q133_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         return state["regs"]
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q144: streaming length-histogram maintenance — the ADD-merge twin
+# of q139, completing the streaming side of the sketch tier's three
+# pairs (q86→q90 count-min, q130→q133 HLL, q139→q144 quantile
+# histogram). Each micro-batch's per-(source, bucket) counts are
+# unioned into the accumulated state with ``sum(cnt)``; because the
+# histogram registers merge by ADDITION, the final state must equal
+# the batch histogram over the whole corpus — exactly what the
+# oracle computes declaratively. State is ≤ #sources × ~40 rows;
+# per-batch work is batch-sized; the corpus is never re-scanned.
+from shopify_db_spark.plans.textops import _Q139_BUCKET, length_histogram
+
+_Q144_ORACLE = f"""
+WITH lens AS (
+  SELECT source,
+         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                          'g'))), ' '))
+              AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT source,
+       CAST({_Q139_BUCKET.format(n='n_tok')} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lens GROUP BY 1, 2
+"""
+
+
+@query("q144_streaming_histogram", oracle=_Q144_ORACLE)
+def q144_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming length-histogram register maintenance (see section
+    comment): three deterministic micro-batches (doc_id % 3),
+    per-batch histograms SUM-merged into the accumulated state
+    inside ``foreachBatch``. Returns the final (source, bucket, cnt)
+    register table — bit-identical to the one-shot batch sketch."""
+    from shopify_db_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", (F.col("doc_id") % 3).alias("batch_no")
+    )
+    stream_dir = _write_batch_files(docs, "batch_no", 3)
+    empty = spark.createDataFrame([], "source string, bucket long, cnt long")
+    state = {"hist": empty}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # spread the single-partition micro-batch (q114 root cause)
+        lens = (
+            batch_df.repartition(
+                spark.sparkContext.defaultParallelism, F.col("doc_id")
+            )
+            .select(
+                "source",
+                F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+            )
+        )
+        hist = length_histogram(lens, ["source"])
+        state["hist"] = (
+            state["hist"]
+            .unionByName(hist)
+            .groupBy("source", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return state["hist"]
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
