@@ -52,6 +52,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q142_principal_direction",  # new in round 9
     "q143_common_removal",  # new in round 9
     "q144_streaming_histogram",  # new in round 9
+    "q145_tokenizer_fertility",  # new in round 9
     "q131_mixture_temperature",  # new in round 9
     "q132_hll_overlap",  # new in round 9
     "q128_refresh_dedup",  # new in round 9

@@ -1781,3 +1781,79 @@ def q139_length_quantile_sketch(
         "sketch_hi",
         "exact_q",
     )
+
+
+# ---------------------------------------------------------------------------
+# q145: tokenizer fertility audit by language — the per-domain
+# consumer of the BPE tier (q110 train → q115 encode → q145 audit):
+# multilingual pipelines gate tokenizers on FERTILITY (encoded
+# tokens per raw word) per language, because an under-trained merge
+# table penalizes underrepresented languages with longer sequences
+# (the effect documented across multilingual LM reports). Composes
+# q115's per-doc counts verbatim and rolls up by ``lang``:
+# compression = Σ encoded / Σ raw as ONE IEEE quotient of exact
+# BIGINT sums, plus chars-per-encoded-token from the normalized
+# char counts. Scale shape: q115's train+apply cost dominates; the
+# rollup adds one #langs-row aggregate with full partial
+# aggregation (~1 row per doc shuffled).
+@query(
+    "q145_tokenizer_fertility",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 1
+),{_q110_round_ctes(_Q110_ROUNDS, rewrite_last=True)}
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(t.t)) AS BIGINT) AS raw_tokens,
+       CAST(SUM(len(m.t)) AS BIGINT) AS encoded_tokens,
+       CAST(SUM(length({_NORM})) AS BIGINT) AS norm_chars,
+       CAST(SUM(len(m.t)) AS DOUBLE) / CAST(SUM(len(t.t)) AS DOUBLE)
+           AS fertility,
+       CAST(SUM(length({_NORM})) AS DOUBLE) / CAST(SUM(len(m.t)) AS DOUBLE)
+           AS chars_per_token
+FROM toks t
+JOIN m{_Q110_ROUNDS} m ON m.doc_id = t.doc_id
+JOIN documents d ON d.doc_id = t.doc_id
+GROUP BY d.lang
+""",
+)
+def q145_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility / compression audit (see
+    section comment). Returns (lang, n_docs, raw_tokens,
+    encoded_tokens, norm_chars, fertility, chars_per_token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs)
+    meta = docs.select(
+        "doc_id",
+        "lang",
+        F.length(TX.normalize_text(F.col("text"))).cast("long").alias(
+            "n_chars_norm"
+        ),
+    )
+    per_lang = (
+        enc.join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens_raw").cast("long")).alias("raw_tokens"),
+            F.sum(F.col("n_tokens_encoded").cast("long")).alias(
+                "encoded_tokens"
+            ),
+            F.sum("n_chars_norm").alias("norm_chars"),
+        )
+    )
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "raw_tokens",
+        "encoded_tokens",
+        "norm_chars",
+        (
+            F.col("encoded_tokens").cast("double")
+            / F.col("raw_tokens").cast("double")
+        ).alias("fertility"),
+        (
+            F.col("norm_chars").cast("double")
+            / F.col("encoded_tokens").cast("double")
+        ).alias("chars_per_token"),
+    )

@@ -25,6 +25,7 @@ CROSS_JOIN_OK = {
     "q112_ann_recall_gate",  # q30 baseline tier + n x K codebook assignment (ann pair join is cell-keyed)
     "q113_incremental_ann_evict",  # n x K centroid scoring per arrival batch (probe join is cell-keyed)
     "q115_bpe_encode",  # per-round 1-row broadcast merge rule applied corpus-wide (q110's shape)
+    "q145_tokenizer_fertility",  # q115's per-round 1-row broadcast merge rule (the fertility rollup itself is an equi-join)
     "q116_contrastive_pairs",  # brute-force baseline tier (queries x candidates, q30's gated shape)
     "q117_contrastive_ivf",  # n x K centroid scoring (q101's multi-probe geometry; pair join is cell-keyed)
     "q48_hourly_gapfill",  # hour x type grid (both dimension-sized)
