@@ -1997,3 +1997,81 @@ def q140_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     indicative-token affinity, integer selection bar. Returns
     (doc_id, source, n_tok, n_ind, affinity, selected)."""
     return target_affinity(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q146: duplicate-aware soft-dedup training weights — the
+# "downweight instead of drop" endgame of the dedup tier: hard
+# removal (q50's keep flag / q125's canonical selection) loses
+# in-cluster variation, so several pipelines instead weight each
+# document by the inverse of its near-dup cluster size (the
+# repetition-discounting used in data-pruning/duplication studies —
+# e.g. D4, Tirumala et al. 2023). Composes q50's components
+# verbatim and extends them to the FULL corpus: docs in no pair get
+# cluster_size 1, and weight = 1/cluster_size is ONE IEEE quotient
+# of exact BIGINTs. The per-source effective-size rollup — the
+# number a mixture builder actually consumes — is carried as the
+# exact BIGINT Σ count·⌊10⁶/cluster_size⌋ (parts-per-million): a
+# float Σ 1/cs is summation-order-dependent across engines and
+# partitionings (measured: the naive SUM(weight) rollup diverged in
+# the 15th digit between Spark and DuckDB), while the floored
+# per-size term makes the sum exact with ≤1e-6 relative error per
+# doc.
+#
+# Scale shape: q50's pair+CC machinery dominates (exp 0.85); the
+# extension is a key-only left join from the corpus and a
+# #sources-row aggregate. Output stays per-doc + per-source long.
+_Q146_ORACLE = f"""
+WITH comp AS (
+  SELECT doc_id, cluster_id, cluster_size FROM ({_Q50_ORACLE})
+),
+perdoc AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(c.cluster_size, 1) AS cluster_size
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(cluster_size) AS BIGINT) AS sum_cluster_size,
+       CAST(SUM(1000000 // cluster_size) AS BIGINT) AS effective_docs_ppm
+FROM perdoc GROUP BY source
+"""
+
+
+def soft_dedup_weights(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-document inverse-cluster-size weights over the FULL
+    corpus (see section comment). Returns (doc_id, source,
+    cluster_size, weight)."""
+    comp = dup_clusters(pairs).select("doc_id", "cluster_size")
+    return (
+        docs.select("doc_id", "source")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+        )
+        .withColumn(
+            "weight",
+            F.lit(1.0) / F.col("cluster_size").cast("double"),
+        )
+    )
+
+
+@query("q146_soft_dedup_weights", oracle=_Q146_ORACLE)
+def q146_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup weighting rollup (see section comment): per-source
+    raw vs duplicate-discounted effective document counts. Returns
+    (source, n_docs, sum_cluster_size, effective_docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.simhash_pairs(docs, max_hamming=4, hash_family="md5")
+    w = soft_dedup_weights(docs, pairs)
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("cluster_size").alias("sum_cluster_size"),
+        F.sum(
+            F.expr("CAST(1000000 AS BIGINT) DIV cluster_size")
+        ).alias("effective_docs_ppm"),
+    )

@@ -322,3 +322,20 @@ def test_remove_common_component_ansi(spark):
     # and the typical vector genuinely loses mass
     n_reduced = sum(1 for r in out if r["norm2_after"] < r["norm2_before"])
     assert n_reduced > len(out) // 2
+
+
+def test_soft_dedup_weights_ansi(spark, tiny_docs):
+    from shopify_db_spark.operators.dedup import simhash_pairs
+    from shopify_db_spark.plans.curation import soft_dedup_weights
+
+    labeled = tiny_docs.withColumn("source", F.lit("s"))
+    with forced_ansi(spark):
+        pairs = simhash_pairs(labeled, max_hamming=4, hash_family="md5")
+        w = {r["doc_id"]: r for r in
+             soft_dedup_weights(labeled, pairs).collect()}
+    # every doc is weighted; docs 1 and 4 are identical -> same
+    # cluster, weight 1/size; doc 3 is a singleton with weight 1.0
+    assert set(w) == {1, 2, 3, 4}
+    assert w[3]["weight"] == 1.0
+    assert w[1]["cluster_size"] == w[4]["cluster_size"] >= 2
+    assert abs(w[1]["weight"] * w[1]["cluster_size"] - 1.0) < 1e-12
