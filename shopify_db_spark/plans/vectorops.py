@@ -3074,3 +3074,103 @@ def q143_common_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed_frac)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return remove_common_component(emb, rounds=_Q142_R)
+
+
+# ---------------------------------------------------------------------------
+# q147: lexical-vs-semantic duplicate disagreement audit — before a
+# pipeline trusts either near-dup detector as THE dedup pass, it
+# wants to know how much the two views of "duplicate" overlap: the
+# lexical detector (q27's SimHash pairs over text) and the semantic
+# one (q32's banded sign-LSH cosine pairs over embeddings) find
+# different pair sets by construction, and a low agreement rate on
+# a given corpus means paraphrase-heavy duplication the lexical
+# pass will miss (or embedding-space collapse the semantic pass
+# over-fires on). The audit full-outer-joins the two pair sets on
+# the (a, b) key (embeddings are keyed to doc_ids — the q121/q109
+# contract) and reduces to ONE row of exact counts plus the
+# agreement = both / (both + lex_only + sem_only) Jaccard as a
+# single IEEE quotient.
+#
+# Scale shape: both generators are the existing scale-shaped tiers
+# (q27's pigeonhole blocks, q32's auto-banded LSH); the audit adds
+# one pair-key full-outer join (pairs ≪ corpus) and a scalar
+# aggregate. Runs wherever q27+q32 run — no new data-sized stage.
+from shopify_db_spark.plans.textops import _Q27_ORACLE
+
+
+@query(
+    "q147_dedup_disagreement",
+    oracle=f"""
+WITH lex AS ({_Q27_ORACLE}),
+banded AS ({{_banded}}),
+sem AS (
+  SELECT p.id_a, p.id_b
+  FROM (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
+  ) p
+  JOIN embeddings ea ON ea.vec_id = p.id_a
+  JOIN embeddings eb ON eb.vec_id = p.id_b
+  WHERE {{_cos}} >= {{_thr}}
+),
+j AS (
+  SELECT COALESCE(l.doc_a, s.id_a) AS a,
+         COALESCE(l.doc_b, s.id_b) AS b,
+         l.doc_a IS NOT NULL AS in_lex,
+         s.id_a IS NOT NULL AS in_sem
+  FROM lex l
+  FULL OUTER JOIN sem s ON s.id_a = l.doc_a AND s.id_b = l.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_lex AND in_sem THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both,
+       CAST(SUM(CASE WHEN in_lex AND NOT in_sem THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lexical_only,
+       CAST(SUM(CASE WHEN in_sem AND NOT in_lex THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_semantic_only,
+       CAST(SUM(CASE WHEN in_lex AND in_sem THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS agreement
+FROM j
+""".format(
+        _banded=_sql_banded(),
+        _cos=_sql_cosine("ea.embedding", "eb.embedding"),
+        _thr=DEDUP_THRESHOLD,
+    ),
+)
+def q147_dedup_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical (q27 SimHash) vs semantic (q32 LSH-cosine) near-dup
+    pair agreement (see section comment). Returns one row
+    (n_both, n_lexical_only, n_semantic_only, agreement)."""
+    from shopify_db_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = DD.simhash_pairs(docs, max_hamming=4, hash_family="md5").select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+        F.lit(True).alias("in_lex"),
+    )
+    sem = SIM.cosine_dedup_pairs_lsh(
+        emb, threshold=DEDUP_THRESHOLD
+    ).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+        F.lit(True).alias("in_sem"),
+    )
+    j = lex.join(sem, ["a", "b"], "full_outer").select(
+        F.coalesce(F.col("in_lex"), F.lit(False)).alias("in_lex"),
+        F.coalesce(F.col("in_sem"), F.lit(False)).alias("in_sem"),
+    )
+    both = (F.col("in_lex") & F.col("in_sem")).cast("long")
+    return j.agg(
+        F.sum(both).alias("n_both"),
+        F.sum((F.col("in_lex") & ~F.col("in_sem")).cast("long")).alias(
+            "n_lexical_only"
+        ),
+        F.sum((F.col("in_sem") & ~F.col("in_lex")).cast("long")).alias(
+            "n_semantic_only"
+        ),
+        (
+            F.sum(both).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("agreement"),
+    )

@@ -106,6 +106,7 @@ SINGLE_PARTITION_OK = {
     "q140_target_affinity": (1, "scalar class-totals aggregate over vocab partial rows (one n_t/n_r row)"),
     "q141_kcenter_coreset": (1, "global seed-pick aggregate over partial aggs (one row); per-round argmins are checkpoint-truncated out of the declared plan"),
     "q142_principal_direction": (2, "lambda and trace scalar aggregates over partial aggs (one row each); per-round renormalizations are checkpoint-truncated"),
+    "q147_dedup_disagreement": (1, "final scalar agreement aggregate over partial aggs (one summary row)"),
 }
 
 
