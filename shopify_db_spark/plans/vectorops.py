@@ -3174,3 +3174,97 @@ def q147_dedup_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("agreement"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q148: split balance audit in embedding space — the distributional
+# counterpart of q136's leakage check: a train/holdout split can be
+# leak-free yet still UNREPRESENTATIVE (one side over-sampling a
+# semantic region), which corrupts eval as surely as leakage. The
+# audit bins every vector into its nearest coarse cell (q101's IVF
+# assignment geometry), splits on the q136/q137 salted-hash
+# function, and reports per-cell occupancy by split plus the
+# χ²-against-50/50 contribution (n_t − n_h)²/(n_t + n_h) carried as
+# the exact BIGINT ⌊·10⁶/(n_t+n_h)⌋ — ppm units (the q146 lesson:
+# per-cell floats would force a summation-order-dependent global
+# total; the ppm integers SUM exactly, so the consumer's corpus-wide
+# χ² is one exact aggregate).
+#
+# Scale shape: the assignment is q101's broadcast n×K scoring pass,
+# the split column is a per-row md5 predicate (zero shuffle), and
+# the rollup is one (cell)-keyed partial-aggregated shuffle of ~1
+# row per vector; output is #cells rows.
+@query(
+    "q148_split_balance",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE r = 1
+),
+split AS (
+  SELECT vec_id,
+         CASE WHEN substr(md5('balance-seed-1|' || CAST(vec_id AS VARCHAR)),
+                          1, 4) < '8000'
+              THEN 'train' ELSE 'holdout' END AS split
+  FROM embeddings
+),
+occ AS (
+  SELECT a.centroid_id,
+         CAST(SUM(CASE WHEN s.split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+         CAST(SUM(CASE WHEN s.split = 'holdout' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_holdout
+  FROM assigned a JOIN split s ON s.vec_id = a.vec_id
+  GROUP BY a.centroid_id
+)
+SELECT centroid_id, n_train, n_holdout,
+       CAST((n_train - n_holdout) * (n_train - n_holdout) * 1000000
+            // (n_train + n_holdout) AS BIGINT) AS chi2_ppm
+FROM occ
+""",
+)
+def q148_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell train/holdout occupancy + exact-integer χ² ppm
+    contributions (see section comment). Returns
+    (centroid_id, n_train, n_holdout, chi2_ppm)."""
+    from shopify_db_spark.plans.curation import hash_split
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    assigned = SIM.ivf_assign(emb, centroids, n_best=1).select(
+        "vec_id", "centroid_id"
+    )
+    sp = emb.select(
+        "vec_id", hash_split(emb, "vec_id", "balance-seed-1").alias("split")
+    )
+    occ = (
+        assigned.join(sp, "vec_id")
+        .groupBy("centroid_id")
+        .agg(
+            F.sum((F.col("split") == "train").cast("long")).alias(
+                "n_train"
+            ),
+            F.sum((F.col("split") == "holdout").cast("long")).alias(
+                "n_holdout"
+            ),
+        )
+    )
+    return occ.select(
+        "centroid_id",
+        "n_train",
+        "n_holdout",
+        F.expr(
+            "CAST((n_train - n_holdout) * (n_train - n_holdout) "
+            "* 1000000 DIV (n_train + n_holdout) AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )

@@ -43,6 +43,7 @@ CROSS_JOIN_OK = {
     "q140_target_affinity",  # 1-row corpus-totals broadcast applied to the vocab (q134's normalizer idiom)
     "q142_principal_direction",  # 1-row iterate/anisotropy broadcasts applied per vector and to the DIM-row output — never row x row
     "q143_common_removal",  # 1-row direction broadcast applied per vector (q142's geometry; removal is map-only)
+    "q148_split_balance",  # n x K broadcast centroid scoring (q101's assignment geometry)
 }
 
 ALL = sorted(load_all())
