@@ -24,7 +24,11 @@ from pyspark.sql.window import Window
 from shopify_db_spark.functions import text as TX
 from shopify_db_spark.operators import dedup as DD
 from shopify_db_spark.operators.graph import dup_clusters
-from shopify_db_spark.operators.numbering import global_ntile, global_running_sum
+from shopify_db_spark.operators.numbering import (
+    global_ntile,
+    global_row_numbers,
+    global_running_sum,
+)
 from shopify_db_spark.plans.catalog import query
 from shopify_db_spark.plans.textops import _NORM, _Q27_ORACLE, _TOKS
 from shopify_db_spark.sources.tables import load_table
@@ -2075,3 +2079,80 @@ def q146_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(1000000 AS BIGINT) DIV cluster_size")
         ).alias("effective_docs_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q149: deterministic class-balanced subsample — downsample every
+# language stratum to the SMALLEST stratum's size (the exact
+# balanced-set construction behind eval-set curation and
+# contrastive-pretraining class balance; q51's hash sampler keeps
+# RATES, this keeps exact COUNTS). Selection must be reproducible
+# and engine-portable, so the per-stratum order is the salted md5
+# of the doc id (q51's coin) with a doc_id tie-break, and the
+# per-language rank is computed WITHOUT a data-sized window
+# partition: the q08/q58 two-phase machinery numbers globally over
+# (lang, h, doc_id) range partitions, then subtracts each
+# language's broadcast MIN rank — a per-lang ROW_NUMBER by
+# construction, at any scale (a naive PARTITION BY lang window
+# would funnel the dominant language through one task).
+#
+# Scale shape: one range repartition + per-partition local windows
+# (the numbering contract), two tiny broadcasts (#langs offsets,
+# 1-row min-count target), per-row filter. Output = #langs × target
+# rows.
+_Q149_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5('bal-seed-1|' || CAST(doc_id AS VARCHAR)),
+                           1, 8) ASC, doc_id ASC) AS lang_rank
+  FROM documents
+),
+target AS (
+  SELECT MIN(cnt) AS t
+  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT doc_id, lang, CAST(lang_rank AS INT) AS lang_rank
+FROM ranked CROSS JOIN target
+WHERE lang_rank <= t
+"""
+
+
+def balanced_subsample(
+    docs: DataFrame, stratum_col: str = "lang", seed: str = "bal-seed-1"
+) -> DataFrame:
+    """Exact-count balanced subsample across strata (see section
+    comment). Returns (doc_id, <stratum_col>, lang_rank) for the
+    selected rows."""
+    h = F.substring(
+        F.md5(
+            F.concat(F.lit(seed + "|"), F.col("doc_id").cast("string"))
+        ),
+        1,
+        8,
+    )
+    base = docs.select("doc_id", stratum_col, h.alias("__h"))
+    rn = global_row_numbers(base, [stratum_col, "__h", "doc_id"], "__grn")
+    offs = rn.groupBy(stratum_col).agg(F.min("__grn").alias("__off"))
+    ranked = rn.join(F.broadcast(offs), stratum_col).withColumn(
+        "lang_rank",
+        (F.col("__grn") - F.col("__off") + 1).cast("int"),
+    )
+    target = (
+        docs.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .agg(F.min("__cnt").alias("__t"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("lang_rank") <= F.col("__t"))
+        .select("doc_id", stratum_col, "lang_rank")
+    )
+
+
+@query("q149_balanced_subsample", oracle=_Q149_ORACLE)
+def q149_balanced_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count language-balanced subsample (see section
+    comment). Returns (doc_id, lang, lang_rank)."""
+    return balanced_subsample(load_table(spark, sf_dir, "documents"))

@@ -339,3 +339,19 @@ def test_soft_dedup_weights_ansi(spark, tiny_docs):
     assert w[3]["weight"] == 1.0
     assert w[1]["cluster_size"] == w[4]["cluster_size"] >= 2
     assert abs(w[1]["weight"] * w[1]["cluster_size"] - 1.0) < 1e-12
+
+
+def test_balanced_subsample_ansi(spark, tiny_docs):
+    from shopify_db_spark.plans.curation import balanced_subsample
+
+    labeled = tiny_docs.withColumn(
+        "lang", F.when(F.col("doc_id") <= 3, "en").otherwise("de")
+    )
+    with forced_ansi(spark):
+        out = balanced_subsample(labeled, stratum_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["lang_rank"])
+    # exact balance: every stratum downsampled to the min size (1)
+    assert set(by_lang) == {"en", "de"}
+    assert all(sorted(v) == [1] for v in by_lang.values())

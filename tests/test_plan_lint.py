@@ -44,6 +44,7 @@ CROSS_JOIN_OK = {
     "q142_principal_direction",  # 1-row iterate/anisotropy broadcasts applied per vector and to the DIM-row output — never row x row
     "q143_common_removal",  # 1-row direction broadcast applied per vector (q142's geometry; removal is map-only)
     "q148_split_balance",  # n x K broadcast centroid scoring (q101's assignment geometry)
+    "q149_balanced_subsample",  # 1-row min-count target broadcast applied per row (q134's normalizer idiom)
 }
 
 ALL = sorted(load_all())
@@ -108,6 +109,7 @@ SINGLE_PARTITION_OK = {
     "q141_kcenter_coreset": (1, "global seed-pick aggregate over partial aggs (one row); per-round argmins are checkpoint-truncated out of the declared plan"),
     "q142_principal_direction": (2, "lambda and trace scalar aggregates over partial aggs (one row each); per-round renormalizations are checkpoint-truncated"),
     "q147_dedup_disagreement": (1, "final scalar agreement aggregate over partial aggs (one summary row)"),
+    "q149_balanced_subsample": (3, "two-phase numbering offsets (#partitions rows) + #langs offset and 1-row min-count finals over partial aggs"),
 }
 
 
