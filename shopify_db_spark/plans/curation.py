@@ -2156,3 +2156,113 @@ def q149_balanced_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count language-balanced subsample (see section
     comment). Returns (doc_id, lang, lang_rank)."""
     return balanced_subsample(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q150: batch padding-efficiency audit — length bucketing vs random
+# batching: training steps pad every sequence in a batch to the
+# batch max, so batching by sorted length (the standard "bucketed
+# batching") recovers the padding waste random batches pay. The
+# audit builds BOTH schedules deterministically — batch = ⌈rank/B⌉
+# with rank by (n_tok DESC, doc_id) for the bucketed scheme and by
+# the salted md5 coin for the shuffled baseline — and reports per
+# batch the exact padding fraction (n·max − Σtok)·10⁶ ÷ (n·max) as
+# BIGINT ppm (the q146/q148 discipline: ppm integers keep any
+# downstream rollup summation-order-free). Both ranks use the
+# q08/q58 two-phase numbering — no data-sized window partition.
+#
+# Scale shape: two range repartitions + per-partition local windows
+# (the numbering contract), then one batch-keyed partial-aggregated
+# shuffle each (~1 row per doc); output is 2×⌈N/B⌉ rows.
+_Q150_B = 32  # docs per batch
+
+
+_Q150_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         substr(md5('batch-seed-1|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id ASC) AS r_sorted,
+         ROW_NUMBER() OVER (ORDER BY h ASC, doc_id ASC) AS r_shuffled
+  FROM lens
+),
+batches AS (
+  SELECT 'length_sorted' AS scheme,
+         (r_sorted - 1) // {_Q150_B} AS batch_id, n_tok
+  FROM ranked
+  UNION ALL
+  SELECT 'hash_shuffled' AS scheme,
+         (r_shuffled - 1) // {_Q150_B} AS batch_id, n_tok
+  FROM ranked
+)
+SELECT scheme, CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST((COUNT(*) * MAX(n_tok) - SUM(n_tok)) * 1000000
+            // (COUNT(*) * MAX(n_tok)) AS BIGINT) AS padding_ppm
+FROM batches GROUP BY scheme, batch_id
+"""
+
+
+@query("q150_batch_padding", oracle=_Q150_ORACLE)
+def q150_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency audit of length-sorted vs hash-shuffled
+    batch schedules (see section comment). Returns (scheme,
+    batch_id, n_docs, max_tok, sum_tok, padding_ppm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("batch-seed-1|"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        ).alias("__h"),
+    )
+    neg = lens.withColumn("__neg_tok", -F.col("n_tok"))
+    sorted_rn = global_row_numbers(
+        neg, ["__neg_tok", "doc_id"], "__r"
+    ).select(
+        F.lit("length_sorted").alias("scheme"),
+        F.expr(f"CAST((__r - 1) DIV {_Q150_B} AS BIGINT)").alias(
+            "batch_id"
+        ),
+        "n_tok",
+    )
+    shuffled_rn = global_row_numbers(
+        lens, ["__h", "doc_id"], "__r"
+    ).select(
+        F.lit("hash_shuffled").alias("scheme"),
+        F.expr(f"CAST((__r - 1) DIV {_Q150_B} AS BIGINT)").alias(
+            "batch_id"
+        ),
+        "n_tok",
+    )
+    batches = sorted_rn.unionByName(shuffled_rn)
+    return (
+        batches.groupBy("scheme", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+        .select(
+            "scheme",
+            "batch_id",
+            "n_docs",
+            "max_tok",
+            "sum_tok",
+            F.expr(
+                "CAST((n_docs * max_tok - sum_tok) * 1000000 "
+                "DIV (n_docs * max_tok) AS BIGINT)"
+            ).alias("padding_ppm"),
+        )
+    )
