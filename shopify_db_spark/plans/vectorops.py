@@ -3268,3 +3268,116 @@ def q148_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 1000000 DIV (n_train + n_holdout) AS BIGINT)"
         ).alias("chi2_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q151: margin-based cross-lingual neighbor mining — the bitext-
+# mining primitive (Artetxe & Schwenk 2019's margin criterion,
+# simplified to the absolute top1−top2 margin): align every non-
+# English document to its nearest ENGLISH neighbor in embedding
+# space, and accept the pair only when the best candidate clears
+# the runner-up by a margin — the filter that separates genuine
+# translations/paraphrases from hubness artifacts (a vector that is
+# everyone's neighbor has a small margin by construction). Runs on
+# q101's IVF machinery with the candidate index built from the
+# English side only; every score is the q30-contract fixed-order
+# cosine, the margin is ONE IEEE subtraction, and a query whose
+# probed cells hold a single candidate gets margin = top1 − 0
+# (documented: no runner-up evidence ⇒ the margin degenerates to
+# the score).
+#
+# Scale shape: q101's broadcast-assign + cell equi-join geometry on
+# a candidate side that is the English slice; the top-2 window is
+# per-query over probed-cell candidates; the pivot to (top1, top2)
+# is a partial-aggregating min_by pair.
+_Q151_MARGIN = 0.05
+
+
+@query(
+    "q151_bitext_mining",
+    oracle=f"""
+WITH en AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en'
+),
+oth AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id AND d.lang != 'en'
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM en
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+qa AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+    SELECT o.vec_id, o.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY o.vec_id
+             ORDER BY {_sql_cosine('o.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM oth o CROSS JOIN cent c
+  ) WHERE r <= {NPROBE}
+),
+ca AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv2, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM en e CROSS JOIN cent c
+  ) WHERE r = 1
+),
+topk AS (
+  SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT q.query_id, c.neighbor_id,
+           {_sql_cosine('q.qv', 'c.cv2')} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cosine('q.qv', 'c.cv2')} DESC,
+                                       c.neighbor_id ASC) AS rank
+    FROM qa q JOIN ca c ON c.centroid_id = q.centroid_id
+                       AND c.neighbor_id != q.query_id
+  ) WHERE rank <= 2
+)
+SELECT t1.query_id, t1.neighbor_id, t1.cosine,
+       t1.cosine - COALESCE(t2.cosine, 0.0) AS margin,
+       CAST(CASE WHEN t1.cosine - COALESCE(t2.cosine, 0.0)
+                      >= {_Q151_MARGIN}
+                 THEN 1 ELSE 0 END AS INT) AS accepted
+FROM (SELECT * FROM topk WHERE rank = 1) t1
+LEFT JOIN (SELECT * FROM topk WHERE rank = 2) t2
+  ON t2.query_id = t1.query_id
+""",
+)
+def q151_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual nearest-English-neighbor mining with the
+    top1−top2 margin filter (see section comment). Returns
+    (query_id, neighbor_id, cosine, margin, accepted)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    lang = docs.select(F.col("doc_id").alias("vec_id"), "lang")
+    labeled = emb.join(lang, "vec_id")
+    en = labeled.filter(F.col("lang") == "en").select(
+        "vec_id", "embedding"
+    )
+    oth = labeled.filter(F.col("lang") != "en").select(
+        "vec_id", "embedding"
+    )
+    centroids = en.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    topk = SIM.ivf_ann(oth, en, centroids, k=2, nprobe=NPROBE)
+    t1 = topk.filter(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    t2 = topk.filter(F.col("rank") == 2).select(
+        F.col("query_id").alias("__q2"), F.col("cosine").alias("__cos2")
+    )
+    j = t1.join(t2, F.col("__q2") == F.col("query_id"), "left").withColumn(
+        "margin", F.col("cosine") - F.coalesce(F.col("__cos2"), F.lit(0.0))
+    )
+    return j.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "margin",
+        (F.col("margin") >= _Q151_MARGIN).cast("int").alias("accepted"),
+    )
