@@ -59,6 +59,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q149_balanced_subsample",  # new in round 9
     "q150_batch_padding",  # new in round 9
     "q151_bitext_mining",  # new in round 9
+    "q152_knn_hubness",  # new in round 9
     "q131_mixture_temperature",  # new in round 9
     "q132_hll_overlap",  # new in round 9
     "q128_refresh_dedup",  # new in round 9

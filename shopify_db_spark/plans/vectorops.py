@@ -3381,3 +3381,94 @@ def q151_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "margin",
         (F.col("margin") >= _Q151_MARGIN).cast("int").alias("accepted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q152: k-NN graph + hubness audit — builds the all-vectors k-NN
+# graph (the substrate of graph-based dedup, UMAP-style layouts and
+# q50-style semantic clustering) on q101's IVF geometry with EVERY
+# vector as a query, then audits HUBNESS: the k-occurrence
+# distribution (how many vectors appear in exactly j other vectors'
+# top-k lists — Radovanović et al. 2010). High-dimensional
+# embedding spaces grow hubs (vectors that are everyone's
+# neighbor), which silently corrupt k-NN label inference (q126),
+# SemDeDup (q74) and margin mining (q151) — this is the audit that
+# says whether those consumers can trust the space. Output is the
+# exact histogram (k_occurrences, n_vectors) including the
+# zero-occurrence row (anti-hubs), all BIGINT counts.
+#
+# Scale shape: the graph build is q101's broadcast-assign + cell
+# equi-join with a per-query top-k window over probed-cell
+# candidates (every vector queries once — the honest k-NN-graph
+# cost, linear in N at fixed cell size); the audit is two
+# partial-aggregated shuffles of ~1 row per vector, plus a key-only
+# left-anti join for the zero row.
+_Q152_K = 5
+
+
+@query(
+    "q152_knn_hubness",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id, r FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE r <= {NPROBE}
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_sql_cosine('q.embedding',
+                                                    'c.embedding')} DESC,
+                                       c.vec_id ASC) AS rank
+    FROM assign q
+    JOIN (SELECT vec_id, embedding, centroid_id FROM assign WHERE r = 1) c
+      ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id
+  ) WHERE rank <= {_Q152_K}
+),
+occ AS (
+  SELECT e.vec_id,
+         CAST(COUNT(t.query_id) AS BIGINT) AS k_occ
+  FROM embeddings e
+  LEFT JOIN topk t ON t.neighbor_id = e.vec_id
+  GROUP BY e.vec_id
+)
+SELECT k_occ AS k_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM occ GROUP BY k_occ
+""",
+)
+def q152_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph hubness audit (see section comment). Returns the
+    exact k-occurrence histogram (k_occurrences, n_vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    topk = SIM.ivf_ann(emb, emb, centroids, k=_Q152_K, nprobe=NPROBE)
+    # a LEFT join yields one row even for zero-occurrence vectors,
+    # so the occurrence count is the SUM of a join-hit indicator,
+    # not COUNT(*)
+    occ = (
+        emb.select("vec_id")
+        .join(
+            topk.select(
+                F.col("neighbor_id").alias("vec_id"),
+                F.lit(1).alias("__hit"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("k_occ"))
+    )
+    return occ.groupBy(F.col("k_occ").alias("k_occurrences")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

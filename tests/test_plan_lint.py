@@ -45,6 +45,7 @@ CROSS_JOIN_OK = {
     "q143_common_removal",  # 1-row direction broadcast applied per vector (q142's geometry; removal is map-only)
     "q148_split_balance",  # n x K broadcast centroid scoring (q101's assignment geometry)
     "q151_bitext_mining",  # n x K broadcast centroid scoring (q101's assignment geometry; the pair join is cell-keyed)
+    "q152_knn_hubness",  # n x K broadcast centroid scoring (q101's assignment geometry; the graph join is cell-keyed)
     "q149_balanced_subsample",  # 1-row min-count target broadcast applied per row (q134's normalizer idiom)
 }
 
