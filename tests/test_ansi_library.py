@@ -355,3 +355,25 @@ def test_balanced_subsample_ansi(spark, tiny_docs):
     # exact balance: every stratum downsampled to the min size (1)
     assert set(by_lang) == {"en", "de"}
     assert all(sorted(v) == [1] for v in by_lang.values())
+
+
+def test_round9_ivf_consumers_ansi(spark):
+    from shopify_db_spark.plans.vectorops import (
+        q138_mmr_ivf,
+        q151_bitext_mining,
+        q152_knn_hubness,
+    )
+
+    with forced_ansi(spark):
+        # undecorated module attributes — the registry wrapper (which
+        # would pin ansi=false) is bypassed, so these plans analyze
+        # and execute under Spark 4's default ANSI semantics
+        mmr = q138_mmr_ivf(spark, SF_SMOKE).collect()
+        mined = q151_bitext_mining(spark, SF_SMOKE).collect()
+        hub = q152_knn_hubness(spark, SF_SMOKE).collect()
+    assert mmr and all(1 <= r["mmr_rank"] <= 5 for r in mmr)
+    assert mined and all(
+        r["margin"] >= 0.0 or r["accepted"] == 0 for r in mined
+    )
+    n_vec = sum(r["n_vectors"] for r in hub)
+    assert n_vec > 0 and all(r["k_occurrences"] >= 0 for r in hub)
