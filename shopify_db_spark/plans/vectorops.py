@@ -3472,3 +3472,113 @@ def q152_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return occ.groupBy(F.col("k_occ").alias("k_occurrences")).agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# q153: domain coherence audit — per-source MEAN PAIRWISE COSINE
+# without a pair join: for unit vectors, Σ_{i≠j} cos(x_i, x_j)
+# = ‖Σ x̂_i‖² − n (the Gram identity), so each domain's semantic
+# tightness — the number that says whether "source" is a coherent
+# topical bucket worth treating as a mixture component (q70/q131)
+# or an incoherent grab-bag — costs ONE component-sum shuffle
+# (q121's geometry), never the q30 pair grid.
+#
+# Exactness: vectors are unit-normalized THEN floor-quantized —
+# x̂q_d = ⌊x_d/‖x‖ · S1⌋ with ‖x‖ the q30-contract fixed-order
+# double norm, so the quantized integers are engine-identical; the
+# per-(source, dim) sums, their squares, and Σ‖x̂q‖² are exact
+# BIGINTs (bounds: |x̂q| ≤ S1, per-dim sum ≤ n·S1 — squares safe to
+# n ≈ 3e6 per source at S1=1e3, DECIMAL(38,0) beyond, documented);
+# the mean = (‖Σx̂q‖² − Σ‖x̂q‖²) / (n(n−1)·S1²) is ONE IEEE
+# division at the very end. The S1² denominator also absorbs the
+# quantization scale, so the output is directly a cosine in [−1, 1].
+_Q153_S1 = 1_000
+
+
+_Q153_XHAT = (
+    f"list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+    f"/ sqrt({_sql_dot('embedding', 'embedding')}) * {_Q153_S1}) "
+    "AS BIGINT))"
+)
+
+
+@query(
+    "q153_domain_coherence",
+    oracle=f"""
+WITH xq AS (
+  SELECT d.source, {_Q153_XHAT} AS xq
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+comp AS (
+  SELECT source, g.i AS dim, SUM(xq[g.i]) AS s
+  FROM xq, UNNEST(generate_series(1, {DIM})) AS g(i)
+  GROUP BY source, g.i
+),
+norms AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(list_reduce(list_transform(xq, x -> x * x),
+                         (acc, x) -> acc + x)) AS sum_norm2
+  FROM xq GROUP BY source
+),
+gram AS (
+  SELECT source, SUM(s * s) AS norm2_of_sum FROM comp GROUP BY source
+)
+SELECT n.source, n.n,
+       CAST(g.norm2_of_sum AS BIGINT) AS norm2_of_sum,
+       CAST(n.sum_norm2 AS BIGINT) AS sum_norm2,
+       CAST(g.norm2_of_sum - n.sum_norm2 AS DOUBLE)
+           / (CAST(n.n * (n.n - 1) AS DOUBLE)
+              * {_Q153_S1}.0 * {_Q153_S1}.0) AS mean_pairwise_cos
+FROM norms n JOIN gram g ON g.source = n.source
+""",
+)
+def q153_domain_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean pairwise cosine via the Gram identity — no
+    pair join (see section comment). Returns (source, n,
+    norm2_of_sum, sum_norm2, mean_pairwise_cos)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    base = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    ).select(
+        "source",
+        SIM.as_double(F.col("embedding")).alias("ev"),
+    )
+    xq = base.withColumn("nrm", SIM.norm(F.col("ev"))).select(
+        "source",
+        F.transform(
+            F.col("ev"),
+            lambda x: F.floor(x / F.col("nrm") * _Q153_S1).cast("long"),
+        ).alias("xq"),
+    )
+    comp = (
+        xq.select("source", F.posexplode("xq").alias("dim", "xd"))
+        .groupBy("source", "dim")
+        .agg(F.sum("xd").alias("s"))
+    )
+    gram = comp.groupBy("source").agg(
+        F.sum(F.col("s") * F.col("s")).alias("norm2_of_sum")
+    )
+    norms = xq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.aggregate(
+                F.transform(F.col("xq"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("sum_norm2"),
+    )
+    return norms.join(gram, "source").select(
+        "source",
+        "n",
+        F.col("norm2_of_sum").cast("long"),
+        F.col("sum_norm2").cast("long"),
+        (
+            (F.col("norm2_of_sum") - F.col("sum_norm2")).cast("double")
+            / (
+                (F.col("n") * (F.col("n") - 1)).cast("double")
+                * F.lit(float(_Q153_S1 * _Q153_S1))
+            )
+        ).alias("mean_pairwise_cos"),
+    )
