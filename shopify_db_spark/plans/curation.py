@@ -2266,3 +2266,105 @@ def q150_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("padding_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q154: corpus novelty curve — per ingestion-order decile, the
+# fraction of shingles never seen in any earlier document: the
+# "is more data from this stream still adding content?" curve that
+# decides when to stop crawling a source (novelty decays toward the
+# near-dup floor as a corpus saturates — the Heaps-law picture made
+# operational). Shingles are q26's 3-token windows (distinct per
+# doc); a shingle is NOVEL in the doc with the minimum doc_id that
+# contains it; deciles come from the q52 two-phase NTILE (no
+# single-partition window); per-decile novelty = Σ novel / Σ
+# shingles is ONE IEEE quotient of exact BIGINTs.
+#
+# Scale shape: one (shingle → min doc) shuffle over distinct
+# (doc, shingle) pairs, a shingle-keyed join back, one per-doc and
+# one per-decile partial-aggregated rollup. At 100 TB the min-doc
+# frame is the corpus shingle vocabulary — Zipf-bounded, and the
+# natural candidate for persistence across refreshes (q128's
+# settled-index pattern).
+_Q154_TILES = 10
+
+
+_Q154_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+),
+first_seen AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM shingles GROUP BY shingle
+),
+perdoc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM shingles s JOIN first_seen f ON f.shingle = s.shingle
+  GROUP BY s.doc_id
+),
+tiled AS (
+  SELECT doc_id, n_shingles, n_novel,
+         NTILE({_Q154_TILES}) OVER (ORDER BY doc_id) AS decile
+  FROM perdoc
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(SUM(n_novel) AS DOUBLE) / CAST(SUM(n_shingles) AS DOUBLE)
+           AS novelty_frac
+FROM tiled GROUP BY decile
+"""
+
+
+@query("q154_novelty_curve", oracle=_Q154_ORACLE)
+def q154_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile first-seen shingle fraction (see section comment).
+    Returns (decile, n_docs, n_shingles, n_novel, novelty_frac)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 1)), "
+                "i -> concat_ws(' ', slice(t, i, 3)))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    perdoc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    tiled = global_ntile(perdoc, ["doc_id"], _Q154_TILES, "decile")
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shingles").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            F.col("decile").cast("int"),
+            "n_docs",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty_frac"),
+        )
+    )

@@ -113,6 +113,7 @@ SINGLE_PARTITION_OK = {
     "q147_dedup_disagreement": (1, "final scalar agreement aggregate over partial aggs (one summary row)"),
     "q149_balanced_subsample": (3, "two-phase numbering offsets (#partitions rows) + #langs offset and 1-row min-count finals over partial aggs"),
     "q150_batch_padding": (2, "two independent two-phase numbering offset frames, #partitions rows each (q92's bound)"),
+    "q154_novelty_curve": (1, "two-phase NTILE offsets, #partitions rows (q52's bound)"),
 }
 
 
