@@ -1069,3 +1069,164 @@ def q144_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         return state["hist"]
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q155: streaming novelty estimation — q154's crawl-saturation
+# signal under a stream, with BOUNDED state: tracking exact
+# first-seen shingles needs the whole shingle vocabulary as state
+# (fine as a persisted batch index, q128; unacceptable inside a
+# stream), so the streaming tier estimates per-batch novelty from
+# the HLL register state instead — distinct-shingle estimate after
+# merging batch b, minus the estimate before it. State is 64
+# registers TOTAL (q130's sketch), per-batch work is batch-sized,
+# and the estimate delta is exactly the published use of HLL
+# mergeability for stream cardinality growth. Register sums are
+# exact BIGINTs (q130's shifted-indicator trick); the two estimates
+# and their difference are fixed-order IEEE expressions of those
+# exact integers, so the oracle — per-batch-prefix register sums
+# computed declaratively — hash-matches bit for bit.
+from shopify_db_spark.plans.textops import (
+    _Q130_M as _HLL_M,
+    _Q130_W as _HLL_W,
+)
+
+_Q155_EST = (
+    f"(709.0 * {_HLL_M}.0 * {_HLL_M}.0 "
+    f"* CAST(CAST(1 AS BIGINT) << {_HLL_W} AS DOUBLE)) "
+    "/ (1000.0 * CAST({col} AS DOUBLE))"
+)
+
+_Q155_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id % 3 AS batch_no,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                      ' ') AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT batch_no, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+),
+hashed AS (
+  SELECT batch_no,
+         ('0x' || substr(md5('hll:' || shingle), 1, 12))::BIGINT AS v
+  FROM shingles
+),
+regs AS (
+  SELECT b.batch_no, h.v % {_HLL_M} AS idx,
+         MAX(CASE WHEN h.v // {_HLL_M} = 0 THEN {_HLL_W}
+                  ELSE {_HLL_W} - LENGTH(bin(h.v // {_HLL_M})) END) AS rho
+  FROM (SELECT DISTINCT batch_no FROM hashed) b
+  JOIN hashed h ON h.batch_no <= b.batch_no
+  GROUP BY b.batch_no, h.v % {_HLL_M}
+),
+sums AS (
+  SELECT batch_no,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_W} - rho))
+              + ({_HLL_M} - COUNT(*))
+                * (CAST(1 AS BIGINT) << {_HLL_W}) AS BIGINT)
+             AS register_sum
+  FROM regs GROUP BY batch_no
+)
+SELECT CAST(s.batch_no AS BIGINT) AS batch_no,
+       s.register_sum,
+       {_Q155_EST.format(col='s.register_sum')} AS est_total,
+       {_Q155_EST.format(col='s.register_sum')}
+           - COALESCE({_Q155_EST.format(col='p.register_sum')}, 0.0)
+           AS est_new
+FROM sums s LEFT JOIN sums p ON p.batch_no = s.batch_no - 1
+"""
+
+
+@query("q155_streaming_novelty", oracle=_Q155_ORACLE)
+def q155_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming novelty estimation from HLL register deltas (see
+    section comment): three deterministic micro-batches
+    (doc_id % 3), per-batch shingle registers MAX-merged into 64
+    rows of state, per-batch distinct estimate + growth. Returns
+    (batch_no, register_sum, est_total, est_new)."""
+    from shopify_db_spark.plans.textops import (
+        hll_estimate,
+        hll_register_sum,
+        hll_registers,
+    )
+    from shopify_db_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 3).alias("batch_no")
+    )
+    stream_dir = _write_batch_files(docs, "batch_no", 3)
+    empty = spark.createDataFrame([], "idx long, rho int")
+    state = {"regs": empty, "out": []}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bno = batch_df.agg(F.min("batch_no")).collect()[0][0]
+        sh = (
+            batch_df.repartition(
+                spark.sparkContext.defaultParallelism, F.col("doc_id")
+            )
+            .select("doc_id", tokens(F.col("text")).alias("t"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(t) - 2, 1)), "
+                        "i -> concat_ws(' ', slice(t, i, 3)))"
+                    )
+                ).alias("term")
+            )
+            .distinct()
+        )
+        regs = hll_registers(sh, []).select(
+            "idx", F.col("rho").cast("int").alias("rho")
+        )
+        state["regs"] = (
+            state["regs"]
+            .unionByName(regs)
+            .groupBy("idx")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+        row = (
+            hll_register_sum(
+                state["regs"].withColumn("__g", F.lit(1)), ["__g"]
+            )
+            .select("register_sum")
+            .collect()[0]
+        )
+        state["out"].append((int(bno), int(row["register_sum"])))
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.createDataFrame(
+            state["out"], "batch_no long, register_sum long"
+        )
+        prev = out.select(
+            (F.col("batch_no") + 1).alias("batch_no"),
+            F.col("register_sum").alias("__prev_sum"),
+        )
+        est = hll_estimate
+        return out.join(prev, "batch_no", "left").select(
+            "batch_no",
+            "register_sum",
+            est(F.col("register_sum")).alias("est_total"),
+            (
+                est(F.col("register_sum"))
+                - F.coalesce(
+                    est(F.col("__prev_sum")), F.lit(0.0)
+                )
+            ).alias("est_new"),
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
