@@ -1857,3 +1857,123 @@ def q145_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("encoded_tokens").cast("double")
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q156: quality-ranked mixture allocation under a token budget —
+# the DECISION step the quality tier feeds: given per-source
+# lexical-quality profiles (q103's decile machinery rolled up per
+# source) and a corpus-wide token budget, allocate greedily from
+# the cleanest source down and cut off at the budget (the
+# "data-constrained mixing" decision — which sources ship whole,
+# which get truncated, which are dropped). The greedy order is the
+# per-source mean frequency decile — an IEEE quotient of two exact
+# BIGINTs, identical on both engines, with a source-name tie-break
+# — so the allocation trajectory is engine-portable. Budget = 40 %
+# of corpus tokens, computed exactly as (total · 2) // 5; the
+# cumulative cutoff and every allocation are exact BIGINT
+# arithmetic over the #sources-row frame.
+#
+# Scale shape: one token shuffle + vocab NTILE (q103's plan) into a
+# #sources-row rollup; the greedy window and the budget broadcast
+# act on that tiny frame — never the corpus.
+_Q156_NUM = 2  # budget = total * _Q156_NUM // _Q156_DEN
+_Q156_DEN = 5
+
+
+_Q156_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+       UNNEST(t) AS u(term)
+),
+tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY term
+),
+dec AS (
+  SELECT term, tf, NTILE(10) OVER (ORDER BY tf, term) AS freq_decile
+  FROM tf
+),
+persrc AS (
+  SELECT d2.source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(d.freq_decile) AS BIGINT) AS sum_decile
+  FROM toks t
+  JOIN dec d USING (term)
+  JOIN documents d2 ON d2.doc_id = t.doc_id
+  GROUP BY d2.source
+),
+budget AS (
+  SELECT SUM(n_tokens) * {_Q156_NUM} // {_Q156_DEN} AS b FROM persrc
+),
+ordered AS (
+  SELECT source, n_tokens, sum_decile,
+         CAST(sum_decile AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS quality,
+         COALESCE(SUM(n_tokens) OVER (
+             ORDER BY CAST(sum_decile AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 DESC, source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+  FROM persrc
+)
+SELECT o.source, o.n_tokens, o.quality,
+       CAST(o.cum_before AS BIGINT) AS cum_before,
+       CAST(CASE WHEN o.cum_before + o.n_tokens <= b.b THEN o.n_tokens
+                 WHEN o.cum_before >= b.b THEN 0
+                 ELSE b.b - o.cum_before END AS BIGINT) AS allocated_tokens
+FROM ordered o CROSS JOIN budget b
+"""
+
+
+@query("q156_budget_mixture", oracle=_Q156_ORACLE)
+def q156_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ranked token-budget allocation per source
+    (see section comment). Returns (source, n_tokens, quality,
+    cum_before, allocated_tokens)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    from shopify_db_spark.operators.numbering import global_ntile
+
+    dec = global_ntile(tf, ["tf", "term"], 10, col_name="freq_decile").select(
+        "term", "freq_decile"
+    )
+    persrc = (
+        toks.join(dec, "term")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("freq_decile").cast("long")).alias("sum_decile"),
+        )
+    )
+    budget = persrc.agg(
+        F.expr(
+            f"SUM(n_tokens) * {_Q156_NUM} DIV {_Q156_DEN}"
+        ).alias("b")
+    )
+    quality = F.col("sum_decile").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    w = (
+        Window.orderBy(F.desc("quality"), F.asc("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = persrc.withColumn("quality", quality).withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return ordered.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "n_tokens",
+        "quality",
+        F.col("cum_before").cast("long"),
+        F.expr(
+            "CAST(CASE WHEN cum_before + n_tokens <= b THEN n_tokens "
+            "WHEN cum_before >= b THEN 0 "
+            "ELSE b - cum_before END AS BIGINT)"
+        ).alias("allocated_tokens"),
+    )

@@ -47,6 +47,7 @@ CROSS_JOIN_OK = {
     "q151_bitext_mining",  # n x K broadcast centroid scoring (q101's assignment geometry; the pair join is cell-keyed)
     "q152_knn_hubness",  # n x K broadcast centroid scoring (q101's assignment geometry; the graph join is cell-keyed)
     "q149_balanced_subsample",  # 1-row min-count target broadcast applied per row (q134's normalizer idiom)
+    "q156_budget_mixture",  # 1-row budget broadcast applied to the #sources-row allocation frame
 }
 
 ALL = sorted(load_all())
@@ -114,6 +115,7 @@ SINGLE_PARTITION_OK = {
     "q149_balanced_subsample": (3, "two-phase numbering offsets (#partitions rows) + #langs offset and 1-row min-count finals over partial aggs"),
     "q150_batch_padding": (2, "two independent two-phase numbering offset frames, #partitions rows each (q92's bound)"),
     "q154_novelty_curve": (1, "two-phase NTILE offsets, #partitions rows (q52's bound)"),
+    "q156_budget_mixture": (3, "vocab NTILE offsets (#partitions rows) + 1-row budget final + partitionless greedy window over #sources rows (q70's bound)"),
 }
 
 
