@@ -735,3 +735,112 @@ def q93_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((micros - touch_micros) <= 86_400_000_000)
         ).alias("attributed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q157: robust per-type outlier profile — median/MAD instead of
+# mean/stddev (the profiling tier's q97 has moment statistics; a
+# heavy-tailed `value` column makes those useless for anomaly
+# gates, which is why monitoring pipelines standardize on the
+# median absolute deviation). Both statistics are EXACT ORDER
+# STATISTICS — the lower median element selected at rank
+# ⌊(n+1)/2⌋ — not interpolated averages, so no float arithmetic is
+# invented: the reported median/MAD are values that exist in the
+# data, selected identically by both engines (value ties broken on
+# event_id). The outlier rule |v − med| > 3·MAD is a deterministic
+# IEEE comparison. Ranks within each type come from the q149 trick:
+# the q08/q58 two-phase global numbering over (type, value, id)
+# range partitions minus each type's broadcast MIN rank — no
+# data-sized window partition at any scale (event types are few and
+# huge). Two passes by construction (MAD needs the median first) —
+# the honest cost of the statistic.
+@query(
+    "q157_robust_outliers",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, n, value AS median
+  FROM ranked WHERE r = (n + 1) // 2
+),
+dev AS (
+  SELECT e.event_id, e.event_type, ABS(e.value - m.median) AS ad
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+ranked2 AS (
+  SELECT event_type, ad,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ad ASC, event_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, ad AS mad FROM ranked2 WHERE r = (n + 1) // 2
+)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n, m.median, d2.mad,
+       CAST(SUM(CASE WHEN dv.ad > 3 * d2.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM med m
+JOIN mad d2 ON d2.event_type = m.event_type
+JOIN dev dv ON dv.event_type = m.event_type
+GROUP BY m.event_type, m.n, m.median, d2.mad
+""",
+)
+def q157_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier profile per event type (see section
+    comment). Returns (event_type, n, median, mad, n_outliers)."""
+    from shopify_db_spark.operators.numbering import global_row_numbers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def group_rank(df: DataFrame, val_col: str) -> DataFrame:
+        rn = global_row_numbers(
+            df, ["event_type", val_col, "event_id"], "__g"
+        )
+        offs = rn.groupBy("event_type").agg(
+            F.min("__g").alias("__o"), F.count(F.lit(1)).alias("n")
+        )
+        return rn.join(F.broadcast(offs), "event_type").withColumn(
+            "__r", F.col("__g") - F.col("__o") + 1
+        )
+
+    # med/mad are #types-row frames consumed by several downstream
+    # joins; checkpointing them stops the two-phase numbering
+    # lineage (offsets windows and persisted rank frames) from being
+    # replayed once per consumer (14 SinglePartition exchanges in
+    # the naive plan, 1 after truncation — the mmr_rerank idiom)
+    med = (
+        group_rank(ev, "value")
+        .filter(F.col("__r") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", "n", F.col("value").alias("median"))
+        .localCheckpoint()
+    )
+    dev = ev.join(F.broadcast(med.drop("n")), "event_type").select(
+        "event_id",
+        "event_type",
+        F.abs(F.col("value") - F.col("median")).alias("ad"),
+    )
+    mad = (
+        group_rank(dev, "ad")
+        .filter(F.col("__r") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("ad").alias("mad"))
+        .localCheckpoint()
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "n", "median", "mad")
+        .agg(
+            F.sum(
+                (F.col("ad") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers")
+        )
+        .select("event_type", "n", "median", "mad", "n_outliers")
+    )
