@@ -65,6 +65,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q155_streaming_novelty",  # new in round 9
     "q156_budget_mixture",  # new in round 9
     "q157_robust_outliers",  # new in round 9
+    "q158_decayed_engagement",  # new in round 9
     "q131_mixture_temperature",  # new in round 9
     "q132_hll_overlap",  # new in round 9
     "q128_refresh_dedup",  # new in round 9

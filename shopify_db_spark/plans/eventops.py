@@ -844,3 +844,66 @@ def q157_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "median", "mad", "n_outliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# q158: recency-decayed engagement scores — exponential time decay
+# with EXACT integer arithmetic: the standard score
+# Σ 2^(−age/half_life) is float-exponent territory, but flooring
+# the exponent to whole half-lives turns every weight into a right
+# SHIFT of the ppm unit — weight_ppm = 10⁶ >> (age_days DIV 7) —
+# so per-user scores are exact BIGINT sums at any scale and any
+# summation order (the q146 ppm discipline applied to decay).
+# age_days is calendar-date arithmetic on the NTZ timestamps
+# (tz-free on both engines); "now" is the corpus max date, so the
+# score is a pure function of the data. Shifts ≥ 40 half-lives are
+# clamped to 0 explicitly — Java's shift operand is mod-64, so an
+# unguarded 448-day-old event would wrap to weight 10⁶ (a real
+# footgun, guarded identically in both engines).
+#
+# Scale shape: a 1-row max-date broadcast, per-row weight
+# arithmetic, ONE user-keyed partial-aggregated shuffle (~1 row per
+# event in, #users rows out).
+@query(
+    "q158_decayed_engagement",
+    oracle="""
+WITH now_d AS (SELECT MAX(CAST(ts AS DATE)) AS nd FROM events),
+w AS (
+  SELECT e.user_id,
+         date_diff('day', CAST(e.ts AS DATE), n.nd) AS age_days,
+         CASE WHEN date_diff('day', CAST(e.ts AS DATE), n.nd) // 7 >= 40
+              THEN 0
+              ELSE 1000000 >> (date_diff('day', CAST(e.ts AS DATE), n.nd)
+                               // 7) END AS w_ppm
+  FROM events e CROSS JOIN now_d n
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w_ppm) AS BIGINT) AS decayed_ppm,
+       CAST(MIN(age_days) AS BIGINT) AS days_since_last
+FROM w GROUP BY user_id
+""",
+)
+def q158_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed per-user engagement (see section comment).
+    Returns (user_id, n_events, decayed_ppm, days_since_last)."""
+    ev = load_table(spark, sf_dir, "events")
+    now_d = ev.agg(F.max(F.col("ts").cast("date")).alias("nd"))
+    w = ev.crossJoin(F.broadcast(now_d)).select(
+        "user_id",
+        F.datediff(F.col("nd"), F.col("ts").cast("date")).alias(
+            "age_days"
+        ),
+    ).select(
+        "user_id",
+        "age_days",
+        F.expr(
+            "CASE WHEN age_days DIV 7 >= 40 THEN 0 "
+            "ELSE shiftright(1000000, CAST(age_days DIV 7 AS INT)) END"
+        ).alias("w_ppm"),
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("w_ppm").cast("long")).alias("decayed_ppm"),
+        F.min("age_days").cast("long").alias("days_since_last"),
+    )

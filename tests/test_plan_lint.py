@@ -48,6 +48,7 @@ CROSS_JOIN_OK = {
     "q152_knn_hubness",  # n x K broadcast centroid scoring (q101's assignment geometry; the graph join is cell-keyed)
     "q149_balanced_subsample",  # 1-row min-count target broadcast applied per row (q134's normalizer idiom)
     "q156_budget_mixture",  # 1-row budget broadcast applied to the #sources-row allocation frame
+    "q158_decayed_engagement",  # 1-row max-date broadcast applied per event (q134's normalizer idiom)
 }
 
 ALL = sorted(load_all())
@@ -116,6 +117,7 @@ SINGLE_PARTITION_OK = {
     "q150_batch_padding": (2, "two independent two-phase numbering offset frames, #partitions rows each (q92's bound)"),
     "q154_novelty_curve": (1, "two-phase NTILE offsets, #partitions rows (q52's bound)"),
     "q156_budget_mixture": (3, "vocab NTILE offsets (#partitions rows) + 1-row budget final + partitionless greedy window over #sources rows (q70's bound)"),
+    "q158_decayed_engagement": (1, "scalar max-date aggregate over partial aggs (one now row)"),
 }
 
 
