@@ -22,6 +22,8 @@ SUBSET = [
     "q16_json_extract",
     "q39_running_totals",
     "q44_asof_config",
+    "q157_robust_outliers",  # round-9: two-phase per-type ranking over the partitioned fact
+    "q158_decayed_engagement",  # round-9: max-date broadcast + shift weights over the partitioned fact
 ]
 
 
