@@ -3582,3 +3582,103 @@ def q153_domain_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mean_pairwise_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q159: k-NN graph recall gate — q112's recall-gate pattern applied
+# to the q152 graph substrate, but STRONGER: the IVF path here is
+# fully deterministic (no trained codebook), so the oracle computes
+# the recall DECLARATIVELY — exact brute-force top-k and IVF top-k
+# in SQL, intersected — instead of asserting a constant floor flag.
+# The number this emits (recall of the nprobe={NPROBE} cell-bounded
+# graph against exact top-{_Q152_K}) is the one a pipeline owner
+# reads before trusting every q152-graph consumer; measured on the
+# bounded QUERY_MOD slice (the q30/q112 convention).
+@query(
+    "q159_knn_recall_gate",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cosine('q.qv', 'c.embedding')}
+                                  DESC, c.vec_id ASC) AS rank
+    FROM q JOIN embeddings c ON c.vec_id != q.query_id
+  ) WHERE rank <= {_Q152_K}
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id, r FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                      c.centroid_id ASC) AS r
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE r <= {NPROBE}
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_sql_cosine('a.embedding',
+                                                    'c.embedding')} DESC,
+                                       c.vec_id ASC) AS rank
+    FROM assign a
+    JOIN (SELECT vec_id, embedding, centroid_id FROM assign WHERE r = 1) c
+      ON c.centroid_id = a.centroid_id AND c.vec_id != a.vec_id
+    WHERE a.vec_id % {QUERY_MOD} = 0
+  ) WHERE rank <= {_Q152_K}
+)
+SELECT CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS n_expected,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact e
+LEFT JOIN ivf i ON i.query_id = e.query_id
+                AND i.neighbor_id = e.neighbor_id
+""",
+)
+def q159_knn_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact declarative recall of the q152 IVF k-NN graph against
+    brute-force top-k on the query slice (see section comment).
+    Returns one row (n_queries, n_hits, n_expected, recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    exact = SIM.cosine_topk(queries, emb, k=_Q152_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = SIM.ivf_ann(queries, emb, centroids, k=_Q152_K, nprobe=NPROBE).select(
+        F.col("query_id").alias("__ivf_q"),
+        F.col("neighbor_id").alias("__ivf_n"),
+        F.lit(1).alias("__hit"),
+    )
+    j = exact.join(
+        ivf,
+        (F.col("query_id") == F.col("__ivf_q"))
+        & (F.col("neighbor_id") == F.col("__ivf_n")),
+        "left",
+    )
+    return j.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long")).alias(
+            "n_hits"
+        ),
+        F.count(F.lit(1)).alias("n_expected"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )

@@ -46,6 +46,7 @@ CROSS_JOIN_OK = {
     "q148_split_balance",  # n x K broadcast centroid scoring (q101's assignment geometry)
     "q151_bitext_mining",  # n x K broadcast centroid scoring (q101's assignment geometry; the pair join is cell-keyed)
     "q152_knn_hubness",  # n x K broadcast centroid scoring (q101's assignment geometry; the graph join is cell-keyed)
+    "q159_knn_recall_gate",  # n x K centroid scoring + the q30 baseline tier's gated broadcast (recall gates embed both paths by design)
     "q149_balanced_subsample",  # 1-row min-count target broadcast applied per row (q134's normalizer idiom)
     "q156_budget_mixture",  # 1-row budget broadcast applied to the #sources-row allocation frame
     "q158_decayed_engagement",  # 1-row max-date broadcast applied per event (q134's normalizer idiom)
@@ -118,6 +119,7 @@ SINGLE_PARTITION_OK = {
     "q154_novelty_curve": (1, "two-phase NTILE offsets, #partitions rows (q52's bound)"),
     "q156_budget_mixture": (3, "vocab NTILE offsets (#partitions rows) + 1-row budget final + partitionless greedy window over #sources rows (q70's bound)"),
     "q158_decayed_engagement": (1, "scalar max-date aggregate over partial aggs (one now row)"),
+    "q159_knn_recall_gate": (1, "final scalar recall aggregate over partial aggs (one verdict row, q112's bound)"),
 }
 
 
