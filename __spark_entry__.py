@@ -67,6 +67,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q157_robust_outliers",  # new in round 9
     "q158_decayed_engagement",  # new in round 9
     "q159_knn_recall_gate",  # new in round 9
+    "q160_streaming_engagement",  # new in round 9
     "q131_mixture_temperature",  # new in round 9
     "q132_hll_overlap",  # new in round 9
     "q128_refresh_dedup",  # new in round 9

@@ -1230,3 +1230,107 @@ def q155_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q160: streaming recency-decayed engagement — q158's scores
+# maintained incrementally (the q113→q114 batch/streaming twin
+# pattern: same output, same oracle): the decay reference ("now" =
+# corpus max date) is only known when the stream is drained, so the
+# maintainable state is NOT the score but the per-(user, day)
+# activity histogram — counts merge by ADDITION across batches
+# (bounded by users × active days, the standard activity-matrix
+# state), and the exact q158 weights are applied once at finalize
+# from the tracked max date. Bit-identical to the batch scores by
+# construction; the oracle IS q158's SQL.
+
+
+@query(
+    "q160_streaming_engagement",
+    oracle="""
+WITH now_d AS (SELECT MAX(CAST(ts AS DATE)) AS nd FROM events),
+w AS (
+  SELECT e.user_id,
+         date_diff('day', CAST(e.ts AS DATE), n.nd) AS age_days,
+         CASE WHEN date_diff('day', CAST(e.ts AS DATE), n.nd) // 7 >= 40
+              THEN 0
+              ELSE 1000000 >> (date_diff('day', CAST(e.ts AS DATE), n.nd)
+                               // 7) END AS w_ppm
+  FROM events e CROSS JOIN now_d n
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w_ppm) AS BIGINT) AS decayed_ppm,
+       CAST(MIN(age_days) AS BIGINT) AS days_since_last
+FROM w GROUP BY user_id
+""",
+)
+def q160_streaming_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of q158's decayed engagement (see
+    section comment): three deterministic micro-batches
+    (event_id % 3), per-(user, day) counts SUM-merged into state,
+    exact shift weights applied at finalize from the tracked max
+    date. Returns (user_id, n_events, decayed_ppm,
+    days_since_last) — q158's exact output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        (F.col("event_id") % 3).alias("batch_no"),
+    )
+    stream_dir = _write_batch_files(ev, "batch_no", 3)
+    empty = spark.createDataFrame([], "user_id long, d date, cnt long")
+    state = {"hist": empty, "max_d": None}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spread = batch_df.repartition(
+            spark.sparkContext.defaultParallelism, F.col("event_id")
+        )
+        hist = spread.groupBy("user_id", "d").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        bmax = spread.agg(F.max("d")).collect()[0][0]
+        if state["max_d"] is None or bmax > state["max_d"]:
+            state["max_d"] = bmax
+        state["hist"] = (
+            state["hist"]
+            .unionByName(hist)
+            .groupBy("user_id", "d")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+
+    try:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        now_d = F.lit(state["max_d"])
+        aged = state["hist"].select(
+            "user_id",
+            "cnt",
+            F.datediff(now_d, F.col("d")).alias("age_days"),
+        ).withColumn(
+            "w_ppm",
+            F.expr(
+                "CASE WHEN age_days DIV 7 >= 40 THEN 0 "
+                "ELSE shiftright(1000000, CAST(age_days DIV 7 AS INT)) END"
+            ),
+        )
+        return aged.groupBy("user_id").agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum(F.col("cnt") * F.col("w_ppm").cast("long")).alias(
+                "decayed_ppm"
+            ),
+            F.min("age_days").cast("long").alias("days_since_last"),
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
