@@ -112,3 +112,30 @@ def test_decayed_engagement_bounds(spark):
         assert 0 <= r["decayed_ppm"] <= r["n_events"] * 1_000_000
         if r["days_since_last"] < 7 * 40:
             assert r["decayed_ppm"] > 0
+
+
+def test_streaming_engagement_equals_batch(spark):
+    """The q158→q160 twin contract, asserted directly: the streaming
+    maintenance must reproduce the batch scores row for row (both
+    are also oracle-checked against the same SQL; this pins the
+    equivalence inside the test suite too)."""
+    qs = load_all()
+    batch = {
+        r["user_id"]: (r["n_events"], r["decayed_ppm"], r["days_since_last"])
+        for r in qs["q158_decayed_engagement"].fn(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_events"], r["decayed_ppm"], r["days_since_last"])
+        for r in qs["q160_streaming_engagement"].fn(spark, SF_SMOKE).collect()
+    }
+    assert batch == stream
+
+
+def test_knn_recall_gate_is_consistent(spark):
+    """q159's counts must be internally consistent and the recall
+    meaningfully above zero on the smoke corpus (nprobe=2 cells
+    genuinely contain most true neighbors there)."""
+    row = load_all()["q159_knn_recall_gate"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["n_hits"] <= row["n_expected"]
+    assert abs(row["recall"] - row["n_hits"] / row["n_expected"]) < 1e-12
+    assert row["recall"] > 0.3
