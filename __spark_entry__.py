@@ -33,63 +33,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Queries surfaced FIRST in registration order so an order-sensitive
 #: 50-query driver sampler reaches them; harmless if the sample is
 #: uniform. Remove entries as CORRECTNESS_r{N}.json covers them.
-#: Round-9 contents (per the r8 verdict): the r8 additions all went
-#: green in CORRECTNESS_r08, so the list rotates to the STALE set —
-#: queries whose newest driver pass is round 1, four of which
-#: (q30/q31/q32/q38) sit on `operators/similarity.py`, substantially
-#: restructured in rounds 7–8 after that evidence — plus the four new
-#: round-9 queries.
+#: Round-10 contents (per the r9 verdict): the two r9 driver-RED
+#: rows first — q121/q124 failed the r9 hash check on
+#: engine-version-sensitive float quantization, now rewritten to
+#: version-proof exact math (power-of-two scale / pure-integer
+#: division) and needing re-certification — then the 14 queries
+#: whose newest driver pass is still round 1 (q02–q13/q17/q18,
+#: CORRECTNESS_r01), then this round's other exact-math-hardened
+#: queries (q122/q129/q142/q143 scale changes, q158/q160 shift
+#: clamp) whose outputs changed with their oracles. The 41 green
+#: round-9 additions rotate out.
 _NEVER_DRIVER_SAMPLED = [
-    "q133_streaming_hll",  # new in round 9
-    "q134_source_keywords",  # new in round 9
-    "q136_split_leakage",  # new in round 9
-    "q137_cluster_split",  # new in round 9
-    "q135_mmr_rerank",  # new in round 9
-    "q138_mmr_ivf",  # new in round 9
-    "q139_length_quantile_sketch",  # new in round 9
-    "q140_target_affinity",  # new in round 9
-    "q141_kcenter_coreset",  # new in round 9
-    "q142_principal_direction",  # new in round 9
-    "q143_common_removal",  # new in round 9
-    "q144_streaming_histogram",  # new in round 9
-    "q145_tokenizer_fertility",  # new in round 9
-    "q146_soft_dedup_weights",  # new in round 9
-    "q147_dedup_disagreement",  # new in round 9
-    "q148_split_balance",  # new in round 9
-    "q149_balanced_subsample",  # new in round 9
-    "q150_batch_padding",  # new in round 9
-    "q151_bitext_mining",  # new in round 9
-    "q152_knn_hubness",  # new in round 9
-    "q153_domain_coherence",  # new in round 9
-    "q154_novelty_curve",  # new in round 9
-    "q155_streaming_novelty",  # new in round 9
-    "q156_budget_mixture",  # new in round 9
-    "q157_robust_outliers",  # new in round 9
-    "q158_decayed_engagement",  # new in round 9
-    "q159_knn_recall_gate",  # new in round 9
-    "q160_streaming_engagement",  # new in round 9
-    "q131_mixture_temperature",  # new in round 9
-    "q132_hll_overlap",  # new in round 9
-    "q128_refresh_dedup",  # new in round 9
-    "q129_domain_outliers",  # new in round 9
-    "q130_hll_distinct",  # new in round 9
-    "q122_centroid_classify",  # new in round 9
-    "q123_snapshot_diff",  # new in round 9
-    "q124_source_drift",  # new in round 9
-    "q125_canonical_corpus",  # new in round 9
-    "q126_knn_label_infer",  # new in round 9
-    "q127_ivf_label_infer",  # new in round 9
-    "q118_image_phash_dedup",  # new in round 9
-    "q119_balanced_clusters",  # new in round 9
-    "q120_curriculum_sample",  # new in round 9
-    "q121_domain_centroids",  # new in round 9
-    "q30_cosine_topk",  # r1-stale; similarity.py rebuilt r7-r8
-    "q31_lsh_ann",  # r1-stale; similarity.py rebuilt r7-r8
-    "q32_embedding_dedup",  # r1-stale; similarity.py rebuilt r7-r8
-    "q38_ivf_ann",  # r1-stale; similarity.py rebuilt r7-r8
-    "q39_running_totals",  # r1-stale
-    "q46_priority_pivot",  # r1-stale
-    "q01_pricing_summary",  # r1-stale
+    "q121_domain_centroids",  # r9 driver RED; quantization now 2^20-exact
+    "q124_source_drift",  # r9 driver RED; summand now pure-integer
     "q02_top_order_per_customer",  # r1-stale
     "q03_regional_revenue",  # r1-stale
     "q04_union_distinct_branches",  # r1-stale
@@ -104,6 +60,12 @@ _NEVER_DRIVER_SAMPLED = [
     "q13_revenue_rollup",  # r1-stale
     "q17_topk_per_group",  # r1-stale
     "q18_semi_anti_joins",  # r1-stale
+    "q122_centroid_classify",  # r10 exact-math hardening (scale 2^20)
+    "q129_domain_outliers",  # r10 exact-math hardening (scale 2^20)
+    "q142_principal_direction",  # r10 hardening (2^10 scale, wide renorm)
+    "q143_common_removal",  # r10 hardening (2^10 scale, wide renorm)
+    "q158_decayed_engagement",  # r10 shift-clamp fix (advice finding)
+    "q160_streaming_engagement",  # r10 shift-clamp fix (advice finding)
 ]
 
 

@@ -1228,12 +1228,23 @@ def q123_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contribute exactly p_t (resp. q_t), and Σ_only-a p = 1 − Σ_shared p,
 # so the whole metric reduces to 2 + Σ_shared [(p−q)²/(p+q) − p − q]
 # — an INNER join over the shared vocabulary suffices; no full-outer
-# pair expansion. p and q are IEEE quotients of exact BIGINT counts,
-# every subsequent +,−,×,÷ is a deterministic double op written with
-# identical association on both engines, and the per-term value is
-# floor-scaled to a BIGINT so the final SUM is exact and
-# order-independent. Each per-term summand is ≤ 0 and ≥ −2, so the
-# scaled sum is bounded by ±2·SCALE·|V∩| — no overflow.
+# pair expansion. The per-term summand then reduces ALGEBRAICALLY to
+# an integer rational: with p = ca/na, q = cb/nb,
+#     (p−q)²/(p+q) − p − q = ((p−q)² − (p+q)²)/(p+q)
+#                          = −4pq/(p+q) = −4·ca·cb/(ca·nb + cb·na),
+# so ws = ⌊−4·SCALE·ca·cb/(ca·nb + cb·na)⌋ is PURE INTEGER floor
+# division — computed as −⌈N/D⌉ = −((N + D − 1) div D) on positive
+# N, D so truncating and flooring division agree on every engine.
+# No doubles anywhere: the round-9 double pipeline floored the LAST
+# representable digit of a binary64 at SCALE = 1e15, so a 1-ulp
+# reassociation difference between engine versions flipped floors
+# (the round-9 q124 driver red). The reduction is bit-identical on
+# any engine at any version, and cheaper. Intermediates ride
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): N = 4·SCALE·ca·cb needs
+# ~2·log10(count) + 15.6 digits — safe past 1e11-token sources.
+# Each per-term summand is ≤ 0 and ≥ −2·SCALE, and Σ_shared (p+q)
+# ≤ 2, so the scaled sum is bounded by ±(2·SCALE + |V∩|) — the
+# BIGINT output never overflows regardless of vocabulary size.
 #
 # Scale shape: one token shuffle for (source, term) counts, a
 # term-keyed self-join whose expansion is O(V·S²) — S (#sources,
@@ -1241,7 +1252,7 @@ def q123_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the S-row totals frame broadcast, and a #pairs-sized rollup.
 # Disjoint-vocabulary pairs are absent from the output (their chi²
 # is exactly 2·SCALE); the oracle computes the same.
-_Q124_SCALE = 1_000_000_000_000_000  # 1e15; summands in [-2, 0]
+_Q124_SCALE = 1_000_000_000_000_000  # 1e15; summands in [-2·SCALE, 0]
 
 _Q124_ORACLE = f"""
 WITH toks AS (
@@ -1256,22 +1267,18 @@ c AS (
 n AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY source
 ),
-shared AS (
+w AS (
   SELECT a.source AS source_a, b.source AS source_b,
-         CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE) AS p,
-         CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE) AS q
+         -((4::HUGEINT * {_Q124_SCALE} * a.c * b.c
+            + (a.c::HUGEINT * nb.n + b.c::HUGEINT * na.n) - 1)
+           // (a.c::HUGEINT * nb.n + b.c::HUGEINT * na.n)) AS ws
   FROM c a JOIN c b ON a.term = b.term AND a.source < b.source
   JOIN n na ON na.source = a.source
   JOIN n nb ON nb.source = b.source
-),
-w AS (
-  SELECT source_a, source_b,
-         CAST(FLOOR(((((p - q) * (p - q)) / (p + q)) - p - q)
-             * {_Q124_SCALE}.0) AS BIGINT) AS ws
-  FROM shared
 )
 SELECT source_a, source_b,
-       CAST(2 * {_Q124_SCALE} AS BIGINT) + SUM(ws) AS chi2_scaled,
+       CAST(CAST(2 * {_Q124_SCALE} AS HUGEINT) + SUM(ws) AS BIGINT)
+           AS chi2_scaled,
        CAST(COUNT(*) AS BIGINT) AS n_shared_terms
 FROM w GROUP BY source_a, source_b
 """
@@ -1282,7 +1289,8 @@ def distribution_drift(
 ) -> DataFrame:
     """Pairwise chi-squared distance between the unigram token
     distributions of every ``group_col`` pair — see the q124 section
-    comment for the exact-math reduction to the shared vocabulary.
+    comment for the exact-math reduction to the shared vocabulary
+    and the pure-integer per-term summand −4·SCALE·ca·cb/(ca·nb+cb·na).
     Returns (source_a, source_b, chi2_scaled, n_shared_terms) with
     chi2_scaled = floor-scaled chi² in units of 1/_Q124_SCALE."""
     toks = docs.select(
@@ -1324,10 +1332,17 @@ def distribution_drift(
             "source_b",
         )
     )
-    p = F.col("ca").cast("double") / F.col("na").cast("double")
-    q = F.col("cb").cast("double") / F.col("nb").cast("double")
-    v = ((p - q) * (p - q)) / (p + q)
-    ws = F.floor((v - p - q) * F.lit(float(_Q124_SCALE))).cast("long")
+    # pure-integer floor division (section comment): ⌊−N/D⌋ with
+    # N = 4·SCALE·ca·cb and D = ca·nb + cb·na both positive is
+    # −⌈N/D⌉ = −((N + D − 1) DIV D); DECIMAL(38,0) intermediates,
+    # BIGINT result (|ws| ≤ 2·SCALE)
+    ws = F.expr(
+        f"CAST(-((CAST(4 AS DECIMAL(38,0)) * {_Q124_SCALE} * ca * cb"
+        "  + (CAST(ca AS DECIMAL(38,0)) * nb"
+        "     + CAST(cb AS DECIMAL(38,0)) * na) - 1)"
+        " DIV (CAST(ca AS DECIMAL(38,0)) * nb"
+        "      + CAST(cb AS DECIMAL(38,0)) * na)) AS BIGINT)"
+    )
     return (
         shared.select("source_a", "source_b", ws.alias("ws"))
         .groupBy("source_a", "source_b")

@@ -856,10 +856,15 @@ def q157_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summation order (the q146 ppm discipline applied to decay).
 # age_days is calendar-date arithmetic on the NTZ timestamps
 # (tz-free on both engines); "now" is the corpus max date, so the
-# score is a pure function of the data. Shifts ≥ 40 half-lives are
-# clamped to 0 explicitly — Java's shift operand is mod-64, so an
-# unguarded 448-day-old event would wrap to weight 10⁶ (a real
-# footgun, guarded identically in both engines).
+# score is a pure function of the data. Shifts ≥ 20 half-lives are
+# clamped to 0 explicitly: 10⁶ < 2²⁰, so the weight is already
+# exactly 0 there — and the clamp must sit at 20, not at the shift
+# operand's wrap point, because Spark's shiftright wraps the shift
+# amount mod the BASE WIDTH (mod-32 for an int-typed 1000000: an
+# unguarded 224-day-old event shifts by 32 ≡ 0 and wraps back to
+# weight 10⁶ — the round-9 advice finding). The base is also cast
+# to BIGINT so even the 20–63 range is well-defined; both guards
+# applied identically in engine and oracle.
 #
 # Scale shape: a 1-row max-date broadcast, per-row weight
 # arithmetic, ONE user-keyed partial-aggregated shuffle (~1 row per
@@ -871,10 +876,11 @@ WITH now_d AS (SELECT MAX(CAST(ts AS DATE)) AS nd FROM events),
 w AS (
   SELECT e.user_id,
          date_diff('day', CAST(e.ts AS DATE), n.nd) AS age_days,
-         CASE WHEN date_diff('day', CAST(e.ts AS DATE), n.nd) // 7 >= 40
+         CASE WHEN date_diff('day', CAST(e.ts AS DATE), n.nd) // 7 >= 20
               THEN 0
-              ELSE 1000000 >> (date_diff('day', CAST(e.ts AS DATE), n.nd)
-                               // 7) END AS w_ppm
+              ELSE CAST(1000000 AS BIGINT)
+                   >> (date_diff('day', CAST(e.ts AS DATE), n.nd)
+                       // 7) END AS w_ppm
   FROM events e CROSS JOIN now_d n
 )
 SELECT user_id,
@@ -898,8 +904,9 @@ def q158_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "age_days",
         F.expr(
-            "CASE WHEN age_days DIV 7 >= 40 THEN 0 "
-            "ELSE shiftright(1000000, CAST(age_days DIV 7 AS INT)) END"
+            "CASE WHEN age_days DIV 7 >= 20 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftright(CAST(1000000 AS BIGINT), "
+            "CAST(age_days DIV 7 AS INT)) END"
         ).alias("w_ppm"),
     )
     return w.groupBy("user_id").agg(

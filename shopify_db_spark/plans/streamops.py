@@ -1252,10 +1252,11 @@ WITH now_d AS (SELECT MAX(CAST(ts AS DATE)) AS nd FROM events),
 w AS (
   SELECT e.user_id,
          date_diff('day', CAST(e.ts AS DATE), n.nd) AS age_days,
-         CASE WHEN date_diff('day', CAST(e.ts AS DATE), n.nd) // 7 >= 40
+         CASE WHEN date_diff('day', CAST(e.ts AS DATE), n.nd) // 7 >= 20
               THEN 0
-              ELSE 1000000 >> (date_diff('day', CAST(e.ts AS DATE), n.nd)
-                               // 7) END AS w_ppm
+              ELSE CAST(1000000 AS BIGINT)
+                   >> (date_diff('day', CAST(e.ts AS DATE), n.nd)
+                       // 7) END AS w_ppm
   FROM events e CROSS JOIN now_d n
 )
 SELECT user_id,
@@ -1320,9 +1321,13 @@ def q160_streaming_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(now_d, F.col("d")).alias("age_days"),
         ).withColumn(
             "w_ppm",
+            # clamp at 20 (10⁶ < 2²⁰ ⇒ weight exactly 0) and BIGINT
+            # base — Spark wraps the shift amount mod the base width,
+            # so an int base wraps at 32 (q158 section comment)
             F.expr(
-                "CASE WHEN age_days DIV 7 >= 40 THEN 0 "
-                "ELSE shiftright(1000000, CAST(age_days DIV 7 AS INT)) END"
+                "CASE WHEN age_days DIV 7 >= 20 THEN CAST(0 AS BIGINT) "
+                "ELSE shiftright(CAST(1000000 AS BIGINT), "
+                "CAST(age_days DIV 7 AS INT)) END"
             ),
         )
         return aged.groupBy("user_id").agg(

@@ -285,7 +285,7 @@ FROM ranked WHERE rank <= 5
 """,
 )
 def q101_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q38's IVF ANN with multi-probe (nprobe={NPROBE}): each query
+    """q38's IVF ANN with multi-probe (nprobe=2): each query
     probes its 2 best cells, curing the nprobe=1 recall cliff at cell
     boundaries for 2× the candidate-join volume (candidates still
     live in exactly one cell, so no pair dedup is needed). Measured
@@ -1788,16 +1788,23 @@ def q120_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction weigh DOMAINS (source/lang buckets) by where their
 # mass sits in embedding space, which needs per-domain component
 # sums at corpus scale. Components are FLOOR-scaled to integers
-# (floor(x·10⁶) — floor is unambiguous in every engine, unlike
-# round-half ties) so the grouped sums are EXACT BIGINTs: no
-# float-summation order dependence between partitionings or engines,
-# the same portability trick as the integer dot products in
-# sparse_cosine_topk. Long format (source, dim, comp_sum, n_vecs)
+# with a POWER-OF-TWO scale (floor(x·2²⁰) — floor is unambiguous in
+# every engine, unlike round-half ties) so the grouped sums are
+# EXACT BIGINTs with no float-summation order dependence AND no
+# IEEE-reproducibility assumption: multiplying a float32 value by
+# 2²⁰ only shifts its exponent, so the product is exactly
+# representable at float32 precision and above — every engine and
+# version computes the identical integer whether it folds the cast,
+# multiplies at float precision before widening, or fuses the tree.
+# (A 10^k scale is NOT version-proof: the r9 driver ran a DuckDB
+# build whose float→double→·10⁶ evaluation flipped floors that sat
+# 3.3e-6 from an integer — the round-9 q121 red.)
+# Long format (source, dim, comp_sum, n_vecs)
 # keeps the declared output scalar (catalog lint) and the oracle a
 # plain UNNEST-with-ordinality aggregate. Scale shape: ONE shuffle —
 # posexplode is map-side, the (source, dim) hash aggregate gets full
 # partial aggregation, output is #domains × dim rows.
-_Q121_SCALE = 1_000_000
+_Q121_SCALE = 1 << 20  # power of two: exact for float32 inputs (see above)
 
 
 @query(
@@ -1875,7 +1882,7 @@ def q121_domain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``min_by`` groupBy — partial-aggregated, so the shuffle moves ~one
 # row per doc, not #domains rows per doc. Confusion rollup is
 # #domains²-sized.
-_Q122_SCALE = 1_000_000
+_Q122_SCALE = 1 << 20  # power of two: exact for float32 inputs (q121 rationale)
 
 
 _Q122_ORACLE = f"""
@@ -2150,7 +2157,7 @@ held_assign AS (
 @query("q127_ivf_label_infer", oracle=_Q127_ORACLE)
 def q127_ivf_label_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q126's production tier: the same 5-NN majority vote over IVF
-    nprobe={_Q127_NPROBE} candidates (q101's cell-bounded equi-join)
+    nprobe=2 candidates (q101's cell-bounded equi-join)
     instead of the corpus² pair grid. Returns (vec_id, true_label,
     pred_label, n_votes, correct)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2532,7 +2539,7 @@ cand AS (
 
 @query("q138_mmr_ivf", oracle=_q138_oracle())
 def q138_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q135's MMR diversification over q101's IVF nprobe={NPROBE}
+    """q135's MMR diversification over q101's IVF nprobe=2
     candidates — shared `mmr_rerank` schedule, cell-bounded
     candidate generation. Returns (query_id, neighbor_id, score,
     mmr_rank)."""
@@ -2705,17 +2712,22 @@ def q141_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Exact integer math END TO END — the float-sum order dependence
 # that makes distributed PCA non-reproducible is exactly what this
-# construction eliminates: embeddings floor-quantize to S1=1e3
-# (the q104/q121 discipline; the result is the exact principal
-# direction OF THE QUANTIZED data), every dot/product/sum is BIGINT
-# (documented bounds: dot ≤ DIM·S1²·0.6 ≈ 4e7, per-dim sum ≤
-# N·2.1e10 — safe to N ≈ 4e8 vectors, two-level rescaling beyond),
-# and the per-round renormalization is an explicit floor division
-# (w·S2 − nonneg_mod(w·S2, m)) / m — pmod on Spark, ((a%b)+b)%b on
-# DuckDB — avoiding the engines' divergent negative-division
-# conventions. The Rayleigh mass fraction λ/(|v|²·trace) is
-# accumulated in DECIMAL(38,0)/HUGEINT (dot² sums exceed BIGINT at
-# ~20k vectors) and cast to DOUBLE once at the end: one IEEE
+# construction eliminates: embeddings floor-quantize to S1=2¹⁰, a
+# POWER OF TWO so the float32·S1 product only shifts the exponent
+# and every engine/version floors the identical integer (the q121
+# rationale; the result is the exact principal direction OF THE
+# QUANTIZED data), every dot/product/sum is BIGINT (documented
+# bounds: dot ≤ DIM·S1²·0.6 ≈ 4e7, per-dim renorm input w ≤
+# N·xd·dot ≈ N·2.2e10), and the per-round renormalization is an
+# explicit floor division (w·S2 − nonneg_mod(w·S2, m)) / m — pmod
+# on Spark, ((a%b)+b)%b on DuckDB — avoiding the engines' divergent
+# negative-division conventions, with the w·S2 product ridden on
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB's SUM is already 128-bit)
+# so the renormalization never wraps: int64 would overflow the
+# ·S2 step at N ≈ 4e5 vectors (round-9 advice finding); the widened
+# path is safe to N ≈ 1e24. The Rayleigh mass fraction λ/(|v|²·trace)
+# is accumulated in DECIMAL(38,0)/HUGEINT (dot² sums exceed BIGINT
+# at ~20k vectors) and cast to DOUBLE once at the end: one IEEE
 # division of exactly-equal integers on both engines.
 #
 # Scale shape: each round is ONE linear pass — a map-side broadcast
@@ -2724,7 +2736,7 @@ def q141_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition; the renormalization happens on a DIM-row frame. Power
 # iteration at 100 TB is R passes over the data by construction —
 # the declarative plan inherits exactly that cost.
-_Q142_S1 = 1_000  # embedding quantization scale
+_Q142_S1 = 1 << 10  # embedding quantization scale (power of two: exact)
 _Q142_S2 = 1_000  # iterate normalization scale (max-abs)
 _Q142_R = 4  # Von Mises rounds
 
@@ -2844,8 +2856,9 @@ def power_iteration_direction(
             )
             .select(
                 F.expr(
-                    f"transform(wa, x -> (x * {_Q142_S2} "
-                    f"- pmod(x * {_Q142_S2}, m)) DIV m)"
+                    f"transform(wa, x -> CAST((CAST(x AS DECIMAL(38,0))"
+                    f" * {_Q142_S2} - pmod(CAST(x AS DECIMAL(38,0))"
+                    f" * {_Q142_S2}, m)) DIV m AS BIGINT))"
                 ).alias("v")
             )
             .localCheckpoint()
@@ -3018,8 +3031,9 @@ def remove_common_component(
             )
             .select(
                 F.expr(
-                    f"transform(wa, x -> (x * {_Q142_S2} "
-                    f"- pmod(x * {_Q142_S2}, m)) DIV m)"
+                    f"transform(wa, x -> CAST((CAST(x AS DECIMAL(38,0))"
+                    f" * {_Q142_S2} - pmod(CAST(x AS DECIMAL(38,0))"
+                    f" * {_Q142_S2}, m)) DIV m AS BIGINT))"
                 ).alias("v")
             )
             .localCheckpoint()
@@ -3485,14 +3499,19 @@ def q152_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Exactness: vectors are unit-normalized THEN floor-quantized —
 # x̂q_d = ⌊x_d/‖x‖ · S1⌋ with ‖x‖ the q30-contract fixed-order
-# double norm, so the quantized integers are engine-identical; the
+# double norm and S1 = 2¹⁰ a POWER OF TWO (the final multiply only
+# shifts the quotient's exponent — exact at any precision, the q121
+# rationale), so the quantized integers are engine-identical as
+# long as the engine computes the dot/sqrt/divide tree in binary64
+# with IEEE correctly-rounded ops — a weaker assumption than 10^k
+# scaling needed (which also bet on the multiply's rounding). The
 # per-(source, dim) sums, their squares, and Σ‖x̂q‖² are exact
 # BIGINTs (bounds: |x̂q| ≤ S1, per-dim sum ≤ n·S1 — squares safe to
-# n ≈ 3e6 per source at S1=1e3, DECIMAL(38,0) beyond, documented);
+# n ≈ 3e6 per source at S1=2¹⁰, DECIMAL(38,0) beyond, documented);
 # the mean = (‖Σx̂q‖² − Σ‖x̂q‖²) / (n(n−1)·S1²) is ONE IEEE
 # division at the very end. The S1² denominator also absorbs the
 # quantization scale, so the output is directly a cosine in [−1, 1].
-_Q153_S1 = 1_000
+_Q153_S1 = 1 << 10
 
 
 _Q153_XHAT = (
@@ -3590,8 +3609,8 @@ def q153_domain_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fully deterministic (no trained codebook), so the oracle computes
 # the recall DECLARATIVELY — exact brute-force top-k and IVF top-k
 # in SQL, intersected — instead of asserting a constant floor flag.
-# The number this emits (recall of the nprobe={NPROBE} cell-bounded
-# graph against exact top-{_Q152_K}) is the one a pipeline owner
+# The number this emits (recall of the nprobe=2 cell-bounded
+# graph against exact top-5) is the one a pipeline owner
 # reads before trusting every q152-graph consumer; measured on the
 # bounded QUERY_MOD slice (the q30/q112 convention).
 @query(

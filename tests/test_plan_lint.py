@@ -191,3 +191,66 @@ def test_q20_mapping_layer_is_cached(spark):
         "q20 no longer reads the mapping layer from cache — "
         "commerce_tables_from_benchmark(cache=...) regressed"
     )
+
+
+def test_floor_scale_sites_are_version_proof():
+    """Round-9 lesson (the q121/q124 driver reds): ``floor(x·SCALE)``
+    on float-derived x is only honestly "exact BIGINT" if the scaled
+    product is exactly representable at EVERY precision an engine
+    version might evaluate it at. Power-of-two scales are (the
+    multiply only shifts the binary exponent); 10^k scales bet on
+    IEEE-reproducible evaluation (constant folding / float-precision
+    multiply before widening flips floors — the r9 reds sat 3.3e-6
+    from an integer). This lint scans every floor-with-scale window
+    in ``plans/`` and requires the resolved scale constant to be a
+    power of two, or the site to carry an allowlist entry HERE with
+    a written exactness argument.
+
+    Allowlisted non-power-of-two scales:
+
+    - ``curation._Q131_WSCALE`` (q131 sqrt-weights): the floored
+      quantity is sqrt(n_tokens)·1e6 where n_tokens is an exact
+      integer-valued binary64 — no float32 anywhere in the tree, and
+      sqrt/multiply are IEEE correctly-rounded binary64 ops, so every
+      conformant engine computes the identical double; magnitude
+      ≤ 1e6·sqrt(1e12) = 1e12 keeps the product far below the 2^53
+      integer boundary.
+    """
+    import importlib
+    import pathlib
+    import re
+
+    plans_dir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "shopify_db_spark"
+        / "plans"
+    )
+    allow = {("curation", "_Q131_WSCALE")}
+    floor_re = re.compile(r"(?i)floor\(")
+    tok_re = re.compile(r"\{?(_Q\w*?(?:SCALE|WSCALE|S1|S2))\}?")
+    lit_re = re.compile(r"\*\s*(1(?:_?0){3,}|10\s*\*\*\s*\d+|\d+e\d+)")
+    problems = []
+    for f in sorted(plans_dir.glob("*.py")):
+        mod = importlib.import_module(f"shopify_db_spark.plans.{f.stem}")
+        lines = f.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not floor_re.search(line):
+                continue
+            window = " ".join(lines[i : i + 3])
+            for m in lit_re.finditer(window):
+                problems.append(
+                    f"{f.name}:{i + 1}: raw 10^k literal "
+                    f"{m.group(1)} inside a floor() window"
+                )
+            for name in set(tok_re.findall(window)):
+                val = getattr(mod, name, None)
+                if not isinstance(val, int):
+                    continue
+                is_pow2 = val > 0 and (val & (val - 1)) == 0
+                if not is_pow2 and (f.stem, name) not in allow:
+                    problems.append(
+                        f"{f.name}:{i + 1}: floor() scaled by "
+                        f"{name}={val} — not a power of two and not "
+                        "allowlisted with an exactness argument"
+                    )
+    assert not problems, "\n".join(problems)

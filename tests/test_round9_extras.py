@@ -105,12 +105,13 @@ def test_budget_mixture_respects_budget_exactly(spark):
 
 def test_decayed_engagement_bounds(spark):
     """Every user's decayed score is bounded by n_events · 10⁶ and
-    positive for any user active within the clamp horizon."""
+    positive for any user active within the clamp horizon (20
+    half-lives — 10⁶ < 2²⁰ so the weight is exactly 0 beyond)."""
     rows = load_all()["q158_decayed_engagement"].fn(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert 0 <= r["decayed_ppm"] <= r["n_events"] * 1_000_000
-        if r["days_since_last"] < 7 * 40:
+        if r["days_since_last"] < 7 * 20:
             assert r["decayed_ppm"] > 0
 
 
