@@ -639,7 +639,19 @@ def ivf_assign(
     The centroid table broadcasts (it is tiny by construction); the
     assignment is the standard IVF n×K scoring pass. ``n_best > 1``
     is the query-side multi-probe used by :func:`ivf_ann`'s
-    ``nprobe``."""
+    ``nprobe``.
+
+    Shuffle discipline (round 10): the broadcast expansion is
+    map-side, so the only shuffle is the per-vector argmax — and for
+    ``n_best == 1`` (the common case) it must NOT carry the N×K
+    candidate rows with their ~520-byte vector arrays through a rank
+    window: a partial-aggregating ``min_by`` pre-reduces each task's
+    candidates, so the exchange moves ~ONE slim row per vector
+    (K-fold fewer rows AND no window sort). ``n_best > 1`` keeps the
+    original rank window carrying (v, vn) — a join-back variant was
+    tried and REVERTED: multi-probe consumers (q138's MMR loop)
+    re-derive the assignment lazily per round, and the extra join
+    re-executed per derivation (measured 2.5 s → 130 s on q138)."""
     v = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
@@ -655,11 +667,27 @@ def ivf_assign(
             F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")
         ).alias("c_cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("centroid_id")
-    )
     cols = ["vec_id", "v", "vn", "centroid_id"] + (
         ["c_cos"] if keep_score else []
+    )
+    if n_best == 1:
+        best = scored.groupBy("vec_id").agg(
+            F.min_by(
+                F.struct("centroid_id", "c_cos"),
+                F.struct(-F.col("c_cos"), F.col("centroid_id")),
+            ).alias("b"),
+            F.any_value("v").alias("v"),
+            F.any_value("vn").alias("vn"),
+        )
+        return best.select(
+            "vec_id",
+            "v",
+            "vn",
+            F.col("b.centroid_id").alias("centroid_id"),
+            *([F.col("b.c_cos").alias("c_cos")] if keep_score else []),
+        )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
     )
     return (
         scored.withColumn("r", F.row_number().over(w))
@@ -952,6 +980,79 @@ def incremental_ivf_topk(
     return out
 
 
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-bounded near-duplicate PAIRS — the SemDeDup geometry of
+    :func:`semantic_dedup` emitting ``(id_a, id_b, cosine)`` instead
+    of keep decisions.
+
+    Scale design: the LINEAR alternative to
+    :func:`cosine_dedup_pairs_lsh` when the threshold has no
+    selectivity gap over the background cosine. Banded LSH must grow
+    its band count as (N/target)^{log2(1/p_t)} to hold recall, so at
+    an unselective threshold the candidate volume is superlinear
+    (measured ×10 exponent 0.91 on q32's 0.45-threshold gate — the
+    honest LSH cost, SCALE.md round-8 table). IVF cells sidestep the
+    recall trade: the codebook grows WITH the corpus (deterministic
+    vec_id % mod subset here, :func:`kmeans_codebook` in
+    production), so cells stay ~constant-size and the within-cell
+    pair join is Σ cell² ≈ #cells · cell² = Θ(N · cell) — linear.
+    The trade is blocking recall at cell boundaries (near-dups
+    assigned to different cells are missed) instead of LSH's banding
+    recall — acceptable for a disagreement AUDIT (q147), not a
+    replacement for q32's pair list where banding recall is the
+    contract.
+
+    Plan shape (q32's slim-candidate discipline): the within-cell
+    self-join carries 16-byte id pairs only — each vector sits in
+    exactly ONE cell, so no pair dedup is needed — and the vector
+    projection joins back twice for exact scoring. The assignment is
+    consumed three times (cell key ×2, score projection ×2), so it
+    is localCheckpoint-pinned — without it the n×K scoring pass
+    re-executes per consumer (measured 59 s → 8 s at the ×10 scale
+    point)."""
+    assigned = ivf_assign(
+        vectors, centroids, id_col, vec_col
+    ).localCheckpoint()
+    slim = assigned.select("vec_id", "centroid_id")
+    cand = (
+        slim.select(F.col("vec_id").alias("id_a"), "centroid_id")
+        .join(
+            slim.select(F.col("vec_id").alias("id_b"), "centroid_id"),
+            "centroid_id",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    va = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    vb = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -980,8 +1081,14 @@ def semantic_dedup(
     (:func:`lsh_bucket`), which caps block size at the standard LSH
     recall trade. Keep-lowest-id is a deterministic, engine-portable
     stand-in for SemDeDup's keep-closest-to-centroid policy (ties in
-    float distance are engine-dependent; ids are not)."""
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    float distance are engine-dependent; ids are not). The
+    assignment feeds the pair join twice plus the final keep join,
+    so it is localCheckpoint-pinned (the semantic_dedup_pairs
+    lesson: unpinned, the n×K scoring pass re-executes per
+    consumer)."""
+    assigned = ivf_assign(
+        vectors, centroids, id_col, vec_col
+    ).localCheckpoint()
     if sub_planes > 0:
         assigned = assigned.withColumn(
             "sub_bucket", lsh_bucket(F.col("v"), sub_planes, dim)

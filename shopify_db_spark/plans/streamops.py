@@ -528,9 +528,20 @@ def incremental_minhash_dedup(
     empty_counts = spark.createDataFrame(
         [], "band int, band_key string, __n long"
     )
-    state = {"index": empty_index, "out": None, "counts": empty_counts}
+    state = {
+        "index": empty_index,
+        "out": None,
+        "counts": empty_counts,
+        "seen": set(),
+    }
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once guard (q114's pattern): a redelivered batch
+        # would re-union its signatures into the index and re-add its
+        # bucket counts — ADD-merge state is not idempotent
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
         # Single-partition micro-batch → spread before the per-doc
@@ -700,9 +711,14 @@ def q90_incremental_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_dir = _write_batch_files(docs, "batch_no", 3)
     empty = spark.createDataFrame([], "j int, bucket long, n long")
-    state = {"cells": empty}
+    state = {"cells": empty, "seen": set()}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once guard (q114's pattern): count-min cells merge
+        # by ADDITION — a redelivered batch would double-count
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
         # spread the single-partition micro-batch so the tokenize +
@@ -949,9 +965,16 @@ def q133_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_dir = _write_batch_files(docs, "batch_no", 3)
     empty = spark.createDataFrame([], "source string, idx long, rho int")
-    state = {"regs": empty}
+    state = {"regs": empty, "seen": set()}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once guard (q114's pattern) — the register
+        # MAX-merge is idempotent so a redelivery would be harmless
+        # here, but every stateful sink carries the guard uniformly
+        # (tests/test_streaming_realism.py asserts the discipline)
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
         # spread the single-partition micro-batch (q114 root cause)
@@ -1031,9 +1054,14 @@ def q144_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_dir = _write_batch_files(docs, "batch_no", 3)
     empty = spark.createDataFrame([], "source string, bucket long, cnt long")
-    state = {"hist": empty}
+    state = {"hist": empty, "seen": set()}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once guard (q114's pattern): histogram registers
+        # merge by ADDITION — a redelivered batch would double-count
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
         # spread the single-partition micro-batch (q114 root cause)
@@ -1158,9 +1186,15 @@ def q155_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_dir = _write_batch_files(docs, "batch_no", 3)
     empty = spark.createDataFrame([], "idx long, rho int")
-    state = {"regs": empty, "out": []}
+    state = {"regs": empty, "out": [], "seen": set()}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once guard (q114's pattern): the register MAX-merge
+        # is idempotent, but the per-batch OUTPUT row appended below
+        # is not — a redelivery would emit a duplicate curve point
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
         bno = batch_df.agg(F.min("batch_no")).collect()[0][0]
@@ -1281,9 +1315,14 @@ def q160_streaming_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_dir = _write_batch_files(ev, "batch_no", 3)
     empty = spark.createDataFrame([], "user_id long, d date, cnt long")
-    state = {"hist": empty, "max_d": None}
+    state = {"hist": empty, "max_d": None, "seen": set()}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once guard (q114's pattern): per-(user, day)
+        # counts merge by ADDITION — a redelivery would double-count
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
         spread = batch_df.repartition(

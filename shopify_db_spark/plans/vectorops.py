@@ -2016,8 +2016,23 @@ def q122_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (cosine DESC, neighbor_id ASC — q30/q38's contract) and the vote
 # argmax ties break toward the smaller label; both engines order
 # identically because every cosine is the same IEEE expression.
+#
+# Pool cap (round 10): the brute tier's labeled pool is capped at a
+# FIXED deterministic sample — the top _Q126_POOL_CAP pool rows by
+# md5('q126-pool|' || vec_id) (ties → vec_id; the q51/q71 hash
+# discipline, mirrored verbatim in the oracle) — so the pair grid
+# is Θ(N·CAP), bounded-linear in the corpus, instead of
+# Θ(N²·(1/5)·(4/5)) (measured exponent 1.19, the catalog's last
+# unboundedly-quadratic entry). Semantically faithful: a k-NN
+# labeler's human-labeled pool IS fixed-size; the corpus is what
+# grows. The cap exceeds every gate SF's pool (sf0.01 has 400 pool
+# rows, sf0.1 has 1600), so gate outputs are unchanged and the
+# exact tier remains the oracle-checked baseline. Spark shape:
+# orderBy(hash).limit(CAP) compiles to TakeOrderedAndProject —
+# per-partition top-CAP then one CAP-row merge, no global sort.
 _Q126_HOLD = 5  # vec_id % 5 == 0 is the "unlabeled" held-out slice
 _Q126_K = 5
+_Q126_POOL_CAP = 2000
 
 
 def _q1xx_label_vote_oracle(cand_sql: str) -> str:
@@ -2053,6 +2068,8 @@ WITH held AS (
 pool AS (
   SELECT vec_id, embedding, label FROM embeddings
   WHERE vec_id % {_Q126_HOLD} != 0
+  ORDER BY md5('q126-pool|' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_Q126_POOL_CAP}
 ),
 {_q1xx_label_vote_oracle(f'''
   SELECT h.vec_id AS query_id, p.vec_id AS neighbor_id, p.label AS nl,
@@ -2106,12 +2123,25 @@ def _label_infer_out(pred: DataFrame, emb: DataFrame) -> DataFrame:
 @query("q126_knn_label_infer", oracle=_Q126_ORACLE)
 def q126_knn_label_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN label inference (see section comment): brute-force
-    cosine top-5 from the labeled pool per held-out vector, majority
-    vote, scored against the held-out ground truth. Returns (vec_id,
-    true_label, pred_label, n_votes, correct)."""
+    cosine top-5 from the hash-capped labeled pool per held-out
+    vector, majority vote, scored against the held-out ground truth.
+    Returns (vec_id, true_label, pred_label, n_votes, correct)."""
     emb = load_table(spark, sf_dir, "embeddings")
     held = emb.filter(F.col("vec_id") % _Q126_HOLD == 0)
-    pool = emb.filter(F.col("vec_id") % _Q126_HOLD != 0)
+    pool = (
+        emb.filter(F.col("vec_id") % _Q126_HOLD != 0)
+        .withColumn(
+            "__h",
+            F.md5(
+                F.concat(
+                    F.lit("q126-pool|"), F.col("vec_id").cast("string")
+                )
+            ),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(_Q126_POOL_CAP)
+        .drop("__h")
+    )
     knn = SIM.cosine_topk(held, pool, k=_Q126_K)
     return _label_infer_out(knn_label_votes(knn, pool), emb)
 
@@ -3094,21 +3124,31 @@ def q143_common_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q147: lexical-vs-semantic duplicate disagreement audit — before a
 # pipeline trusts either near-dup detector as THE dedup pass, it
 # wants to know how much the two views of "duplicate" overlap: the
-# lexical detector (q27's SimHash pairs over text) and the semantic
-# one (q32's banded sign-LSH cosine pairs over embeddings) find
-# different pair sets by construction, and a low agreement rate on
-# a given corpus means paraphrase-heavy duplication the lexical
-# pass will miss (or embedding-space collapse the semantic pass
-# over-fires on). The audit full-outer-joins the two pair sets on
-# the (a, b) key (embeddings are keyed to doc_ids — the q121/q109
-# contract) and reduces to ONE row of exact counts plus the
-# agreement = both / (both + lex_only + sem_only) Jaccard as a
-# single IEEE quotient.
+# lexical detector (q27's SimHash pairs over text) and a semantic
+# one over embeddings find different pair sets by construction, and
+# a low agreement rate on a given corpus means paraphrase-heavy
+# duplication the lexical pass will miss (or embedding-space
+# collapse the semantic pass over-fires on). The audit
+# full-outer-joins the two pair sets on the (a, b) key (embeddings
+# are keyed to doc_ids — the q121/q109 contract) and reduces to ONE
+# row of exact counts plus the agreement = both / (both + lex_only
+# + sem_only) Jaccard as a single IEEE quotient.
 #
-# Scale shape: both generators are the existing scale-shaped tiers
-# (q27's pigeonhole blocks, q32's auto-banded LSH); the audit adds
-# one pair-key full-outer join (pairs ≪ corpus) and a scalar
-# aggregate. Runs wherever q27+q32 run — no new data-sized stage.
+# Semantic generator choice (round-10 change): q74's SemDeDup
+# cell-bounded pairs (`semantic_dedup_pairs`), NOT q32's banded
+# LSH. At q32's unselective gate threshold the recall-holding band
+# count grows as (N/target)^{log2(1/p_t)}, making the LSH pair
+# volume superlinear (measured ×10 exponent 0.91 — q147 inherited
+# 0.80 as the catalog's worst curve); IVF cells stay constant-size
+# because the codebook grows with the corpus, so the within-cell
+# pair join is Θ(N·cell) — linear. For a disagreement AUDIT the
+# cell-blocking recall trade is the right one: the audit wants a
+# scale-cheap semantic view, while q32 remains the
+# banding-recall-contracted pair list.
+#
+# Scale shape: q27's pigeonhole blocks + q74's broadcast n×K
+# assignment and within-cell id-pair join; the audit adds one
+# pair-key full-outer join (pairs ≪ corpus) and a scalar aggregate.
 from shopify_db_spark.plans.textops import _Q27_ORACLE
 
 
@@ -3116,18 +3156,25 @@ from shopify_db_spark.plans.textops import _Q27_ORACLE
     "q147_dedup_disagreement",
     oracle=f"""
 WITH lex AS ({_Q27_ORACLE}),
-banded AS ({{_banded}}),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {{_cmod}} = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {{_acos}} DESC, c.centroid_id ASC) AS r
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE r = 1
+),
 sem AS (
-  SELECT p.id_a, p.id_b
-  FROM (
-    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM banded a
-    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id
                  AND a.vec_id < b.vec_id
-  ) p
-  JOIN embeddings ea ON ea.vec_id = p.id_a
-  JOIN embeddings eb ON eb.vec_id = p.id_b
-  WHERE {{_cos}} >= {{_thr}}
+  WHERE {{_pcos}} >= {{_thr}}
 ),
 j AS (
   SELECT COALESCE(l.doc_a, s.id_a) AS a,
@@ -3147,14 +3194,15 @@ SELECT CAST(SUM(CASE WHEN in_lex AND in_sem THEN 1 ELSE 0 END) AS BIGINT)
            / CAST(COUNT(*) AS DOUBLE) AS agreement
 FROM j
 """.format(
-        _banded=_sql_banded(),
-        _cos=_sql_cosine("ea.embedding", "eb.embedding"),
+        _cmod=CENTROID_MOD,
+        _acos=_sql_cosine("v.embedding", "c.cv"),
+        _pcos=_sql_cosine("a.embedding", "b.embedding"),
         _thr=DEDUP_THRESHOLD,
     ),
 )
 def q147_dedup_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexical (q27 SimHash) vs semantic (q32 LSH-cosine) near-dup
-    pair agreement (see section comment). Returns one row
+    """Lexical (q27 SimHash) vs semantic (q74 cell-bounded cosine)
+    near-dup pair agreement (see section comment). Returns one row
     (n_both, n_lexical_only, n_semantic_only, agreement)."""
     from shopify_db_spark.operators import dedup as DD
 
@@ -3164,8 +3212,9 @@ def q147_dedup_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
         F.lit(True).alias("in_lex"),
     )
-    sem = SIM.cosine_dedup_pairs_lsh(
-        emb, threshold=DEDUP_THRESHOLD
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    sem = SIM.semantic_dedup_pairs(
+        emb, centroids, threshold=DEDUP_THRESHOLD
     ).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b"),
         F.lit(True).alias("in_sem"),

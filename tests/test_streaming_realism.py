@@ -1,0 +1,223 @@
+"""Round-10 streaming realism tests (round-9 verdict item 6): the
+bounded-replay gates all deliver one file per trigger in batch
+order, so nothing exercised OUT-OF-ORDER arrival, a non-file
+rate-limited source, or at-least-once REDELIVERY. These tests drive
+the same shared operators through all three."""
+
+from __future__ import annotations
+
+import re
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from shopify_db_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_ann_maintenance_out_of_order_matches_batch_twin(spark):
+    """Out-of-order arrival through the REAL file-stream harness:
+    the logical batches (vec_id % 3) are delivered in the scrambled
+    order [2, 0, 1]. Incremental ANN output is by definition a
+    function of ARRIVAL history (you can only probe what has been
+    admitted), so the contract under reordering is: the stream must
+    equal the batch twin (`incremental_ivf_topk`) fed the same
+    permuted batch sequence — same probe joins, same admission
+    ranks, same evictions."""
+    from shopify_db_spark.operators.similarity import incremental_ivf_topk
+    from shopify_db_spark.plans.streamops import streaming_ann_maintenance
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 10 == 0)
+    perm = [2, 0, 1]  # delivery order of the logical batches
+    # relabel: the file written as batch i carries logical batch perm[i]
+    arrival = F.when(F.col("vec_id") % 3 == perm[0], 0).when(
+        F.col("vec_id") % 3 == perm[1], 1
+    ).otherwise(2)
+    vecs = emb.withColumn("batch", arrival.cast("long"))
+    streamed = streaming_ann_maintenance(
+        spark, vecs, 3, centroids, k=3, cell_cap=8, admit="distance"
+    )
+    batches = [emb.filter(F.col("vec_id") % 3 == p) for p in perm]
+    batch_twin = incremental_ivf_topk(
+        batches, centroids, k=3, cell_cap=8, admit="distance"
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch_twin.collect()))
+    assert s_rows == b_rows
+    assert s_rows, "out-of-order replay produced no probe output"
+
+
+def test_hll_registers_match_batch_through_rate_source(spark):
+    """A genuinely rate-limited NON-FILE source: `rate-micro-batch`
+    emits fixed-size value batches on a timer; values map to
+    documents through a SCRAMBLED value→doc assignment (md5 order),
+    so micro-batch boundaries land mid-“logical batch” and arrival
+    order shares nothing with doc_id order. The HLL register
+    MAX-merge must still converge to exactly the one-shot batch
+    sketch — registers are order- and partition-insensitive by
+    construction, and each merge is additionally applied TWICE per
+    micro-batch (simulated at-least-once redelivery; MAX is
+    idempotent, which is exactly why HLL state needs no
+    redelivery bookkeeping)."""
+    from shopify_db_spark.functions.text import tokens
+    from shopify_db_spark.plans.textops import hll_registers
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "source"
+    )
+    n_docs = docs.count()
+    # scrambled dense index 0..n-1 in md5 order (NOT doc order)
+    mapping = (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat(F.lit("rate|"), F.col("doc_id").cast("string")))
+            .alias("__h"),
+        )
+        .withColumn(
+            "value",
+            F.row_number().over(Window.orderBy("__h", "doc_id")) - 1,
+        )
+        .select("value", "doc_id")
+        .localCheckpoint()
+    )
+    batch_docs = mapping.join(docs, "doc_id")
+
+    empty = spark.createDataFrame([], "source string, idx long, rho int")
+    state = {"regs": empty, "delivered": 0}
+
+    def merge(batch_df) -> None:
+        toks = batch_df.select(
+            "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        regs = hll_registers(toks, ["source"]).select(
+            "source", "idx", F.col("rho").cast("int").alias("rho")
+        )
+        state["regs"] = (
+            state["regs"]
+            .unionByName(regs)
+            .groupBy("source", "idx")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+
+    def sink(batch_df, batch_id: int) -> None:
+        rows = batch_df.join(
+            batch_docs, batch_df["value"] == batch_docs["value"]
+        ).select("source", "text", "doc_id")
+        if rows.isEmpty():
+            return
+        n = rows.count()
+        merge(rows)
+        merge(rows)  # simulated at-least-once redelivery of the batch
+        # incremented only AFTER both merges are checkpointed — the
+        # main thread stops the query once all docs are accounted
+        # for, and stopping mid-merge would cancel the in-flight jobs
+        state["delivered"] += n
+
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", max(7, n_docs // 4))
+        .load()
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while state["delivered"] < n_docs and time.time() < deadline:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert state["delivered"] == n_docs
+
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    expected = sorted(
+        map(
+            tuple,
+            hll_registers(toks, ["source"])
+            .select("source", "idx", F.col("rho").cast("int"))
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, state["regs"].collect()))
+    assert got == expected
+
+
+def test_redelivery_guard_semantics_on_add_merge(spark):
+    """ADD-merged sketch state (histogram / count-min / per-user
+    counts) is NOT idempotent — the production sinks guard with a
+    seen-batch_id set (q114's pattern, extended to every stateful
+    sink this round). Replay the guard pattern against q144's actual
+    merge building block with a duplicate delivery: with the guard
+    the final registers equal the one-shot batch sketch; without it
+    they would double."""
+    from shopify_db_spark.functions.text import tokens
+    from shopify_db_spark.plans.textops import length_histogram
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "source", (F.col("doc_id") % 3).alias("batch_no")
+    )
+    empty = spark.createDataFrame([], "source string, bucket long, cnt long")
+    state = {"hist": empty, "seen": set()}
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
+        lens = batch_df.select(
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        state["hist"] = (
+            state["hist"]
+            .unionByName(length_histogram(lens, ["source"]))
+            .groupBy("source", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+
+    # deliveries: 0, 1, 1 (redelivered), 2, 0 (redelivered late)
+    for bid in (0, 1, 1, 2, 0):
+        sink(docs.filter(F.col("batch_no") == bid), bid)
+
+    lens = docs.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    expected = sorted(
+        map(tuple, length_histogram(lens, ["source"]).collect())
+    )
+    got = sorted(map(tuple, state["hist"].collect()))
+    assert got == expected
+
+
+def test_every_stateful_sink_carries_the_redelivery_guard():
+    """Structural lint: every foreachBatch sink in plans/streamops.py
+    that mutates python-side state must open with the seen-batch_id
+    guard — foreachBatch is at-least-once, and ADD-merged state
+    double-counts on redelivery (the round-8 advice finding,
+    generalized to all sinks this round)."""
+    src = (
+        Path(__file__).resolve().parents[1]
+        / "shopify_db_spark"
+        / "plans"
+        / "streamops.py"
+    ).read_text()
+    sinks = re.findall(
+        r"def sink\(batch_df[^)]*\) -> None:\n((?:        .*\n|\n)+?)"
+        r"(?=\n    (?:def |try:|q = ))",
+        src,
+    )
+    assert sinks, "no foreachBatch sinks found — lint regex rotted"
+    unguarded = [
+        body.strip().splitlines()[0]
+        for body in sinks
+        if 'batch_id in state["seen"]' not in body
+    ]
+    assert not unguarded, (
+        f"{len(unguarded)} sink(s) without the at-least-once "
+        f"redelivery guard: {unguarded}"
+    )
