@@ -1014,8 +1014,8 @@ def semantic_dedup_pairs(
     projection joins back twice for exact scoring. The assignment is
     consumed three times (cell key ×2, score projection ×2), so it
     is localCheckpoint-pinned — without it the n×K scoring pass
-    re-executes per consumer (measured 59 s → 8 s at the ×10 scale
-    point)."""
+    re-executes per consumer (measured 59 s unpinned → 11 s pinned
+    at the ×10 scale point, idle machine)."""
     assigned = ivf_assign(
         vectors, centroids, id_col, vec_col
     ).localCheckpoint()

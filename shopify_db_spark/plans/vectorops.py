@@ -2128,6 +2128,11 @@ def q126_knn_label_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (vec_id, true_label, pred_label, n_votes, correct)."""
     emb = load_table(spark, sf_dir, "embeddings")
     held = emb.filter(F.col("vec_id") % _Q126_HOLD == 0)
+    # localCheckpoint: the capped pool feeds BOTH the top-k scoring
+    # and the label vote; materializing the ≤CAP rows once keeps the
+    # bounded top-M stage out of the per-consumer plans (one lazy
+    # consumer planned the sort+limit as a generic GlobalLimit with
+    # a SinglePartition exchange — caught by the plan lint)
     pool = (
         emb.filter(F.col("vec_id") % _Q126_HOLD != 0)
         .withColumn(
@@ -2141,6 +2146,7 @@ def q126_knn_label_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("__h", "vec_id")
         .limit(_Q126_POOL_CAP)
         .drop("__h")
+        .localCheckpoint()
     )
     knn = SIM.cosine_topk(held, pool, k=_Q126_K)
     return _label_infer_out(knn_label_votes(knn, pool), emb)
