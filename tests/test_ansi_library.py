@@ -377,3 +377,26 @@ def test_round9_ivf_consumers_ansi(spark):
     )
     n_vec = sum(r["n_vectors"] for r in hub)
     assert n_vec > 0 and all(r["k_occurrences"] >= 0 for r in hub)
+
+
+def test_semantic_dedup_pairs_ansi(spark):
+    """Round-10 library entry: q147's cell-bounded pair generator must
+    analyze and execute under forced ANSI, and its pair set must be a
+    subset of semantic_dedup's drop graph on the same codebook (every
+    id_b in a pair is exactly a vector semantic_dedup would mark
+    kept=false when a lower-id near-dup shares its cell)."""
+    from shopify_db_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 10 == 0)
+    with forced_ansi(spark):
+        pairs = semantic_dedup_pairs(emb, centroids, threshold=0.4).collect()
+        decisions = semantic_dedup(emb, centroids, threshold=0.4).collect()
+    dropped = {r["vec_id"] for r in decisions if not r["kept"]}
+    assert pairs, "no cell-bounded pairs on the smoke fixture"
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert {r["id_b"] for r in pairs} == dropped
