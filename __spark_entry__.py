@@ -66,6 +66,12 @@ _NEVER_DRIVER_SAMPLED = [
     "q143_common_removal",  # r10 hardening (2^10 scale, wide renorm)
     "q158_decayed_engagement",  # r10 shift-clamp fix (advice finding)
     "q160_streaming_engagement",  # r10 shift-clamp fix (advice finding)
+    "q50_dup_clusters",  # r10 cluster-memo materialization (values unchanged)
+    "q125_canonical_corpus",  # r10 cluster-memo consumer (values unchanged)
+    "q137_cluster_split",  # r10 cluster-memo consumer (values unchanged)
+    "q146_soft_dedup_weights",  # r10 cluster-memo consumer (values unchanged)
+    "q126_knn_label_infer",  # r10 pool cap (values unchanged at gate SFs)
+    "q147_dedup_disagreement",  # r10 semantic-side reroute (new pair set)
 ]
 
 
