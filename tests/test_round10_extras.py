@@ -135,3 +135,29 @@ def test_power_of_two_quantization_is_float32_exact(spark):
             comps.astype(np.float64) * np.float64(scale)
         ).astype(np.int64)
         assert (f32 == f64).all(), f"power-of-two scale {scale} not exact"
+
+
+def test_cluster_memo_keyed_per_sf_dir(spark):
+    """simhash_clusters memoizes per (session, sf_dir): repeated
+    calls return the identical pinned frame (no recompute), different
+    sf_dirs get independent entries, and the memoized result equals a
+    fresh derivation row for row."""
+    from shopify_db_spark.operators import dedup as DD
+    from shopify_db_spark.operators.graph import dup_clusters
+    from shopify_db_spark.plans.curation import simhash_clusters
+    from shopify_db_spark.sources.tables import load_table
+
+    a1 = simhash_clusters(spark, SF_SMOKE)
+    a2 = simhash_clusters(spark, SF_SMOKE)
+    assert a1 is a2, "same (session, sf_dir) must hit the memo"
+
+    b = simhash_clusters(spark, "/root/testdata/sf0.01")
+    assert b is not a1, "different sf_dir must not share an entry"
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fresh = dup_clusters(
+        DD.simhash_pairs(docs, max_hamming=4, hash_family="md5")
+    )
+    assert sorted(map(tuple, a1.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
