@@ -984,6 +984,8 @@ def semantic_dedup_pairs(
     vectors: DataFrame,
     centroids: DataFrame,
     threshold: float = 0.9,
+    sub_planes: int = 0,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1010,21 +1012,34 @@ def semantic_dedup_pairs(
 
     Plan shape (q32's slim-candidate discipline): the within-cell
     self-join carries 16-byte id pairs only — each vector sits in
-    exactly ONE cell, so no pair dedup is needed — and the vector
-    projection joins back twice for exact scoring. The assignment is
-    consumed three times (cell key ×2, score projection ×2), so it
-    is localCheckpoint-pinned — without it the n×K scoring pass
-    re-executes per consumer (measured 59 s unpinned → 11 s pinned
-    at the ×10 scale point, idle machine)."""
+    exactly ONE cell (one block even with sub-splitting), so no pair
+    dedup is needed — and the vector projection joins back twice for
+    exact scoring. The assignment is consumed three times (cell key
+    ×2, score projection ×2), so it is localCheckpoint-pinned —
+    without it the n×K scoring pass re-executes per consumer
+    (measured 59 s unpinned → 11 s pinned at the ×10 scale point,
+    idle machine).
+
+    Skewed cells: a corpus whose embeddings CLUSTER puts a constant
+    fraction of the data in one cell, and that cell's pair join is
+    quadratic again. Pass ``sub_planes`` > 0 to sub-split every cell
+    by a sign-LSH bucket (``lsh_bucket``), the same escape
+    :func:`semantic_dedup` carries — block size drops ~2^sub_planes
+    at the standard banding recall trade."""
     assigned = ivf_assign(
         vectors, centroids, id_col, vec_col
     ).localCheckpoint()
-    slim = assigned.select("vec_id", "centroid_id")
+    if sub_planes > 0:
+        assigned = assigned.withColumn(
+            "sub_bucket", lsh_bucket(F.col("v"), sub_planes, dim)
+        )
+    block = ["centroid_id"] + (["sub_bucket"] if sub_planes > 0 else [])
+    slim = assigned.select("vec_id", *block)
     cand = (
-        slim.select(F.col("vec_id").alias("id_a"), "centroid_id")
+        slim.select(F.col("vec_id").alias("id_a"), *block)
         .join(
-            slim.select(F.col("vec_id").alias("id_b"), "centroid_id"),
-            "centroid_id",
+            slim.select(F.col("vec_id").alias("id_b"), *block),
+            block,
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")

@@ -161,3 +161,31 @@ def test_cluster_memo_keyed_per_sf_dir(spark):
     assert sorted(map(tuple, a1.collect())) == sorted(
         map(tuple, fresh.collect())
     )
+
+
+def test_semantic_pairs_sub_split_bounds_blocks(spark):
+    """The sub_planes escape on semantic_dedup_pairs: sub-splitting
+    shrinks within-cell blocks (candidate volume) while every
+    surviving pair is a subset of the unsplit pair set that still
+    shares a (cell, sub-bucket) — the same recall trade
+    semantic_dedup documents."""
+    from pyspark.sql import functions as F
+
+    from shopify_db_spark.operators.similarity import semantic_dedup_pairs
+    from shopify_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(emb, centroids, threshold=0.3).collect()
+    }
+    split = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            emb, centroids, threshold=0.3, sub_planes=2
+        ).collect()
+    }
+    assert full, "unsplit run found no pairs on the smoke fixture"
+    assert split <= full, "sub-splitting must only REMOVE candidates"
+    assert len(split) < len(full) or split == full
