@@ -154,6 +154,33 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    # The near-dup cluster table (plans.curation.simhash_clusters) is
+    # a session-memoized, localCheckpoint-pinned artifact shared by
+    # q50/q125/q137/q146 — the materialized-artifact shape a 100 TB
+    # corpus sync would use. Under best-of-two timing the ~seconds
+    # cold build would land in some consumer's FIRST (discarded) run
+    # and appear in NO reported number (round-10 verdict). Time the
+    # cold build explicitly and report it as its own line item so
+    # ``catalog_total_wall`` honestly includes the derivation; the
+    # consumers then measure their true artifact-consumer cost.
+    try:
+        from shopify_db_spark.plans import curation
+        from shopify_db_spark.plans.curation import simhash_clusters
+
+        # evict any memo hit (the warm-up loop builds the artifact
+        # when warm_sf == sf_dir) so the timed build is honestly COLD
+        curation._CLUSTER_MEMO.pop((id(spark), sf_dir), None)
+        t0 = time.perf_counter()
+        simhash_clusters(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["artifact_materialization"] = round(
+            time.perf_counter() - t0, 4
+        )
+    except Exception as exc:  # noqa: BLE001 - isolate like any query
+        errors["artifact_materialization"] = f"{type(exc).__name__}: {exc}"[:500]
+
     for name, spec in sorted(specs.items()):
         best = None
         for _ in range(runs):

@@ -1796,9 +1796,15 @@ def q120_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representable at float32 precision and above — every engine and
 # version computes the identical integer whether it folds the cast,
 # multiplies at float precision before widening, or fuses the tree.
-# (A 10^k scale is NOT version-proof: the r9 driver ran a DuckDB
-# build whose float→double→·10⁶ evaluation flipped floors that sat
-# 3.3e-6 from an integer — the round-9 q121 red.)
+# (Historical note: the r9/r10 q121 driver reds were NOT float
+# math at all — the oracle's SUM(BIGINT) silently promoted to
+# DuckDB HUGEINT, which pandas materializes as float64, so the
+# dtype-sensitive driver hash failed while values matched. The fix
+# is the outer CAST(SUM(...) AS BIGINT) below; the power-of-two
+# scale is kept as hygiene — exponent shift, exactly representable
+# — not as the fix. An earlier theory blaming 10^k floor flips
+# ~3.3e-6 from integer boundaries was falsified: sf0.01 embeddings
+# have zero boundary-straddling components.)
 # Long format (source, dim, comp_sum, n_vecs)
 # keeps the declared output scalar (catalog lint) and the oracle a
 # plain UNNEST-with-ordinality aggregate. Scale shape: ONE shuffle —
@@ -1812,8 +1818,8 @@ _Q121_SCALE = 1 << 20  # power of two: exact for float32 inputs (see above)
     oracle=f"""
 SELECT d.source,
        CAST(g.i - 1 AS INT) AS dim,
-       SUM(CAST(FLOOR(CAST(e.embedding[g.i] AS DOUBLE) * {_Q121_SCALE})
-           AS BIGINT)) AS comp_sum,
+       CAST(SUM(CAST(FLOOR(CAST(e.embedding[g.i] AS DOUBLE) * {_Q121_SCALE})
+           AS BIGINT)) AS BIGINT) AS comp_sum,
        CAST(COUNT(*) AS BIGINT) AS n_vecs
 FROM documents d
 JOIN embeddings e ON e.vec_id = d.doc_id,

@@ -101,6 +101,55 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def _dtype_family(s: pd.Series) -> str:
+    """Bucket a column into a coarse dtype family for strict
+    comparison: integer / float / bool / datetime / string / other.
+
+    The external driver's value-hash is dtype-SENSITIVE for the
+    int-vs-float axis (an int64 114234 and a float64 114234.0 hash
+    differently) while value normalization makes temporal and
+    decimal columns comparable across engines. This bucketing
+    mirrors that: int and float are distinct families; date,
+    datetime and Timestamp collapse to one; Decimal maps to float
+    (``_norm_cell`` compares it through float). The round-9/10 q121
+    red — DuckDB SUM(BIGINT)→HUGEINT→pandas float64 vs Spark int64 —
+    is exactly the class this guard makes locally visible."""
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "integer"
+    if pd.api.types.is_float_dtype(dt):
+        # An all-integral float column that exists only because of
+        # NULL-promotion (pandas has no nullable int in the engines'
+        # default paths) is still 'float' — both engines promote the
+        # same way when the VALUES carry nulls, so a family mismatch
+        # here means the engines genuinely disagree on the type.
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    # object dtype: inspect the first non-null value.
+    for v in s:
+        if v is None or v is pd.NaT:
+            continue
+        if isinstance(v, float) and math.isnan(v):
+            continue
+        if isinstance(v, (bool, np.bool_)):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "integer"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, decimal.Decimal):
+            return "float"
+        if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+            return "datetime"
+        if isinstance(v, str):
+            return "string"
+        return "other"
+    return "empty"  # all-null: indeterminate, matches anything
+
+
 def compare_frames(
     spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, max_report: int = 5
 ) -> list[str]:
@@ -112,6 +161,19 @@ def compare_frames(
         return [f"column mismatch: spark={s_cols} oracle={o_cols}"]
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    # Dtype-family parity BEFORE value normalization: the value
+    # compare below deliberately treats 1 == 1.0, but the external
+    # driver's hash does not — an int64 column on one side and a
+    # float64 on the other must fail here too (q121 r9/r10 lesson).
+    for c in s_cols:
+        sf, of = _dtype_family(spark_pdf[c]), _dtype_family(oracle_pdf[c])
+        if sf != of and "empty" not in (sf, of):
+            problems.append(
+                f"dtype family mismatch on {c!r}: spark={sf} ({spark_pdf[c].dtype}) "
+                f"oracle={of} ({oracle_pdf[c].dtype})"
+            )
+    if problems and any(p.startswith("dtype family") for p in problems):
+        return problems
     s_rows, o_rows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
     n_bad = 0
     for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):

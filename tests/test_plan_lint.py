@@ -193,15 +193,74 @@ def test_q20_mapping_layer_is_cached(spark):
     )
 
 
+def test_oracle_outputs_never_hugeint():
+    """Round-10 lesson (the REAL q121/q124 driver-red root cause):
+    DuckDB silently promotes ``SUM(BIGINT)`` — and BIGINT arithmetic
+    mixing with such a sum — to HUGEINT, which ``.df()`` materializes
+    as pandas float64. The Spark twin emits int64, so the external
+    driver's dtype-sensitive value hash fails while every value is
+    equal — and a scalar-normalizing local compare is structurally
+    blind to it (q70's oracle comments the trap at curation.py:688;
+    q121 carried the only remaining un-cast instance for two rounds).
+
+    This lint binds every catalog oracle against DuckDB (lazy — no
+    execution) and rejects any top-level HUGEINT/UHUGEINT output
+    column: each aggregate output must carry an explicit outer
+    ``CAST(... AS BIGINT/DOUBLE/...)``. Paired with the dtype-family
+    guard in ``testing.compare_frames``, the class is now impossible
+    to pass locally."""
+    from shopify_db_spark.plans import load_all
+    from shopify_db_spark.testing import duckdb_con
+
+    problems = []
+    with duckdb_con(SF_SMOKE) as con:
+        for name, spec in sorted(load_all().items()):
+            if spec.oracle is None:
+                continue
+            rel = con.sql(spec.oracle)
+            for col, typ in zip(rel.columns, rel.types):
+                if "HUGEINT" in str(typ).upper():
+                    problems.append(
+                        f"{name}: oracle output {col!r} is {typ} — "
+                        "pandas will materialize it as float64 and the "
+                        "driver hash will mismatch the Spark int64; add "
+                        "an outer CAST(... AS BIGINT)"
+                    )
+    assert not problems, "\n".join(problems)
+
+
+def test_hugeint_lint_catches_the_q70_trap():
+    """Regression guard for the lint itself: the literal trap shape
+    documented in q70's oracle (un-cast SUM over BIGINT) must bind to
+    HUGEINT, and the q124/q121 fix shape (outer CAST) to BIGINT —
+    if a DuckDB upgrade ever changes this promotion, the lint above
+    silently stops guarding and this test says so."""
+    import duckdb
+
+    con = duckdb.connect()
+    trap = con.sql("SELECT SUM(CAST(1 AS BIGINT)) AS x FROM range(3)")
+    assert [str(t) for t in trap.types] == ["HUGEINT"]
+    assert str(trap.df()["x"].dtype) == "float64"  # the driver-red signature
+    fixed = con.sql(
+        "SELECT CAST(SUM(CAST(1 AS BIGINT)) AS BIGINT) AS x FROM range(3)"
+    )
+    assert [str(t) for t in fixed.types] == ["BIGINT"]
+    assert str(fixed.df()["x"].dtype) == "int64"
+
+
 def test_floor_scale_sites_are_version_proof():
-    """Round-9 lesson (the q121/q124 driver reds): ``floor(x·SCALE)``
-    on float-derived x is only honestly "exact BIGINT" if the scaled
-    product is exactly representable at EVERY precision an engine
-    version might evaluate it at. Power-of-two scales are (the
-    multiply only shifts the binary exponent); 10^k scales bet on
-    IEEE-reproducible evaluation (constant folding / float-precision
-    multiply before widening flips floors — the r9 reds sat 3.3e-6
-    from an integer). This lint scans every floor-with-scale window
+    """``floor(x·SCALE)`` on float-derived x is only honestly "exact
+    BIGINT" if the scaled product is exactly representable at EVERY
+    precision an engine version might evaluate it at. Power-of-two
+    scales are (the multiply only shifts the binary exponent); 10^k
+    scales bet on IEEE-reproducible evaluation (constant folding /
+    float-precision multiply before widening can flip floors that sit
+    near an integer). NOTE: the r9/r10 q121/q124 driver reds that
+    motivated this lint turned out to be a DIFFERENT class — un-cast
+    DuckDB HUGEINT outputs (see ``test_oracle_outputs_never_hugeint``)
+    — not floor flips; the lint stays because the flip class is real
+    even though it was not that bug. This lint scans every
+    floor-with-scale window
     in ``plans/`` and requires the resolved scale constant to be a
     power of two, or the site to carry an allowlist entry HERE with
     a written exactness argument.

@@ -194,6 +194,197 @@ def test_redelivery_guard_semantics_on_add_merge(spark):
     assert got == expected
 
 
+def _scrambled_rate_mapping(df, key_col: str, salt: str):
+    """Dense 0..n-1 ``value`` index over ``df`` in md5 order — maps
+    the rate source's monotone values to rows in an order that
+    shares nothing with the key order, so micro-batch boundaries
+    land mid-"logical batch"."""
+    return (
+        df.select(
+            key_col,
+            F.md5(
+                F.concat(F.lit(salt), F.col(key_col).cast("string"))
+            ).alias("__h"),
+        )
+        .withColumn(
+            "value",
+            F.row_number().over(Window.orderBy("__h", key_col)) - 1,
+        )
+        .select("value", key_col)
+        .localCheckpoint()
+    )
+
+
+def test_q144_histogram_rate_source_with_redelivery(spark):
+    """q144's quantile-histogram maintenance (round-10 verdict item
+    7, second half) through the NON-FILE ``rate-micro-batch``
+    source with simulated at-least-once redelivery: histogram
+    registers merge by ADDITION, so unlike the HLL MAX-merge the
+    sink NEEDS the seen-batch_id guard — each micro-batch is
+    delivered twice and the guard must make the second delivery a
+    no-op. Final registers must equal the one-shot batch sketch
+    (q144's unchanged oracle semantics)."""
+    from shopify_db_spark.functions.text import tokens
+    from shopify_db_spark.plans.textops import length_histogram
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "source"
+    )
+    n_docs = docs.count()
+    batch_docs = _scrambled_rate_mapping(docs, "doc_id", "q144rate|").join(
+        docs, "doc_id"
+    )
+
+    empty = spark.createDataFrame([], "source string, bucket long, cnt long")
+    state = {"hist": empty, "seen": set(), "delivered": 0}
+
+    def apply(rows, batch_id: int) -> None:
+        # q144's production guard: ADD-merged registers double-count
+        # on redelivery, so a seen batch_id must be a no-op
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
+        lens = rows.select(
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        state["hist"] = (
+            state["hist"]
+            .unionByName(length_histogram(lens, ["source"]))
+            .groupBy("source", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+
+    def sink(batch_df, batch_id: int) -> None:
+        rows = batch_df.join(
+            batch_docs, batch_df["value"] == batch_docs["value"]
+        ).select("source", "text")
+        if rows.isEmpty():
+            return
+        n = rows.count()
+        apply(rows, batch_id)
+        apply(rows, batch_id)  # simulated at-least-once redelivery
+        state["delivered"] += n
+
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", max(7, n_docs // 4))
+        .load()
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while state["delivered"] < n_docs and time.time() < deadline:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert state["delivered"] == n_docs
+
+    lens = docs.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    expected = sorted(
+        map(tuple, length_histogram(lens, ["source"]).collect())
+    )
+    got = sorted(map(tuple, state["hist"].collect()))
+    assert got == expected
+
+
+def test_q160_engagement_rate_source_with_redelivery(spark):
+    """q160's decayed-engagement maintenance (round-10 verdict item
+    7, second half) through ``rate-micro-batch`` with redelivery:
+    the maintainable state is the per-(user, day) activity
+    histogram (ADD-merged → guard required) plus the running max
+    date; the exact q158 shift weights are applied once at
+    finalize. The stream-through-scrambled-arrival result must
+    equal the BATCH catalog query q158 row-for-row — the strongest
+    form of "oracle unchanged"."""
+    from shopify_db_spark.plans.eventops import q158_decayed_engagement
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", F.col("ts").cast("date").alias("d")
+    )
+    n_ev = ev.count()
+    batch_ev = _scrambled_rate_mapping(ev, "event_id", "q160rate|").join(
+        ev, "event_id"
+    )
+
+    empty = spark.createDataFrame([], "user_id long, d date, cnt long")
+    state = {"hist": empty, "max_d": None, "seen": set(), "delivered": 0}
+
+    def apply(rows, batch_id: int) -> None:
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
+        hist = rows.groupBy("user_id", "d").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        bmax = rows.agg(F.max("d")).collect()[0][0]
+        if state["max_d"] is None or bmax > state["max_d"]:
+            state["max_d"] = bmax
+        state["hist"] = (
+            state["hist"]
+            .unionByName(hist)
+            .groupBy("user_id", "d")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+
+    def sink(batch_df, batch_id: int) -> None:
+        rows = batch_df.join(
+            batch_ev, batch_df["value"] == batch_ev["value"]
+        ).select("user_id", "d")
+        if rows.isEmpty():
+            return
+        n = rows.count()
+        apply(rows, batch_id)
+        apply(rows, batch_id)  # simulated at-least-once redelivery
+        state["delivered"] += n
+
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", max(7, n_ev // 4))
+        .load()
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while state["delivered"] < n_ev and time.time() < deadline:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert state["delivered"] == n_ev
+
+    now_d = F.lit(state["max_d"])
+    aged = state["hist"].select(
+        "user_id",
+        "cnt",
+        F.datediff(now_d, F.col("d")).alias("age_days"),
+    ).withColumn(
+        "w_ppm",
+        F.expr(
+            "CASE WHEN age_days DIV 7 >= 20 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftright(CAST(1000000 AS BIGINT), "
+            "CAST(age_days DIV 7 AS INT)) END"
+        ),
+    )
+    got_df = aged.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum(F.col("cnt") * F.col("w_ppm").cast("long")).alias(
+            "decayed_ppm"
+        ),
+        F.min("age_days").cast("long").alias("days_since_last"),
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    expected = sorted(
+        map(tuple, q158_decayed_engagement(spark, SF_SMOKE).collect())
+    )
+    assert got == expected
+
+
 def test_every_stateful_sink_carries_the_redelivery_guard():
     """Structural lint: every foreachBatch sink in plans/streamops.py
     that mutates python-side state must open with the seen-batch_id
