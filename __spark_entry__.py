@@ -33,45 +33,67 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Queries surfaced FIRST in registration order so an order-sensitive
 #: 50-query driver sampler reaches them; harmless if the sample is
 #: uniform. Remove entries as CORRECTNESS_r{N}.json covers them.
-#: Round-10 contents (per the r9 verdict): the two r9 driver-RED
-#: rows first — q121/q124 failed the r9 hash check on
-#: engine-version-sensitive float quantization, now rewritten to
-#: version-proof exact math (power-of-two scale / pure-integer
-#: division) and needing re-certification — then the 14 queries
-#: whose newest driver pass is still round 1 (q02–q13/q17/q18,
-#: CORRECTNESS_r01), then this round's other exact-math-hardened
-#: queries (q122/q129/q142/q143 scale changes, q158/q160 shift
-#: clamp) whose outputs changed with their oracles. The 41 green
-#: round-9 additions rotate out.
+#: Round-11 contents (per the r10 verdict, item 6): q121 first — its
+#: oracle's un-cast HUGEINT output (the real r9/r10 red root cause)
+#: is fixed this round and needs the first green driver row in the
+#: project's history — then every round-11-changed query, then the
+#: full pre-round-8 evidence tail oldest-first (newest driver pass
+#: r4–r7; computed from the union of CORRECTNESS_r01–r10). 47
+#: entries: the 50-query sample re-certifies the fix AND clears the
+#: oldest freshness debt in one round.
 _NEVER_DRIVER_SAMPLED = [
-    "q121_domain_centroids",  # r9 driver RED; quantization now 2^20-exact
-    "q124_source_drift",  # r9 driver RED; summand now pure-integer
-    "q02_top_order_per_customer",  # r1-stale
-    "q03_regional_revenue",  # r1-stale
-    "q04_union_distinct_branches",  # r1-stale
-    "q05_order_price_reconcile",  # r1-stale
-    "q06_orderkey_gaps",  # r1-stale
-    "q07_composite_key_join",  # r1-stale
-    "q08_group_numbering",  # r1-stale
-    "q09_predicate_gallery",  # r1-stale
-    "q10_scalar_gallery",  # r1-stale
-    "q11_first_per_group",  # r1-stale
-    "q12_global_aggregates",  # r1-stale
-    "q13_revenue_rollup",  # r1-stale
-    "q17_topk_per_group",  # r1-stale
-    "q18_semi_anti_joins",  # r1-stale
-    "q122_centroid_classify",  # r10 exact-math hardening (scale 2^20)
-    "q129_domain_outliers",  # r10 exact-math hardening (scale 2^20)
-    "q142_principal_direction",  # r10 hardening (2^10 scale, wide renorm)
-    "q143_common_removal",  # r10 hardening (2^10 scale, wide renorm)
-    "q158_decayed_engagement",  # r10 shift-clamp fix (advice finding)
-    "q160_streaming_engagement",  # r10 shift-clamp fix (advice finding)
-    "q50_dup_clusters",  # r10 cluster-memo materialization (values unchanged)
-    "q125_canonical_corpus",  # r10 cluster-memo consumer (values unchanged)
-    "q137_cluster_split",  # r10 cluster-memo consumer (values unchanged)
-    "q146_soft_dedup_weights",  # r10 cluster-memo consumer (values unchanged)
-    "q126_knn_label_infer",  # r10 pool cap (values unchanged at gate SFs)
-    "q147_dedup_disagreement",  # r10 semantic-side reroute (new pair set)
+    "q121_domain_centroids",  # r11 oracle fix: outer CAST kills HUGEINT
+    "q147_dedup_disagreement",  # r11-touched (sub_planes decision; see SCALE.md)
+    # --- newest driver evidence r4 ---
+    "q33_media_metadata",
+    "q34_media_features",
+    "q35_frame_sample_plan",
+    "q36_customer_map",
+    "q37_product_search",
+    "q49_streaming_merge",
+    "q59_streaming_windows",
+    # --- r5 ---
+    "q48_hourly_gapfill",
+    # --- r6 ---
+    "q15_tumbling_window",
+    "q16_json_extract",
+    "q19_event_funnel",
+    "q41_cohort_retention",
+    "q42_value_percentiles",
+    "q43_approx_stats",
+    "q44_asof_config",
+    "q45_promo_range_join",
+    # --- r7 ---
+    "q101_ivf_nprobe",
+    "q102_incremental_dedup_capped",
+    "q105_quantized_ann",
+    "q106_ivf_quantized",
+    "q107_cosine_topk_grid",
+    "q108_incremental_ann",
+    "q109_hybrid_rrf",
+    "q111_hybrid_rrf_ivf",
+    "q60_stateful_activity",
+    "q73_incremental_dedup",
+    "q74_semantic_dedup",
+    "q77_entity_resolution",
+    "q78_markov_transitions",
+    "q79_rolling_revenue",
+    "q81_scd2_intervals",
+    "q82_basket_pairs",
+    "q83_hopping_window",
+    "q87_embedding_audit",
+    "q88_incremental_agg",
+    "q89_orc_roundtrip",
+    "q90_incremental_cms",
+    "q91_copurchase_pagerank",
+    "q92_rfm_segments",
+    "q93_touch_attribution",
+    "q94_schema_evolution",
+    "q95_snapshot_diff",
+    "q96_fk_profile",
+    "q97_column_profile",
+    "q98_cascade_delete_plan",
+    "q99_category_association",
 ]
 
 

@@ -671,10 +671,24 @@ def ivf_assign(
         ["c_cos"] if keep_score else []
     )
     if n_best == 1:
+        # The min_by key must order EXACTLY like the n_best>1 window
+        # (desc(c_cos) → NaN first, NULLs last, ties → lowest
+        # centroid_id) even for non-finite cosines (zero-norm or
+        # null embeddings): a bare -c_cos diverges there, because
+        # struct ordering sorts a negated NULL/NaN key differently
+        # (round-10 advice). Cosines live in [-1, 1], so ±2 are
+        # strict sentinels: NaN → -2 (wins like NaN-first), finite →
+        # -c, NULL → +2 (loses like NULLS LAST).
+        neg_key = F.coalesce(
+            F.when(F.isnan(F.col("c_cos")), F.lit(-2.0)).otherwise(
+                -F.col("c_cos")
+            ),
+            F.lit(2.0),
+        )
         best = scored.groupBy("vec_id").agg(
             F.min_by(
                 F.struct("centroid_id", "c_cos"),
-                F.struct(-F.col("c_cos"), F.col("centroid_id")),
+                F.struct(neg_key.alias("nk"), F.col("centroid_id")),
             ).alias("b"),
             F.any_value("v").alias("v"),
             F.any_value("vn").alias("vn"),

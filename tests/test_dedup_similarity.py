@@ -1160,3 +1160,56 @@ def test_prefix_filter_reregistration_keeps_cache(spark):
     assert len(DD._PERSISTED_FRAMES) == 1  # bounded-by-one contract
     assert DD._PERSISTED_FRAMES[-1].storageLevel.useMemory
     DD.release_persisted_frames()
+
+
+def test_ivf_assign_nonfinite_cosines_match_window_ordering(spark):
+    """Round-10 advice: the n_best=1 min_by fast path must order
+    NULL/NaN cosines exactly like the n_best>1 window
+    (desc(c_cos) → NaN FIRST, NULLs LAST, ties → lowest centroid
+    id). A zero-norm centroid yields NULL cosine against everything
+    (must LOSE to any finite centroid); a NaN-component centroid
+    yields NaN cosine (must WIN over any finite centroid, Spark's
+    NaN-greatest desc ordering). A bare negated min_by key sorted
+    both cases the other way."""
+    from shopify_db_spark.operators.similarity import ivf_assign
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+
+    # NULL case: centroid 1 is the zero vector (norm 0 → c_cos NULL),
+    # centroid 2 is finite — every vector must pick 2 (NULLS LAST).
+    cents_null = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(vecs, cents_null).collect()
+    }
+    assert got == {1: 2, 2: 2}
+
+    # NaN case: centroid 9 carries a NaN component (c_cos NaN against
+    # everything), centroid 1 is finite — every vector must pick 9
+    # (NaN-first), even though 1 is the lower tie-break id.
+    cents_nan = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (9, [float("nan"), 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(vecs, cents_nan, keep_score=True).collect()
+    }
+    assert got == {1: 9, 2: 9}
+
+    # All-NULL tie: only zero-norm centroids → equal keys → lowest id.
+    cents_all_null = spark.createDataFrame(
+        [(7, [0.0, 0.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(vecs, cents_all_null).collect()
+    }
+    assert got == {1: 3, 2: 3}
