@@ -80,19 +80,17 @@ _INVOICE_TABLE_MAP = {
 
 
 def _normalized_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapped invoice result with the reference's pre-check
+    """The materialized invoice table with the reference's pre-check
     normalization applied: empty strings → null on every string
-    column, gateways renamed via the replace map. The checks only
-    aggregate, so the pipeline's closing cosmetic sort is skipped
-    (``final_sort=False`` — a full-result range sort bought nothing
-    here; ~2 s at sf0.1)."""
-    inv = build_invoices(
-        commerce_tables_from_benchmark(spark, sf_dir),
-        FROM_DATE,
-        TO_DATE,
-        START_ID,
-        final_sort=False,
-    )
+    column, gateways renamed via the replace map. Reads the
+    session-memoized artifact (``commerce.invoice_table``) exactly
+    like the reference's verify suite, which queries the
+    ``tripletex`` table ``db.py`` wrote (``tripletex.py:204-242``)
+    instead of rebuilding the view; the artifact is unsorted — the
+    checks only aggregate, so the cosmetic sort is irrelevant."""
+    from shopify_db_spark.plans.commerce import invoice_table
+
+    inv = invoice_table(spark, sf_dir)
     norm = inv.select(
         *[
             F.nullif(F.col(c), F.lit("")).alias(c)

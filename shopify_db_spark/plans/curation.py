@@ -60,25 +60,6 @@ FROM comp
 """
 
 
-#: session-memoized near-dup cluster tables — see simhash_clusters
-_CLUSTER_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
-
-
-def _sweep_cluster_memo() -> None:
-    """Drop EVERY memo entry whose owning session is stopped — not
-    just the key being re-accessed. Entries for other sf_dirs or
-    replaced sessions otherwise hold strong references to the
-    SparkSession and its localCheckpoint-pinned DataFrames forever
-    in a long-lived multi-session process (round-10 advice)."""
-    for key, (owner, _df) in list(_CLUSTER_MEMO.items()):
-        try:
-            alive = not owner.sparkContext._jsc.sc().isStopped()
-        except Exception:  # noqa: BLE001 - a dead/py4j-less session is stale
-            alive = False
-        if not alive:
-            _CLUSTER_MEMO.pop(key, None)
-
-
 def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (doc_id, cluster_id, cluster_size, keep) near-dup cluster
     table of ``sf_dir``'s documents under the q27 generator (SimHash,
@@ -94,25 +75,19 @@ def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     commerce mapping layer's argument (``plans/commerce.py``,
     materialized staging tables); recomputing the pair join + CC
     loop per query is an artifact of the per-query harness. The
-    memo restores the materialized-artifact shape. The checkpoint
-    pins the result across queries in one session; EVERY stale
-    entry (any stopped session, any sf_dir) is swept on each access
-    (the stored-session identity check also defends against id()
-    reuse). bench.py times the cold build explicitly and reports it
-    as the ``artifact_materialization`` line item."""
-    _sweep_cluster_memo()
-    key = (id(spark), sf_dir)
-    hit = _CLUSTER_MEMO.get(key)
-    if hit is not None:
-        owner, cached = hit
-        if owner is spark:
-            return cached
-        _CLUSTER_MEMO.pop(key, None)
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.simhash_pairs(docs, max_hamming=4, hash_family="md5")
-    out = dup_clusters(pairs).localCheckpoint()
-    _CLUSTER_MEMO[key] = (spark, out)
-    return out
+    memo restores the materialized-artifact shape
+    (``plans.artifacts.session_artifact`` — checkpoint-pinned per
+    session, full stale-session sweep on access). bench.py times the
+    cold build explicitly and reports it as the
+    ``artifact_materialization`` line item."""
+    from shopify_db_spark.plans.artifacts import session_artifact
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = DD.simhash_pairs(docs, max_hamming=4, hash_family="md5")
+        return dup_clusters(pairs)
+
+    return session_artifact("simhash_clusters", spark, sf_dir, build)
 
 
 @query("q50_dup_clusters", oracle=_Q50_ORACLE)

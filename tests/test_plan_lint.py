@@ -180,17 +180,50 @@ def test_no_complex_output_columns(spark, name):
     )
 
 
-def test_q20_mapping_layer_is_cached(spark):
-    """The invoice pipeline references the commerce mapping frames
-    from every branch — ~28 re-derivations per run when lazy
-    (measured 0.75 s slower at sf0.1 and strictly worse at scale).
-    Guard that the mapped tables stay persisted: the executed plan
-    must read them through InMemoryTableScan."""
-    plan = _plan(spark, "q20_invoice_pipeline")
-    assert "InMemory" in plan, (
-        "q20 no longer reads the mapping layer from cache — "
-        "commerce_tables_from_benchmark(cache=...) regressed"
+def test_invoice_artifact_build_mapping_layer_is_cached(spark):
+    """The invoice BUILD references the commerce mapping frames from
+    every branch — ~28 re-derivations per run when lazy (measured
+    0.75 s slower at sf0.1 and strictly worse at scale). Guard that
+    the mapped tables stay persisted in the build plan (q20 itself
+    now reads the materialized invoice artifact, so the lint targets
+    the derivation where the mapping frames actually appear)."""
+    from shopify_db_spark.plans.commerce import (
+        FROM_DATE,
+        START_ID,
+        TO_DATE,
+        commerce_tables_from_benchmark,
     )
+    from shopify_db_spark.plans.invoice import build_invoices
+
+    tables = commerce_tables_from_benchmark(spark, SF_SMOKE)
+    try:
+        plan = (
+            build_invoices(tables, FROM_DATE, TO_DATE, START_ID)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        for df in tables.values():
+            df.unpersist()
+    assert "InMemory" in plan, (
+        "the invoice build no longer reads the mapping layer from "
+        "cache — commerce_tables_from_benchmark(cache=...) regressed"
+    )
+
+
+def test_q20_and_q61_read_the_invoice_artifact(spark):
+    """q20 and the verify suite must READ the materialized invoice
+    table (the reference's own shape: db.py writes the tripletex
+    table, tripletex.py verify queries it) — their declared plans
+    read the localCheckpoint scan, not a per-query six-join
+    rebuild."""
+    for name in ("q20_invoice_pipeline", "q61_invoice_verify"):
+        plan = _plan(spark, name)
+        assert "ExistingRDD" in plan, (
+            f"{name} no longer reads the invoice artifact "
+            "(commerce.invoice_table) — per-query rebuild regressed"
+        )
 
 
 def test_oracle_outputs_never_hugeint():
