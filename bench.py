@@ -248,7 +248,18 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout must not kill the bench line
 
+    #: compact aliases for the artifact line items — the full names
+    #: in the compact line pushed it past the driver's ~2000-char
+    #: stdout tail window (the full 4-dp payload with full names is
+    #: always in BENCH_local.json, committed)
+    _ARTIFACT_SHORT = {
+        "artifact_materialization": "art_clu",
+        "artifact_invoice_table": "art_inv",
+    }
+
     def _short(name: str) -> str:
+        if name in _ARTIFACT_SHORT:
+            return _ARTIFACT_SHORT[name]
         head = name.split("_", 1)[0]
         return head if head not in (name,) and head.startswith("q") else name
 
@@ -274,7 +285,17 @@ def main() -> None:
         compact["error_queries"] = sorted(_short(n) for n in errors)[:20]
     if layout != "flat":
         compact["layout"] = layout
-    print(json.dumps(compact, separators=(",", ":")))
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # hard ceiling: the driver keeps only the LAST ~2000 stdout
+        # chars, and a line longer than that loses its opening brace
+        # and becomes unparseable (the r2–r3 artifact bug). Coarsen
+        # per-query values to 1 dp — BENCH_local.json keeps 4 dp.
+        compact["queries"] = {
+            k: round(v, 1) for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

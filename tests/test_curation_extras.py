@@ -178,3 +178,40 @@ def test_length_histogram_merges_by_addition(spark):
     )
     assert rows
     assert all(r["sketch_lo"] <= r["exact_q"] <= r["sketch_hi"] for r in rows)
+
+
+def test_session_artifact_sweeps_stale_and_memoizes(spark):
+    """plans/artifacts.py contract (round-10 advice → round-11
+    generalization): EVERY stale-session entry is dropped on access
+    (not just the re-accessed key), a warm hit returns the pinned
+    frame without calling build, and eviction forces a rebuild."""
+    from shopify_db_spark.plans import artifacts as A
+
+    class _DeadSession:
+        @property
+        def sparkContext(self):  # mimics a stopped/py4j-less session
+            raise RuntimeError("stopped")
+
+    name = "test_sweep_artifact"
+    A._MEMOS.pop(name, None)
+    memo = A._MEMOS.setdefault(name, {})
+    memo[(123, "/other/sf")] = (_DeadSession(), None)
+
+    got = A.session_artifact(
+        name, spark, "/sf/a", lambda: spark.range(3).toDF("id")
+    )
+    assert (123, "/other/sf") not in A._MEMOS[name]  # swept, other key
+    assert got.count() == 3
+
+    def boom():
+        raise AssertionError("build called on a warm hit")
+
+    again = A.session_artifact(name, spark, "/sf/a", boom)
+    assert again is got
+
+    A.evict(name, spark, "/sf/a")
+    rebuilt = A.session_artifact(
+        name, spark, "/sf/a", lambda: spark.range(5).toDF("id")
+    )
+    assert rebuilt is not got and rebuilt.count() == 5
+    A._MEMOS.pop(name, None)
