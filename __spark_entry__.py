@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: oldest freshness debt in one round.
 _NEVER_DRIVER_SAMPLED = [
     "q121_domain_centroids",  # r11 oracle fix: outer CAST kills HUGEINT
+    "q161_bm25_retrieval",  # NEW in r11: exact-arithmetic BM25 lexical ranking
     "q147_dedup_disagreement",  # r11-touched (sub_planes decision; see SCALE.md)
     # --- newest driver evidence r4 ---
     "q33_media_metadata",

@@ -1374,3 +1374,114 @@ def sparse_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("doc_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+#: BM25 constants as exact rationals: k1 = 6/5 (1.2), b = 3/4 (0.75)
+#: — the standard Robertson defaults, chosen HERE because they keep
+#: every per-term weight an exact integer rational (see bm25_topk).
+BM25_SCALE = 1 << 20  # power-of-two fixed point for the summed scores
+
+
+def bm25_topk(
+    doc_terms: DataFrame,
+    query_ids: DataFrame,
+    k: int = 3,
+    df_cap: int = 64,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    tf_col: str = "tf",
+) -> DataFrame:
+    """Exact-arithmetic BM25 top-k retrieval over a (doc, term, tf)
+    posting table — the lexical ranking twin of
+    :func:`sparse_cosine_topk` (cosine weighs by raw tf; BM25 adds
+    the rarity and length-normalization terms every production
+    lexical stack uses).
+
+    **Exact math (the q124 discipline).** Textbook BM25 is
+    ``Σ_t idf(t)·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))`` with
+    ``idf = ln((N−df+½)/(df+½)+1)`` — unusable here twice over: ln
+    is NOT correctly-rounded across engines, and the per-term sum of
+    IEEE doubles is order-dependent. This variant keeps the exact
+    same tf/length normalization but uses Robertson's pre-log odds
+    ``idf = (N−df+½)/(df+½) = (2N−2df+1)/(2df+1)`` — an exact
+    integer rational, monotone in df like the log form — and
+    multiplies by the query-side tf. With k1 = 6/5, b = 3/4,
+    avgdl = TL/N (TL = Σ dl exact BIGINT):
+
+        contribution = qtf · (2N−2df+1)/(2df+1)
+                       · 44·tf·TL / (20·tf·TL + 6·TL + 18·dl·N)
+
+    quantized as ``⌊BM25_SCALE · num / den⌋`` — pure integer floor
+    division on DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so every
+    engine at every version computes the identical BIGINT, and the
+    per-query score is an exact integer SUM (order- and
+    partitioning-insensitive). Magnitudes: numerator ≤
+    SCALE·qtf·2N·44·tf·TL ≈ 1e29 at 5e7 docs — DECIMAL(38,0)-safe
+    past 1e8 docs; per-term contributions ≤ ~1e16 there, BIGINT-safe
+    summed over any real query length.
+
+    **Scale shape.** df prune at ``df_cap`` bounds the posting join
+    (Σ_term qdf·df, the q76 stop-term bound). The df frame joins on
+    term WITHOUT a forced broadcast — the shingle vocabulary grows
+    with the corpus, so a broadcast hint would OOM at 100 TB; AQE
+    promotes it when it is actually small. Corpus stats (N, TL) are
+    a 1-row broadcast (the q134 normalizer idiom). Returns
+    (query_id, doc_id, score_scaled, rank ≤ k); self-matches
+    excluded; query docs sharing no surviving term emit no rows."""
+    df_counts = doc_terms.groupBy(term_col).agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    posts = doc_terms.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(term_col).alias("term"),
+        F.col(tf_col).cast("long").alias("tf"),
+    )
+    # document length in TERM INSTANCES over the UNPRUNED space (the
+    # standard BM25 dl; pruning changes candidate generation, not
+    # the document model) + the 1-row corpus stats
+    dl = posts.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tl"),
+    )
+    pruned = posts.join(
+        df_counts.filter(F.col("df") <= df_cap), "term"
+    )
+    qpost = (
+        pruned.join(
+            query_ids.select(F.col(id_col).alias("doc_id")), "doc_id"
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "term",
+            F.col("tf").alias("qtf"),
+        )
+    )
+    cand = (
+        qpost.join(pruned, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = F.expr(
+        f"CAST((CAST({BM25_SCALE} AS DECIMAL(38,0)) * qtf"
+        "  * (2 * n_docs - 2 * df + 1) * 44 * tf * tl)"
+        " DIV ((CAST(2 AS DECIMAL(38,0)) * df + 1)"
+        "      * (CAST(20 AS DECIMAL(38,0)) * tf * tl"
+        "         + 6 * tl + 18 * dl * n_docs)) AS BIGINT)"
+    )
+    scored = (
+        cand.select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_scaled"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "score_scaled", F.col("rank").cast("int")
+        )
+    )

@@ -1977,3 +1977,110 @@ def q156_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE b - cum_before END AS BIGINT)"
         ).alias("allocated_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q161: exact-arithmetic BM25 retrieval — the lexical RANKING tier
+# next to q76's sparse cosine (cosine weighs raw tf symmetrically;
+# BM25 adds the rarity weight and document-length normalization that
+# production lexical retrieval actually ships, and is the standard
+# lexical side of hybrid fusion like q109/q111). Same shingle term
+# space and df_cap stop-term bound as q76 (the 31-word vocabulary
+# makes word-level postings useless — see the q76 section comment).
+#
+# Exact math: ln-IDF and per-term double sums are both
+# engine-version-dependent, so this is the pre-log Robertson-odds
+# BM25 with every per-term contribution a floor-quantized integer
+# rational — pure DECIMAL(38,0)/HUGEINT floor division, exact BIGINT
+# score sums at any summation order. Full derivation + magnitude
+# bounds in operators/similarity.bm25_topk.
+#
+# Scale shape: one posting aggregate, one df aggregate joined on
+# term WITHOUT a broadcast hint (the shingle vocabulary grows with
+# the corpus; AQE promotes when small), the Σ qdf·df candidate join
+# bounded by df_cap, a 1-row corpus-stats broadcast (q134's
+# normalizer idiom), one (query, doc) rollup, one query-keyed top-k
+# window.
+_Q161_N = 3
+_Q161_DF_CAP = 64
+_Q161_K = 3
+_Q161_QMOD = 16
+
+_Q161_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+terms AS (
+  SELECT doc_id, array_to_string(t[i:i+{_Q161_N - 1}], ' ') AS term,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks,
+       UNNEST(generate_series(1, GREATEST(len(t) - {_Q161_N - 1}, 1))) AS u(i)
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY term
+),
+dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM terms GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tl
+  FROM dl
+),
+pruned AS (
+  SELECT t.doc_id, t.term, t.tf, d.df
+  FROM terms t JOIN dfreq d ON d.term = t.term
+  WHERE d.df <= {_Q161_DF_CAP}
+),
+qpost AS (
+  SELECT doc_id AS query_id, term, tf AS qtf
+  FROM pruned WHERE doc_id % {_Q161_QMOD} = 0
+),
+cand AS (
+  SELECT q.query_id, p.doc_id,
+         CAST((CAST({1 << 20} AS HUGEINT) * q.qtf
+               * (2 * s.n_docs - 2 * p.df + 1) * 44 * p.tf * s.tl)
+              // ((2::HUGEINT * p.df + 1)
+                  * (20::HUGEINT * p.tf * s.tl
+                     + 6 * s.tl + 18 * l.dl * s.n_docs)) AS BIGINT) AS c
+  FROM qpost q
+  JOIN pruned p ON p.term = q.term AND p.doc_id <> q.query_id
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_scaled
+  FROM cand GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_scaled, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score_scaled DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_Q161_K}
+"""
+
+
+@query("q161_bm25_retrieval", oracle=_Q161_ORACLE)
+def q161_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic BM25 top-k retrieval (see section comment):
+    every 16th document queries the corpus over the q76 shingle
+    posting space; scores are floor-quantized integer-rational BM25
+    contributions summed as exact BIGINTs
+    (``operators.similarity.bm25_topk``). Returns
+    (query_id, doc_id, score_scaled, rank)."""
+    from shopify_db_spark.operators.similarity import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                TX.shingles_of_tokens(F.col("toks"), _Q161_N)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    queries = docs.filter(F.col("doc_id") % _Q161_QMOD == 0).select("doc_id")
+    return bm25_topk(terms, queries, k=_Q161_K, df_cap=_Q161_DF_CAP)

@@ -1213,3 +1213,38 @@ def test_ivf_assign_nonfinite_cosines_match_window_ordering(spark):
         for r in ivf_assign(vecs, cents_all_null).collect()
     }
     assert got == {1: 3, 2: 3}
+
+
+def test_bm25_topk_semantics(spark):
+    """BM25 ranking properties on a hand-built posting table:
+    (a) a rarer shared term outranks a more common one at equal tf
+    and dl; (b) at equal tf and df, the SHORTER document wins
+    (length normalization); (c) self-matches are excluded; (d) the
+    exact integer scores break ties deterministically by doc id."""
+    from shopify_db_spark.operators.similarity import bm25_topk
+
+    # corpus: query doc 0 plus docs 1..4. term 'rare' in {0,1};
+    # term 'common' in {0,2,3,4}. docs 3 and 4 are identical on
+    # 'common' but doc 4 is padded longer via filler terms.
+    rows = [
+        (0, "rare", 1), (0, "common", 1),
+        (1, "rare", 1), (1, "pad_a", 3),       # dl 4
+        (2, "common", 1), (2, "pad_b", 3),     # dl 4
+        (3, "common", 1), (3, "pad_c", 3),     # dl 4
+        (4, "common", 1), (4, "pad_d", 9),     # dl 10 — longer
+    ]
+    terms = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    queries = spark.createDataFrame([(0,)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["score_scaled"], r["rank"])
+        for r in bm25_topk(terms, queries, k=4).collect()
+    }
+    # (c) self excluded
+    assert 0 not in got
+    # (a) rare-term doc 1 (df=2) outranks common-term docs (df=4)
+    assert got[1][1] == 1
+    # (b) shorter doc with the same tf/df outranks the longer one
+    assert got[2][0] == got[3][0]  # identical docs → identical score
+    assert got[4][0] < got[3][0]
+    # (d) the 2-vs-3 tie breaks by doc id
+    assert got[2][1] == 2 and got[3][1] == 3 and got[4][1] == 4

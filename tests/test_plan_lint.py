@@ -50,6 +50,7 @@ CROSS_JOIN_OK = {
     "q149_balanced_subsample",  # 1-row min-count target broadcast applied per row (q134's normalizer idiom)
     "q156_budget_mixture",  # 1-row budget broadcast applied to the #sources-row allocation frame
     "q158_decayed_engagement",  # 1-row max-date broadcast applied per event (q134's normalizer idiom)
+    "q161_bm25_retrieval",  # 1-row corpus-stats (N, TL) broadcast applied per candidate posting (q134's normalizer idiom)
 }
 
 ALL = sorted(load_all())
@@ -120,6 +121,7 @@ SINGLE_PARTITION_OK = {
     "q156_budget_mixture": (3, "vocab NTILE offsets (#partitions rows) + 1-row budget final + partitionless greedy window over #sources rows (q70's bound)"),
     "q158_decayed_engagement": (1, "scalar max-date aggregate over partial aggs (one now row)"),
     "q159_knn_recall_gate": (1, "final scalar recall aggregate over partial aggs (one verdict row, q112's bound)"),
+    "q161_bm25_retrieval": (1, "scalar corpus-stats aggregate (n_docs, tl) over per-doc partial rows (q134's bound)"),
 }
 
 
