@@ -169,10 +169,12 @@ def main() -> None:
     from shopify_db_spark.plans.artifacts import evict
     from shopify_db_spark.plans.commerce import invoice_table
     from shopify_db_spark.plans.curation import simhash_clusters
+    from shopify_db_spark.plans.textops import bpe_encoded_table
 
     for label, artifact_name, builder in (
         ("artifact_materialization", "simhash_clusters", simhash_clusters),
         ("artifact_invoice_table", "invoice_table", invoice_table),
+        ("artifact_bpe_encoded", "bpe_encoded", bpe_encoded_table),
     ):
         try:
             # evict any memo hit (the warm-up loop builds artifacts
@@ -255,6 +257,7 @@ def main() -> None:
     _ARTIFACT_SHORT = {
         "artifact_materialization": "art_clu",
         "artifact_invoice_table": "art_inv",
+        "artifact_bpe_encoded": "art_bpe",
     }
 
     def _short(name: str) -> str:

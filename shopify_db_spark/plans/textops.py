@@ -1145,6 +1145,30 @@ def bpe_encode(
     )
 
 
+def bpe_encoded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-encoded corpus (doc_id, n_tokens_raw,
+    n_tokens_encoded) of ``sf_dir``'s documents under the default
+    q110 merge table, memoized per (session, sf_dir) and
+    localCheckpoint-pinned (``plans.artifacts.session_artifact`` —
+    same shape as the near-dup cluster map and the invoice table).
+
+    Two catalog consumers derive EXACTLY this frame — q115 (the
+    per-document encode report) and q145 (the per-language
+    fertility rollup) — and the train+apply rewrite chain is the
+    dominant term in both. At 100 TB the encoded corpus is a
+    materialized artifact written once per tokenizer release and
+    read by every length/fertility/packing consumer; re-training
+    the merge table per query is an artifact of the per-query
+    harness. bench.py times the cold build explicitly and reports
+    it as the ``artifact_bpe_encoded`` line item."""
+    from shopify_db_spark.plans.artifacts import session_artifact
+
+    def build() -> DataFrame:
+        return bpe_encode(load_table(spark, sf_dir, "documents"))
+
+    return session_artifact("bpe_encoded", spark, sf_dir, build)
+
+
 @query(
     "q115_bpe_encode",
     oracle=f"""
@@ -1162,8 +1186,10 @@ def q115_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     q110-trained merge table end-to-end and report per-document raw
     vs encoded token counts; see :func:`bpe_encode`. Every merge
     shortens a document by exactly one token, so the count pair
-    hash-checks the greedy fold application rule-for-rule."""
-    return bpe_encode(load_table(spark, sf_dir, "documents"))
+    hash-checks the greedy fold application rule-for-rule. Served
+    from the session artifact (:func:`bpe_encoded_table`) shared
+    with q145's fertility rollup."""
+    return bpe_encoded_table(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1793,9 +1819,12 @@ def q139_length_quantile_sketch(
 # q115's per-doc counts verbatim and rolls up by ``lang``:
 # compression = Σ encoded / Σ raw as ONE IEEE quotient of exact
 # BIGINT sums, plus chars-per-encoded-token from the normalized
-# char counts. Scale shape: q115's train+apply cost dominates; the
-# rollup adds one #langs-row aggregate with full partial
-# aggregation (~1 row per doc shuffled).
+# char counts. Scale shape: the encoded corpus is read from the
+# session artifact shared with q115 (``bpe_encoded_table`` — the
+# train+apply chain is computed once per corpus, exactly the
+# materialized encoded-corpus shape a tokenizer release produces);
+# the rollup adds one metadata equi-join and one #langs-row
+# aggregate with full partial aggregation (~1 row per doc shuffled).
 @query(
     "q145_tokenizer_fertility",
     oracle=f"""
@@ -1822,7 +1851,7 @@ def q145_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     section comment). Returns (lang, n_docs, raw_tokens,
     encoded_tokens, norm_chars, fertility, chars_per_token)."""
     docs = load_table(spark, sf_dir, "documents")
-    enc = bpe_encode(docs)
+    enc = bpe_encoded_table(spark, sf_dir)
     meta = docs.select(
         "doc_id",
         "lang",

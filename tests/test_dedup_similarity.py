@@ -1036,6 +1036,54 @@ def test_bpe_long_chain_checkpointed_and_ansi_safe(spark):
     assert out[0]["pair_count"] == 6
 
 
+def test_bpe_encoded_artifact_memoizes_and_matches_direct(spark):
+    """Round 11: q115/q145 share the session-memoized encoded-corpus
+    artifact (``bpe_encoded_table``). The memo must return the SAME
+    pinned frame on repeated access (one train+apply per corpus, the
+    materialized-artifact shape), and its rows must equal a direct
+    ``bpe_encode`` run — the memo changes WHERE the work happens,
+    never the result."""
+    from shopify_db_spark.plans import artifacts as A
+    from shopify_db_spark.plans.textops import bpe_encode, bpe_encoded_table
+    from shopify_db_spark.sources.tables import load_table
+
+    A.evict("bpe_encoded", spark, SF_SMOKE)
+    a1 = bpe_encoded_table(spark, SF_SMOKE)
+    a2 = bpe_encoded_table(spark, SF_SMOKE)
+    assert a1 is a2, "repeated access must hit the session memo"
+    direct = bpe_encode(load_table(spark, SF_SMOKE, "documents"))
+    assert sorted(map(tuple, a1.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_q145_fertility_consistent_with_q115_counts(spark):
+    """q145's per-language sums must equal rolling up q115's
+    per-document counts by the documents table's lang column —
+    the two consumers read one artifact and may never disagree."""
+    from shopify_db_spark.plans.catalog import QUERIES
+    from shopify_db_spark.sources.tables import load_table
+
+    per_doc = QUERIES["q115_bpe_encode"].fn(spark, SF_SMOKE)
+    per_lang = {
+        r["lang"]: (r["n_docs"], r["raw_tokens"], r["encoded_tokens"])
+        for r in QUERIES["q145_tokenizer_fertility"].fn(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    rolled = {
+        r["lang"]: (r["n"], r["raw"], r["enc"])
+        for r in per_doc.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_tokens_raw").cast("long")).alias("raw"),
+            F.sum(F.col("n_tokens_encoded").cast("long")).alias("enc"),
+        )
+        .collect()
+    }
+    assert per_lang == rolled
+
+
 def test_contrastive_topk_semantics_and_grid_parity(spark, clustered_vecs):
     """q116's operator on the clustered fixture: hardest positives
     share the anchor's label, hard negatives never do, ranks are
