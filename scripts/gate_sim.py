@@ -6,7 +6,13 @@ exactly the way the driver constructs its own session, then runs
 every ``__spark_entry__.queries()`` entry at sf0.01 against its
 DuckDB oracle with the same canonical compare the driver applies.
 
-Usage: python scripts/gate_sim.py [--out FILE] [sf_dir] [query ...]
+Usage: python scripts/gate_sim.py [--out FILE] [--reverse] [sf_dir]
+[query ...]
+
+``--reverse`` runs the catalog in reverse-alphabetical order — an
+order-dependence probe: a query that only passes because an earlier
+query registered a temp view or warmed a session memo hash-mismatches
+(or errors) here.
 
 ``--out FILE`` additionally writes the per-query lines + summary
 JSON straight to FILE — the committed ``GATE_r{N}.txt`` artifact
@@ -37,6 +43,9 @@ def main() -> None:
             )
         out_path = args[i + 1]
         del args[i : i + 2]
+    reverse = "--reverse" in args
+    if reverse:
+        args.remove("--reverse")
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entrymod
@@ -54,7 +63,7 @@ def main() -> None:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args or sorted(queries)
+    names = args or sorted(queries, reverse=reverse)
 
     results: dict[str, dict] = {}
     n_green = n_weak = n_bad = 0
