@@ -412,3 +412,82 @@ def test_every_stateful_sink_carries_the_redelivery_guard():
         f"{len(unguarded)} sink(s) without the at-least-once "
         f"redelivery guard: {unguarded}"
     )
+
+
+def test_checkpoint_restart_resumes_offsets_exactly_once(spark):
+    """Round 11: query RESTART from a checkpoint — the recovery axis
+    the bounded-replay gates never exercised (each gate query runs
+    one query lifetime). A checkpointed availableNow file stream
+    processes two files and terminates; a third file arrives while
+    the stream is down; a NEW query on the SAME checkpoint must
+    resume from the stored offsets — re-delivering nothing, picking
+    up only the new file, and CONTINUING the batch-id sequence. The
+    sink here deliberately has NO redelivery guard: any offset
+    replay double-counts and the exactly-once assertions fail."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "n_chars", (F.col("doc_id") % 3).alias("batch_no")
+    )
+    workdir = tempfile.mkdtemp(prefix="graft_restart_")
+    stream_dir = os.path.join(workdir, "in")
+    os.makedirs(stream_dir)
+    ckpt = os.path.join(workdir, "ckpt")
+    schema = docs.schema
+
+    def drop(batch_no: int) -> None:
+        tmp = os.path.join(workdir, f"tmp{batch_no}")
+        docs.filter(F.col("batch_no") == batch_no).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(
+            os.path.join(tmp, src),
+            os.path.join(stream_dir, f"b{batch_no}.parquet"),
+        )
+        time.sleep(0.05)  # strictly increasing mtimes (oldest-first order)
+
+    seen: list[tuple[int, int]] = []  # (batch_id, row_count)
+    delivered: set[int] = set()
+
+    def sink(batch_df, batch_id: int) -> None:
+        ids = [r["doc_id"] for r in batch_df.select("doc_id").collect()]
+        seen.append((batch_id, len(ids)))
+        delivered.update(ids)
+
+    def run_query() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        per_batch = {
+            r["batch_no"]: r["n"]
+            for r in docs.groupBy("batch_no")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        drop(0)
+        drop(1)
+        run_query()
+        rows_first_lifetime = sum(n for _, n in seen)
+        assert rows_first_lifetime == per_batch[0] + per_batch[1]
+        drop(2)
+        run_query()  # restart: same checkpoint, new query object
+        # offsets resumed: batch ids continue, nothing re-delivered
+        assert [b for b, _ in seen] == [0, 1, 2], seen
+        assert sum(n for _, n in seen) == sum(per_batch.values())
+        # every document delivered exactly once across both lifetimes
+        assert len(delivered) == sum(per_batch.values())
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
