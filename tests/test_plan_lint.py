@@ -242,6 +242,30 @@ def test_q20_and_q61_read_the_invoice_artifact(spark):
     )
 
 
+def test_q115_and_q145_read_the_bpe_artifact(spark):
+    """q115 and q145 must READ the materialized BPE-encoded corpus
+    (``textops.bpe_encoded_table`` — one train+apply per corpus),
+    not re-run the merge training per query. q115's declared plan is
+    the checkpoint scan itself (no joins, no exchanges); q145 layers
+    exactly one metadata equi-join and a #langs aggregate on top, so
+    its plan shows the checkpoint scan and must NOT contain the
+    training loop's signature crossJoin/broadcast-argmax chain."""
+    plan = _plan(spark, "q115_bpe_encode")
+    assert "ExistingRDD" in plan and "Join" not in plan, (
+        "q115 no longer reads the bpe_encoded artifact — "
+        "per-query retrain regressed:\n" + plan[:800]
+    )
+    plan145 = _plan(spark, "q145_tokenizer_fertility")
+    assert "ExistingRDD" in plan145, (
+        "q145 no longer reads the bpe_encoded artifact — "
+        "per-query retrain regressed"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan145, (
+        "q145's plan contains a cross join — the merge-training "
+        "argmax chain leaked back into the consumer:\n" + plan145[:800]
+    )
+
+
 def test_oracle_outputs_never_hugeint():
     """Round-10 lesson (the REAL q121/q124 driver-red root cause):
     DuckDB silently promotes ``SUM(BIGINT)`` — and BIGINT arithmetic
