@@ -2327,10 +2327,20 @@ _Q135_K = 5  # selections per query
 
 
 def _q135_oracle() -> str:
+    # Every CTE that later rounds reference MORE THAN ONCE is marked
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+    # each m{r} references sel{r-1} twice (the anti-join probe and
+    # the selected-pair join), so the unhinted chain re-derives the
+    # whole candidate generation O(2^K) times — measured harmless for
+    # q135's brute-force candidates but an OutOfMemoryException for
+    # q138's spliced IVF candidate CTEs at sf0.1 under concurrent
+    # memory pressure (round-11 full-catalog sf0.1 sweep). Hinting
+    # the shared frames collapses the expansion to one evaluation
+    # each — the same shape the Spark twin gets from localCheckpoint.
     rounds = []
     sel_union = "SELECT query_id, neighbor_id FROM a1"
     for r in range(2, _Q135_K + 1):
-        rounds.append(f"""sel{r - 1} AS ({sel_union}),
+        rounds.append(f"""sel{r - 1} AS MATERIALIZED ({sel_union}),
 m{r} AS (
   SELECT c.query_id, c.neighbor_id, c.rel, MAX(p.s) AS ms
   FROM cand c
@@ -2361,7 +2371,7 @@ WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id % {QUERY_MOD} = 0
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT query_id, neighbor_id, rel FROM (
     SELECT q.query_id, c.vec_id AS neighbor_id,
            {_sql_cosine('q.qv', 'c.embedding')} AS rel,
@@ -2371,7 +2381,7 @@ cand AS (
     FROM q JOIN embeddings c ON c.vec_id != q.query_id
   ) WHERE rank <= {_Q135_C}
 ),
-ps AS (
+ps AS MATERIALIZED (
   SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
          {_sql_cosine('e1.embedding', 'e2.embedding')} AS s
   FROM cand c1
@@ -2531,7 +2541,7 @@ def _q138_oracle() -> str:
     # splice q101's IVF candidate CTEs in place of the brute-force
     # candidate CTE; everything downstream (ps, a1, rounds) is
     # byte-identical to q135's oracle.
-    brute = f"""cand AS (
+    brute = f"""cand AS MATERIALIZED (
   SELECT query_id, neighbor_id, rel FROM (
     SELECT q.query_id, c.vec_id AS neighbor_id,
            {_sql_cosine('q.qv', 'c.embedding')} AS rel,
@@ -2545,7 +2555,7 @@ def _q138_oracle() -> str:
   SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
   WHERE vec_id % {CENTROID_MOD} = 0
 ),
-scored_assign AS (
+scored_assign AS MATERIALIZED (
   SELECT v.vec_id, v.embedding, c.centroid_id,
          ROW_NUMBER() OVER (
            PARTITION BY v.vec_id
@@ -2560,7 +2570,7 @@ probes AS (
   SELECT vec_id AS query_id, embedding AS pqv, centroid_id
   FROM scored_assign WHERE r <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT query_id, neighbor_id, rel FROM (
     SELECT p.query_id, c.vec_id AS neighbor_id,
            {_sql_cosine('p.pqv', 'c.embedding')} AS rel,
