@@ -266,6 +266,28 @@ def test_q115_and_q145_read_the_bpe_artifact(spark):
     )
 
 
+def test_mmr_oracle_round_chain_is_materialized():
+    """Round-11 sweep lesson: DuckDB inlines plain CTEs once per
+    REFERENCE, and each MMR round references the previous selection
+    set twice, so the unhinted q135/q138 round chain re-derived the
+    whole candidate generation O(2^K) times — q138's spliced IVF
+    candidates OOMed DuckDB at sf0.1 under concurrent memory
+    pressure (measured: old oracle fails a 12 GB cap, materialized
+    oracle runs in <1 s with row-identical output). Pin the hints so
+    a rewrite cannot silently reintroduce the exponential shape."""
+    from shopify_db_spark.plans.vectorops import _Q135_K, _q135_oracle, _q138_oracle
+
+    for sql in (_q135_oracle(), _q138_oracle()):
+        for r in range(1, _Q135_K):
+            assert f"sel{r} AS MATERIALIZED (" in sql, (
+                f"sel{r} lost its MATERIALIZED hint — the MMR round "
+                "chain is exponential again"
+            )
+        assert "cand AS MATERIALIZED (" in sql
+        assert "ps AS MATERIALIZED (" in sql
+    assert "scored_assign AS MATERIALIZED (" in _q138_oracle()
+
+
 def test_oracle_outputs_never_hugeint():
     """Round-10 lesson (the REAL q121/q124 driver-red root cause):
     DuckDB silently promotes ``SUM(BIGINT)`` — and BIGINT arithmetic
