@@ -38,15 +38,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: is fixed this round and needs the first green driver row in the
 #: project's history — then every round-11-changed query, then the
 #: full pre-round-8 evidence tail oldest-first (newest driver pass
-#: r4–r7; computed from the union of CORRECTNESS_r01–r10). 49
-#: entries: the 50-query sample re-certifies the fix AND clears the
-#: oldest freshness debt in one round.
+#: r4–r7; computed from the union of CORRECTNESS_r01–r10). 51
+#: entries: the 50-query sample re-certifies the fixes AND clears
+#: the oldest freshness debt in one round.
 _NEVER_DRIVER_SAMPLED = [
     "q121_domain_centroids",  # r11 oracle fix: outer CAST kills HUGEINT
     "q161_bm25_retrieval",  # NEW in r11: exact-arithmetic BM25 lexical ranking
     "q147_dedup_disagreement",  # r11-touched (sub_planes decision; see SCALE.md)
     "q115_bpe_encode",  # r11-touched: served from the bpe_encoded artifact
     "q145_tokenizer_fertility",  # r11-touched: reads the shared artifact
+    "q135_mmr_rerank",  # r11-touched: MATERIALIZED oracle round chain
+    "q138_mmr_ivf",  # r11-touched: same fix; was the sf0.1 oracle OOM
     # --- newest driver evidence r4 ---
     "q33_media_metadata",
     "q34_media_features",
