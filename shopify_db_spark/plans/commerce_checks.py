@@ -118,7 +118,7 @@ def _oracle_norm_prefix() -> str:
             cte_name="invoice_base",
         )
         + f""",
-norm AS (
+norm AS MATERIALIZED (
     SELECT "CUSTOMER NO", "PAID AMOUNT", "ORDER LINE - COUNT",
            "ORDER LINE - UNIT PRICE", "ORDER LINE - DISCOUNT",
            "ORDER LINE - VAT CODE", "INVOICE DATE", "DELIVERY DATE",
