@@ -38,9 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: is fixed this round and needs the first green driver row in the
 #: project's history — then every round-11-changed query, then the
 #: full pre-round-8 evidence tail oldest-first (newest driver pass
-#: r4–r7; computed from the union of CORRECTNESS_r01–r10). 51
-#: entries: the 50-query sample re-certifies the fixes AND clears
-#: the oldest freshness debt in one round.
+#: r4–r7; computed from the union of CORRECTNESS_r01–r10). 56
+#: entries (> the 50-query sample — the oldest-evidence tail past
+#: 50 yields to the r11-changed head): the sample re-certifies the
+#: fixes AND clears most of the freshness debt in one round.
 _NEVER_DRIVER_SAMPLED = [
     "q121_domain_centroids",  # r11 oracle fix: outer CAST kills HUGEINT
     "q161_bm25_retrieval",  # NEW in r11: exact-arithmetic BM25 lexical ranking
@@ -49,6 +50,11 @@ _NEVER_DRIVER_SAMPLED = [
     "q145_tokenizer_fertility",  # r11-touched: reads the shared artifact
     "q135_mmr_rerank",  # r11-touched: MATERIALIZED oracle round chain
     "q138_mmr_ivf",  # r11-touched: same fix; was the sf0.1 oracle OOM
+    "q61_invoice_verify",  # r11-touched: MATERIALIZED oracle norm CTE
+    "q50_dup_clusters",  # r11-touched: MATERIALIZED pairs/edges CTEs
+    "q125_canonical_corpus",  # r11-touched: same CC-oracle fix
+    "q137_cluster_split",  # r11-touched: same CC-oracle fix
+    "q146_soft_dedup_weights",  # r11-touched: same CC-oracle fix
     # --- newest driver evidence r4 ---
     "q33_media_metadata",
     "q34_media_features",

@@ -40,8 +40,8 @@ from shopify_db_spark.sources.tables import load_table
 # (nested WITH — DuckDB scopes it inside the CTE), which doubles as
 # an independent check of the Spark-side label propagation.
 _Q50_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_Q27_ORACLE}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({_Q27_ORACLE}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -1415,8 +1415,8 @@ def q124_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q125_STOPS = "'the','a','of','and','to','in','is','that','it','for'"
 
 _Q125_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_Q27_ORACLE}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({_Q27_ORACLE}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
@@ -1865,8 +1865,8 @@ def q136_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q137_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_Q27_ORACLE}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({_Q27_ORACLE}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
