@@ -286,6 +286,22 @@ def test_mmr_oracle_round_chain_is_materialized():
         assert "cand AS MATERIALIZED (" in sql
         assert "ps AS MATERIALIZED (" in sql
     assert "scored_assign AS MATERIALIZED (" in _q138_oracle()
+    # Same class, other proven-expensive sites: q61's 8×-referenced
+    # norm CTE (117.6 → 3.3 s at sf0.1) and the recursive-CC
+    # oracles' pair/edge CTEs re-derived inside the recursive step
+    # (q50 317 → 129 s). All verified row-identical old-vs-new.
+    from shopify_db_spark.plans.catalog import QUERIES
+
+    assert "norm AS MATERIALIZED (" in QUERIES["q61_invoice_verify"].oracle
+    for cc in (
+        "q50_dup_clusters",
+        "q125_canonical_corpus",
+        "q137_cluster_split",
+        "q146_soft_dedup_weights",
+    ):
+        sql = QUERIES[cc].oracle
+        assert "pairs AS MATERIALIZED (" in sql, cc
+        assert "edges AS MATERIALIZED (" in sql, cc
 
 
 def test_oracle_outputs_never_hugeint():
