@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -44,6 +45,13 @@ def main() -> None:
     from shopify_db_spark.plans import load_all
     from shopify_db_spark.sources.tables import BENCH_TABLES
 
+    # --limit/--sf reach SQL strings: SET/CREATE VIEW cannot be
+    # prepared statements in DuckDB, so validate the limit's shape
+    # and quote-escape the parquet path literal (ADVICE r11: a
+    # quote in the directory name broke the interpolated DDL).
+    if not re.fullmatch(r"\d+(\.\d+)?\s*[KMGT]i?B", args.limit, re.IGNORECASE):
+        sys.exit(f"--limit {args.limit!r} is not a size like 12GB")
+
     specs = load_all()
     names = args.queries or sorted(n for n in specs if specs[n].oracle)
     slow: dict[str, float] = {}
@@ -57,9 +65,11 @@ def main() -> None:
         try:
             con.execute(f"SET memory_limit='{args.limit}'")
             for t in BENCH_TABLES:
+                # CREATE VIEW cannot be a prepared statement in
+                # DuckDB, so escape the path into the literal.
+                path = os.path.join(args.sf, t + ".parquet").replace("'", "''")
                 con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"'{os.path.join(args.sf, t + '.parquet')}'"
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )
             t0 = time.perf_counter()
             con.execute(oracle).fetchall()

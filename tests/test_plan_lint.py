@@ -266,6 +266,30 @@ def test_q115_and_q145_read_the_bpe_artifact(spark):
     )
 
 
+def test_duckdb_supports_materialized_cte_hints():
+    """The `AS MATERIALIZED` hints the materialization lint below
+    pins are DuckDB >= 0.9 syntax (ADVICE r11): on an older
+    interpreter every hinted oracle would fail to PARSE rather than
+    just run slowly. Pin the minimum here so the environment fails
+    one obvious test instead of seven opaque oracle errors."""
+    import duckdb
+
+    major, minor = (int(x) for x in duckdb.__version__.split(".")[:2])
+    assert (major, minor) >= (0, 9), (
+        f"duckdb {duckdb.__version__} predates CTE materialization "
+        "hints; the q61/q135/q138/CC oracles will not parse"
+    )
+    # and the syntax actually parses on this interpreter:
+    con = duckdb.connect()
+    try:
+        assert con.execute(
+            "WITH t AS MATERIALIZED (SELECT 1 AS x) "
+            "SELECT x FROM t UNION ALL SELECT x FROM t"
+        ).fetchall() == [(1,), (1,)]
+    finally:
+        con.close()
+
+
 def test_mmr_oracle_round_chain_is_materialized():
     """Round-11 sweep lesson: DuckDB inlines plain CTEs once per
     REFERENCE, and each MMR round references the previous selection
