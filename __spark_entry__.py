@@ -32,81 +32,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries surfaced FIRST in registration order so an order-sensitive
 #: 50-query driver sampler reaches them; harmless if the sample is
-#: uniform. Remove entries as CORRECTNESS_r{N}.json covers them.
-#: Round-11 contents (per the r10 verdict, item 6): q121 first — its
-#: oracle's un-cast HUGEINT output (the real r9/r10 red root cause)
-#: is fixed this round and needs the first green driver row in the
-#: project's history — then every round-11-changed query, then the
-#: full pre-round-8 evidence tail oldest-first (newest driver pass
-#: r4–r7; computed from the union of CORRECTNESS_r01–r10). 56
-#: entries (> the 50-query sample — the oldest-evidence tail past
-#: 50 yields to the r11-changed head): the sample re-certifies the
-#: fixes AND clears most of the freshness debt in one round.
+#: uniform. COMPUTED, not curated (VERDICT r11 item 1): regenerate
+#: with ``python scripts/rotation.py`` after the round's last plan
+#: change — current-round plan-affected queries first (enforced by
+#: tests/test_rotation_lint.py), then the round-12 verdict's 18
+#: prescribed re-certs (q20 artifact-read plan, the un-rotated
+#: ivf_assign consumers, the r7-evidence tier q92-q99), then the
+#: computed stale set oldest-evidence-first. Entries past the
+#: 50-query sample are next round's starting debt.
+# computed by scripts/rotation.py (base round-11; 0 plan-affected this round)
 _NEVER_DRIVER_SAMPLED = [
-    "q121_domain_centroids",  # r11 oracle fix: outer CAST kills HUGEINT
-    "q161_bm25_retrieval",  # NEW in r11: exact-arithmetic BM25 lexical ranking
-    "q147_dedup_disagreement",  # r11-touched (sub_planes decision; see SCALE.md)
-    "q115_bpe_encode",  # r11-touched: served from the bpe_encoded artifact
-    "q145_tokenizer_fertility",  # r11-touched: reads the shared artifact
-    "q135_mmr_rerank",  # r11-touched: MATERIALIZED oracle round chain
-    "q138_mmr_ivf",  # r11-touched: same fix; was the sf0.1 oracle OOM
-    "q61_invoice_verify",  # r11-touched: MATERIALIZED oracle norm CTE
-    "q50_dup_clusters",  # r11-touched: MATERIALIZED pairs/edges CTEs
-    "q125_canonical_corpus",  # r11-touched: same CC-oracle fix
-    "q137_cluster_split",  # r11-touched: same CC-oracle fix
-    "q146_soft_dedup_weights",  # r11-touched: same CC-oracle fix
-    # --- newest driver evidence r4 ---
-    "q33_media_metadata",
-    "q34_media_features",
-    "q35_frame_sample_plan",
-    "q36_customer_map",
-    "q37_product_search",
-    "q49_streaming_merge",
-    "q59_streaming_windows",
-    # --- r5 ---
-    "q48_hourly_gapfill",
-    # --- r6 ---
-    "q15_tumbling_window",
-    "q16_json_extract",
-    "q19_event_funnel",
-    "q41_cohort_retention",
-    "q42_value_percentiles",
-    "q43_approx_stats",
-    "q44_asof_config",
-    "q45_promo_range_join",
-    # --- r7 ---
-    "q101_ivf_nprobe",
-    "q102_incremental_dedup_capped",
-    "q105_quantized_ann",
-    "q106_ivf_quantized",
-    "q107_cosine_topk_grid",
-    "q108_incremental_ann",
-    "q109_hybrid_rrf",
-    "q111_hybrid_rrf_ivf",
-    "q60_stateful_activity",
-    "q73_incremental_dedup",
-    "q74_semantic_dedup",
-    "q77_entity_resolution",
-    "q78_markov_transitions",
-    "q79_rolling_revenue",
-    "q81_scd2_intervals",
-    "q82_basket_pairs",
-    "q83_hopping_window",
-    "q87_embedding_audit",
-    "q88_incremental_agg",
-    "q89_orc_roundtrip",
-    "q90_incremental_cms",
-    "q91_copurchase_pagerank",
-    "q92_rfm_segments",
-    "q93_touch_attribution",
-    "q94_schema_evolution",
-    "q95_snapshot_diff",
-    "q96_fk_profile",
-    "q97_column_profile",
-    "q98_cascade_delete_plan",
-    "q99_category_association",
+    "q20_invoice_pipeline",  # pinned
+    "q112_ann_recall_gate",  # pinned
+    "q113_incremental_ann_evict",  # pinned
+    "q114_streaming_ann",  # pinned
+    "q117_contrastive_ivf",  # pinned
+    "q147_dedup_disagreement",  # pinned
+    "q148_split_balance",  # pinned
+    "q151_bitext_mining",  # pinned
+    "q152_knn_hubness",  # pinned
+    "q159_knn_recall_gate",  # pinned
+    "q92_rfm_segments",  # pinned
+    "q93_touch_attribution",  # pinned
+    "q94_schema_evolution",  # pinned
+    "q95_snapshot_diff",  # pinned
+    "q96_fk_profile",  # pinned
+    "q97_column_profile",  # pinned
+    "q98_cascade_delete_plan",  # pinned
+    "q99_category_association",  # pinned
+    "q100_corpus_ship",  # stale since r8
+    "q103_lexical_rarity",  # stale since r8
+    "q104_embedding_quantize",  # stale since r8
+    "q110_bpe_merges",  # stale since r8
+    "q116_contrastive_pairs",  # stale since r8
+    "q14_sessionize",  # stale since r8
+    "q51_stratified_sample",  # stale since r8
+    "q52_length_deciles",  # stale since r8
+    "q53_contamination",  # stale since r8
+    "q54_window_chunks",  # stale since r8
+    "q55_repetition_stats",  # stale since r8
+    "q56_pii_scan",  # stale since r8
+    "q57_boilerplate_filter",  # stale since r8
+    "q58_sequence_packing",  # stale since r8
+    "q69_geo_heatmap",  # stale since r8
+    "q70_mixture_weights",  # stale since r8
+    "q71_shuffle_split",  # stale since r8
+    "q72_dup_spans",  # stale since r8
+    "q75_bloom_decontamination",  # stale since r8
+    "q80_weighted_sample",  # stale since r8
+    "q85_cross_source_dups",  # stale since r8
+    "q86_count_min_sketch",  # stale since r8
+    "q119_balanced_clusters",  # stale since r9
+    "q120_curriculum_sample",  # stale since r9
+    "q123_snapshot_diff",  # stale since r9
+    "q127_ivf_label_infer",  # stale since r9
+    "q128_refresh_dedup",  # stale since r9
+    "q130_hll_distinct",  # stale since r9
+    "q131_mixture_temperature",  # stale since r9
+    "q132_hll_overlap",  # stale since r9
+    "q133_streaming_hll",  # stale since r9
+    "q134_source_keywords",  # stale since r9
+    "q136_split_leakage",  # stale since r9
+    "q139_length_quantile_sketch",  # stale since r9
+    "q140_target_affinity",  # stale since r9
+    "q141_kcenter_coreset",  # stale since r9
+    "q144_streaming_histogram",  # stale since r9
+    "q149_balanced_subsample",  # stale since r9
+    "q150_batch_padding",  # stale since r9
+    "q153_domain_coherence",  # stale since r9
+    "q154_novelty_curve",  # stale since r9
+    "q155_streaming_novelty",  # stale since r9
 ]
-
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, with
