@@ -40,9 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ivf_assign consumers, the r7-evidence tier q92-q99), then the
 #: computed stale set oldest-evidence-first. Entries past the
 #: 50-query sample are next round's starting debt.
-# computed by scripts/rotation.py (base round-11; 0 plan-affected this round)
+# computed by scripts/rotation.py (base round-11; 8 plan-affected this round)
 _NEVER_DRIVER_SAMPLED = [
-    "q20_invoice_pipeline",  # pinned
+    "q20_invoice_pipeline",  # round-affected
+    "q61_invoice_verify",  # round-affected
+    "q115_bpe_encode",  # round-affected
+    "q145_tokenizer_fertility",  # round-affected
+    "q50_dup_clusters",  # round-affected
+    "q125_canonical_corpus",  # round-affected
+    "q137_cluster_split",  # round-affected
+    "q146_soft_dedup_weights",  # round-affected
     "q112_ann_recall_gate",  # pinned
     "q113_incremental_ann_evict",  # pinned
     "q114_streaming_ann",  # pinned
@@ -95,13 +102,6 @@ _NEVER_DRIVER_SAMPLED = [
     "q136_split_leakage",  # stale since r9
     "q139_length_quantile_sketch",  # stale since r9
     "q140_target_affinity",  # stale since r9
-    "q141_kcenter_coreset",  # stale since r9
-    "q144_streaming_histogram",  # stale since r9
-    "q149_balanced_subsample",  # stale since r9
-    "q150_batch_padding",  # stale since r9
-    "q153_domain_coherence",  # stale since r9
-    "q154_novelty_curve",  # stale since r9
-    "q155_streaming_novelty",  # stale since r9
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -291,10 +291,12 @@ def round_base(repo: str = REPO) -> str | None:
 
 def changed_lines(base: str, repo: str = REPO) -> dict[str, set[int]] | None:
     """file relpath -> changed NEW-file line numbers (removal-only
-    hunks mark the line at the removal point), for ``shopify_db_spark/``."""
+    hunks mark the line at the removal point), for ``shopify_db_spark/``.
+    Diffs ``base`` against the WORKING TREE (not just HEAD) so the
+    lint sees uncommitted plan changes too."""
     try:
         diff = subprocess.run(
-            ["git", "diff", "--no-renames", "--unified=0", f"{base}..HEAD", "--", PKG],
+            ["git", "diff", "--no-renames", "--unified=0", base, "--", PKG],
             cwd=repo, capture_output=True, text=True, check=True,
         ).stdout
     except (subprocess.CalledProcessError, OSError):
