@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ivf_assign consumers, the r7-evidence tier q92-q99), then the
 #: computed stale set oldest-evidence-first. Entries past the
 #: 50-query sample are next round's starting debt.
-# computed by scripts/rotation.py (base round-11; 8 plan-affected this round)
+# computed by scripts/rotation.py (base round-11; 19 plan-affected this round)
 _NEVER_DRIVER_SAMPLED = [
     "q20_invoice_pipeline",  # round-affected
     "q61_invoice_verify",  # round-affected
@@ -50,9 +50,19 @@ _NEVER_DRIVER_SAMPLED = [
     "q125_canonical_corpus",  # round-affected
     "q137_cluster_split",  # round-affected
     "q146_soft_dedup_weights",  # round-affected
+    "q49_streaming_merge",  # round-affected
+    "q59_streaming_windows",  # round-affected
+    "q60_stateful_activity",  # round-affected
+    "q73_incremental_dedup",  # round-affected
+    "q102_incremental_dedup_capped",  # round-affected
+    "q90_incremental_cms",  # round-affected
+    "q114_streaming_ann",  # round-affected
+    "q133_streaming_hll",  # round-affected
+    "q144_streaming_histogram",  # round-affected
+    "q155_streaming_novelty",  # round-affected
+    "q160_streaming_engagement",  # round-affected
     "q112_ann_recall_gate",  # pinned
     "q113_incremental_ann_evict",  # pinned
-    "q114_streaming_ann",  # pinned
     "q117_contrastive_ivf",  # pinned
     "q147_dedup_disagreement",  # pinned
     "q148_split_balance",  # pinned
@@ -94,14 +104,6 @@ _NEVER_DRIVER_SAMPLED = [
     "q123_snapshot_diff",  # stale since r9
     "q127_ivf_label_infer",  # stale since r9
     "q128_refresh_dedup",  # stale since r9
-    "q130_hll_distinct",  # stale since r9
-    "q131_mixture_temperature",  # stale since r9
-    "q132_hll_overlap",  # stale since r9
-    "q133_streaming_hll",  # stale since r9
-    "q134_source_keywords",  # stale since r9
-    "q136_split_leakage",  # stale since r9
-    "q139_length_quantile_sketch",  # stale since r9
-    "q140_target_affinity",  # stale since r9
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

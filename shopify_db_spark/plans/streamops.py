@@ -704,8 +704,6 @@ def q90_incremental_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the sketch tier). The oracle builds the sketch over the whole
     corpus in one shot; merge-by-addition makes the two identical —
     the mergeability contract, gate-checked."""
-    from shopify_db_spark.functions.text import md5_bucket, tokens
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 3).alias("batch_no")
     )
@@ -721,46 +719,7 @@ def q90_incremental_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
-        # spread the single-partition micro-batch so the tokenize +
-        # per-term md5 bucketing runs at session parallelism (the
-        # q114 single-partition root cause — SCALE.md round 9)
-        counts = (
-            batch_df.repartition(
-                spark.sparkContext.defaultParallelism, F.col("doc_id")
-            )
-            .select(F.explode(tokens(F.col("text"))).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        cells = (
-            counts.select(
-                "n",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(j).alias("j"),
-                                md5_bucket(
-                                    F.col("term"), f"cms{j}", _Q90_W
-                                ).alias("bucket"),
-                            )
-                            for j in range(_Q90_D)
-                        ]
-                    )
-                ).alias("jb"),
-            )
-            .groupBy(
-                F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
-            )
-            .agg(F.sum("n").alias("n"))
-        )
-        state["cells"] = (
-            state["cells"]
-            .unionByName(cells)
-            .groupBy("j", "bucket")
-            .agg(F.sum("n").alias("n"))
-            .localCheckpoint()
-        )
+        _cms_merge(spark, state, batch_df, batch_id)
 
     try:
         q = (
@@ -809,14 +768,17 @@ def streaming_ann_maintenance(
     per-batch work (probe join ≤ cap × batch-cell rows, admission
     re-rank ≤ cap + batch-cell rows per cell) is unchanged.
     Returns (query_id, neighbor_id, cosine, rank) over all batches."""
-    from shopify_db_spark.operators.similarity import (
-        ann_index_admit,
-        ann_index_probe,
-        ivf_assign,
-    )
-
     stream_dir = _write_batch_files(vectors, "batch", n_batches)
-    state: dict = {"index": None, "counts": None, "out": None, "seen": set()}
+    state: dict = {
+        "index": None,
+        "counts": None,
+        "out": None,
+        "seen": set(),
+        "centroids": centroids,
+        "k": k,
+        "cell_cap": cell_cap,
+        "admit": admit,
+    }
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a transient failure can
@@ -830,30 +792,7 @@ def streaming_ann_maintenance(
         state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
-        # The one-file-per-trigger replay source delivers each
-        # micro-batch as a SINGLE partition, and ivf_assign's n×K
-        # cosine projection runs pre-shuffle at source parallelism —
-        # measured 9-14 s/batch single-threaded vs ~1-3 s spread at
-        # the ×10 scale point (SCALE.md round 9). A production
-        # kafka/kinesis source arrives partitioned already; the
-        # repartition restores that property for the bounded-replay
-        # harness (hash on the id keeps it deterministic).
-        spread = batch_df.repartition(
-            spark.sparkContext.defaultParallelism, F.col("vec_id")
-        )
-        a = ivf_assign(
-            spread, centroids, keep_score=(admit == "distance")
-        ).localCheckpoint()
-        if state["index"] is not None:
-            out = ann_index_probe(a, state["index"], k)
-            state["out"] = (
-                out
-                if state["out"] is None
-                else state["out"].unionByName(out)
-            ).localCheckpoint()
-        state["index"], state["counts"] = ann_index_admit(
-            a, state["index"], state["counts"], cell_cap, admit, int(batch_id)
-        )
+        _ann_merge(spark, state, batch_df, batch_id)
 
     try:
         q = (
@@ -866,12 +805,7 @@ def streaming_ann_maintenance(
             .start()
         )
         q.awaitTermination()
-        if state["out"] is not None:
-            return state["out"]
-        return spark.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, cosine double, rank int",
-        )
+        return _ann_result(spark, state)
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
 
@@ -958,8 +892,6 @@ def q133_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers MAX-merged into the accumulated state inside
     ``foreachBatch``. Returns the final (source, idx, rho) register
     table — bit-identical to the one-shot batch sketch."""
-    from shopify_db_spark.functions.text import tokens
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", (F.col("doc_id") % 3).alias("batch_no")
     )
@@ -977,25 +909,7 @@ def q133_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
-        # spread the single-partition micro-batch (q114 root cause)
-        toks = (
-            batch_df.repartition(
-                spark.sparkContext.defaultParallelism, F.col("doc_id")
-            )
-            .select(
-                "source", F.explode(tokens(F.col("text"))).alias("term")
-            )
-        )
-        regs = hll_registers(toks, ["source"]).select(
-            "source", "idx", F.col("rho").cast("int").alias("rho")
-        )
-        state["regs"] = (
-            state["regs"]
-            .unionByName(regs)
-            .groupBy("source", "idx")
-            .agg(F.max("rho").alias("rho"))
-            .localCheckpoint()
-        )
+        _hll_merge(spark, state, batch_df, batch_id)
 
     try:
         q = (
@@ -1047,8 +961,6 @@ def q144_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch histograms SUM-merged into the accumulated state
     inside ``foreachBatch``. Returns the final (source, bucket, cnt)
     register table — bit-identical to the one-shot batch sketch."""
-    from shopify_db_spark.functions.text import tokens
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", (F.col("doc_id") % 3).alias("batch_no")
     )
@@ -1064,24 +976,7 @@ def q144_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
-        # spread the single-partition micro-batch (q114 root cause)
-        lens = (
-            batch_df.repartition(
-                spark.sparkContext.defaultParallelism, F.col("doc_id")
-            )
-            .select(
-                "source",
-                F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
-            )
-        )
-        hist = length_histogram(lens, ["source"])
-        state["hist"] = (
-            state["hist"]
-            .unionByName(hist)
-            .groupBy("source", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint()
-        )
+        _hist_merge(spark, state, batch_df, batch_id)
 
     try:
         q = (
@@ -1174,12 +1069,7 @@ def q155_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 3), per-batch shingle registers MAX-merged into 64
     rows of state, per-batch distinct estimate + growth. Returns
     (batch_no, register_sum, est_total, est_new)."""
-    from shopify_db_spark.plans.textops import (
-        hll_estimate,
-        hll_register_sum,
-        hll_registers,
-    )
-    from shopify_db_spark.functions.text import tokens
+    from shopify_db_spark.plans.textops import hll_estimate
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 3).alias("batch_no")
@@ -1197,40 +1087,7 @@ def q155_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
-        bno = batch_df.agg(F.min("batch_no")).collect()[0][0]
-        sh = (
-            batch_df.repartition(
-                spark.sparkContext.defaultParallelism, F.col("doc_id")
-            )
-            .select("doc_id", tokens(F.col("text")).alias("t"))
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, greatest(size(t) - 2, 1)), "
-                        "i -> concat_ws(' ', slice(t, i, 3)))"
-                    )
-                ).alias("term")
-            )
-            .distinct()
-        )
-        regs = hll_registers(sh, []).select(
-            "idx", F.col("rho").cast("int").alias("rho")
-        )
-        state["regs"] = (
-            state["regs"]
-            .unionByName(regs)
-            .groupBy("idx")
-            .agg(F.max("rho").alias("rho"))
-            .localCheckpoint()
-        )
-        row = (
-            hll_register_sum(
-                state["regs"].withColumn("__g", F.lit(1)), ["__g"]
-            )
-            .select("register_sum")
-            .collect()[0]
-        )
-        state["out"].append((int(bno), int(row["register_sum"])))
+        _novelty_merge(spark, state, batch_df, batch_id)
 
     try:
         q = (
@@ -1325,22 +1182,7 @@ def q160_streaming_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["seen"].add(batch_id)
         if batch_df.isEmpty():
             return
-        spread = batch_df.repartition(
-            spark.sparkContext.defaultParallelism, F.col("event_id")
-        )
-        hist = spread.groupBy("user_id", "d").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        bmax = spread.agg(F.max("d")).collect()[0][0]
-        if state["max_d"] is None or bmax > state["max_d"]:
-            state["max_d"] = bmax
-        state["hist"] = (
-            state["hist"]
-            .unionByName(hist)
-            .groupBy("user_id", "d")
-            .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint()
-        )
+        _engagement_merge(spark, state, batch_df, batch_id)
 
     try:
         q = (
@@ -1353,28 +1195,379 @@ def q160_streaming_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        now_d = F.lit(state["max_d"])
-        aged = state["hist"].select(
-            "user_id",
-            "cnt",
-            F.datediff(now_d, F.col("d")).alias("age_days"),
-        ).withColumn(
-            "w_ppm",
-            # clamp at 20 (10⁶ < 2²⁰ ⇒ weight exactly 0) and BIGINT
-            # base — Spark wraps the shift amount mod the base width,
-            # so an int base wraps at 32 (q158 section comment)
-            F.expr(
-                "CASE WHEN age_days DIV 7 >= 20 THEN CAST(0 AS BIGINT) "
-                "ELSE shiftright(CAST(1000000 AS BIGINT), "
-                "CAST(age_days DIV 7 AS INT)) END"
-            ),
-        )
-        return aged.groupBy("user_id").agg(
-            F.sum("cnt").alias("n_events"),
-            F.sum(F.col("cnt") * F.col("w_ppm").cast("long")).alias(
-                "decayed_ppm"
-            ),
-            F.min("age_days").cast("long").alias("days_since_last"),
-        )
+        # exact shift weights from the tracked max date — clamp at
+        # 20 (10⁶ < 2²⁰ ⇒ weight exactly 0) and BIGINT base; Spark
+        # wraps the shift amount mod the base width, so an int base
+        # wraps at 32 (q158 section comment)
+        return _engagement_result(spark, state)
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stateful-sink family registry (round 12, VERDICT r11 item 4).
+#
+# Every foreachBatch sink above follows one shape: seen-batch_id
+# guard → isEmpty skip → family-specific MERGE of the micro-batch
+# into a small durable state (register table / histogram / sketch
+# cells / per-cell ANN index). The merge steps are module-level
+# functions shared VERBATIM between the production queries and the
+# restart-recovery sweep in tests/test_streaming_realism.py: the
+# sweep kills each family's stream between batches and resumes a
+# NEW query from the SAME checkpoint (durable state + continued
+# batch-id sequence — the production story, where state lives in a
+# table and the source is kafka/kinesis), asserting the recovered
+# final state equals the uninterrupted run's. Oracles are untouched:
+# the production queries call the same merge functions they always
+# inlined.
+
+from dataclasses import dataclass as _dataclass
+from typing import Callable as _Callable
+
+
+def _hll_merge(
+    spark: SparkSession, state: dict, batch_df: DataFrame, batch_id: int
+) -> None:
+    """q133's register MAX-merge (see the q133 section comment)."""
+    from shopify_db_spark.functions.text import tokens
+
+    toks = (
+        batch_df.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    )
+    regs = hll_registers(toks, ["source"]).select(
+        "source", "idx", F.col("rho").cast("int").alias("rho")
+    )
+    state["regs"] = (
+        state["regs"]
+        .unionByName(regs)
+        .groupBy("source", "idx")
+        .agg(F.max("rho").alias("rho"))
+        .localCheckpoint()
+    )
+
+
+def _hist_merge(
+    spark: SparkSession, state: dict, batch_df: DataFrame, batch_id: int
+) -> None:
+    """q144's histogram ADD-merge (see the q144 section comment)."""
+    from shopify_db_spark.functions.text import tokens
+
+    lens = (
+        batch_df.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select(
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+    )
+    hist = length_histogram(lens, ["source"])
+    state["hist"] = (
+        state["hist"]
+        .unionByName(hist)
+        .groupBy("source", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
+def _cms_merge(
+    spark: SparkSession, state: dict, batch_df: DataFrame, batch_id: int
+) -> None:
+    """q90's count-min cell ADD-merge (see the q90 docstring)."""
+    from shopify_db_spark.functions.text import md5_bucket, tokens
+
+    counts = (
+        batch_df.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = (
+        counts.select(
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            md5_bucket(
+                                F.col("term"), f"cms{j}", _Q90_W
+                            ).alias("bucket"),
+                        )
+                        for j in range(_Q90_D)
+                    ]
+                )
+            ).alias("jb"),
+        )
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .agg(F.sum("n").alias("n"))
+    )
+    state["cells"] = (
+        state["cells"]
+        .unionByName(cells)
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint()
+    )
+
+
+def _novelty_merge(
+    spark: SparkSession, state: dict, batch_df: DataFrame, batch_id: int
+) -> None:
+    """q155's shingle-register MAX-merge + curve-point append (see
+    the q155 section comment)."""
+    from shopify_db_spark.plans.textops import hll_register_sum, hll_registers
+    from shopify_db_spark.functions.text import tokens
+
+    bno = batch_df.agg(F.min("batch_no")).collect()[0][0]
+    sh = (
+        batch_df.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 1)), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("term")
+        )
+        .distinct()
+    )
+    regs = hll_registers(sh, []).select(
+        "idx", F.col("rho").cast("int").alias("rho")
+    )
+    state["regs"] = (
+        state["regs"]
+        .unionByName(regs)
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+        .localCheckpoint()
+    )
+    row = (
+        hll_register_sum(state["regs"].withColumn("__g", F.lit(1)), ["__g"])
+        .select("register_sum")
+        .collect()[0]
+    )
+    state["out"].append((int(bno), int(row["register_sum"])))
+
+
+def _engagement_merge(
+    spark: SparkSession, state: dict, batch_df: DataFrame, batch_id: int
+) -> None:
+    """q160's per-(user, day) count ADD-merge + max-date track."""
+    spread = batch_df.repartition(
+        spark.sparkContext.defaultParallelism, F.col("event_id")
+    )
+    hist = spread.groupBy("user_id", "d").agg(F.count(F.lit(1)).alias("cnt"))
+    bmax = spread.agg(F.max("d")).collect()[0][0]
+    if state["max_d"] is None or bmax > state["max_d"]:
+        state["max_d"] = bmax
+    state["hist"] = (
+        state["hist"]
+        .unionByName(hist)
+        .groupBy("user_id", "d")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
+def _engagement_result(spark: SparkSession, state: dict) -> DataFrame:
+    """q160's finalize: exact shift weights from the tracked max
+    date (see the q158/q160 section comments for the clamp/base)."""
+    now_d = F.lit(state["max_d"])
+    aged = state["hist"].select(
+        "user_id",
+        "cnt",
+        F.datediff(now_d, F.col("d")).alias("age_days"),
+    ).withColumn(
+        "w_ppm",
+        F.expr(
+            "CASE WHEN age_days DIV 7 >= 20 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftright(CAST(1000000 AS BIGINT), "
+            "CAST(age_days DIV 7 AS INT)) END"
+        ),
+    )
+    return aged.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum(F.col("cnt") * F.col("w_ppm").cast("long")).alias("decayed_ppm"),
+        F.min("age_days").cast("long").alias("days_since_last"),
+    )
+
+
+def _ann_merge(
+    spark: SparkSession, state: dict, batch_df: DataFrame, batch_id: int
+) -> None:
+    """streaming_ann_maintenance's probe-then-admit step (shared
+    with q113's batch loop via operators.similarity; see the q114
+    section comment for the repartition rationale)."""
+    from shopify_db_spark.operators.similarity import (
+        ann_index_admit,
+        ann_index_probe,
+        ivf_assign,
+    )
+
+    spread = batch_df.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    a = ivf_assign(
+        spread, state["centroids"], keep_score=(state["admit"] == "distance")
+    ).localCheckpoint()
+    if state["index"] is not None:
+        out = ann_index_probe(a, state["index"], state["k"])
+        state["out"] = (
+            out if state["out"] is None else state["out"].unionByName(out)
+        ).localCheckpoint()
+    state["index"], state["counts"] = ann_index_admit(
+        a,
+        state["index"],
+        state["counts"],
+        state["cell_cap"],
+        state["admit"],
+        int(batch_id),
+    )
+
+
+@_dataclass(frozen=True)
+class SinkFamily:
+    """One stateful-sink family: how to build its deterministic
+    batched source, initial state, the shared merge step, and the
+    final comparable state frame."""
+
+    source: "_Callable[[SparkSession, str], DataFrame]"  # has batch col
+    batch_col: str
+    init: "_Callable[[SparkSession, str], dict]"
+    merge: "_Callable[[SparkSession, dict, DataFrame, int], None]"
+    result: "_Callable[[SparkSession, dict], DataFrame]"
+
+
+def _docs_source(cols: list[str]):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return load_table(spark, sf_dir, "documents").select(
+            *cols, (F.col("doc_id") % 3).alias("batch_no")
+        )
+
+    return build
+
+
+def _events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        (F.col("event_id") % 3).alias("batch_no"),
+    )
+
+
+def _emb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shopify_db_spark.plans.vectorops import _Q113_NBATCH
+
+    return load_table(spark, sf_dir, "embeddings").withColumn(
+        "batch_no", (F.col("vec_id") % _Q113_NBATCH).cast("long")
+    )
+
+
+def _ann_init(spark: SparkSession, sf_dir: str) -> dict:
+    from shopify_db_spark.plans.vectorops import (
+        _Q113_CAP,
+        _Q113_K,
+        CENTROID_MOD,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return {
+        "index": None,
+        "counts": None,
+        "out": None,
+        "seen": set(),
+        "centroids": emb.filter(F.col("vec_id") % CENTROID_MOD == 0),
+        "k": _Q113_K,
+        "cell_cap": _Q113_CAP,
+        "admit": "distance",
+    }
+
+
+def _ann_result(spark: SparkSession, state: dict) -> DataFrame:
+    if state["out"] is not None:
+        return state["out"]
+    return spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double, rank int"
+    )
+
+
+STATEFUL_SINK_FAMILIES: dict[str, SinkFamily] = {
+    "hll_q133": SinkFamily(
+        source=_docs_source(["doc_id", "text", "source"]),
+        batch_col="batch_no",
+        init=lambda spark, sf: {
+            "regs": spark.createDataFrame(
+                [], "source string, idx long, rho int"
+            ),
+            "seen": set(),
+        },
+        merge=_hll_merge,
+        result=lambda spark, state: state["regs"],
+    ),
+    "histogram_q144": SinkFamily(
+        source=_docs_source(["doc_id", "text", "source"]),
+        batch_col="batch_no",
+        init=lambda spark, sf: {
+            "hist": spark.createDataFrame(
+                [], "source string, bucket long, cnt long"
+            ),
+            "seen": set(),
+        },
+        merge=_hist_merge,
+        result=lambda spark, state: state["hist"],
+    ),
+    "cms_q90": SinkFamily(
+        source=_docs_source(["doc_id", "text"]),
+        batch_col="batch_no",
+        init=lambda spark, sf: {
+            "cells": spark.createDataFrame([], "j int, bucket long, n long"),
+            "seen": set(),
+        },
+        merge=_cms_merge,
+        result=lambda spark, state: state["cells"],
+    ),
+    "novelty_q155": SinkFamily(
+        source=_docs_source(["doc_id", "text"]),
+        batch_col="batch_no",
+        init=lambda spark, sf: {
+            "regs": spark.createDataFrame([], "idx long, rho int"),
+            "out": [],
+            "seen": set(),
+        },
+        merge=_novelty_merge,
+        result=lambda spark, state: spark.createDataFrame(
+            state["out"] or [(-1, -1)], "batch_no long, register_sum long"
+        ),
+    ),
+    "engagement_q160": SinkFamily(
+        source=_events_source,
+        batch_col="batch_no",
+        init=lambda spark, sf: {
+            "hist": spark.createDataFrame(
+                [], "user_id long, d date, cnt long"
+            ),
+            "max_d": None,
+            "seen": set(),
+        },
+        merge=_engagement_merge,
+        result=_engagement_result,
+    ),
+    "ann_q114": SinkFamily(
+        source=_emb_source,
+        batch_col="batch_no",
+        init=_ann_init,
+        merge=_ann_merge,
+        result=_ann_result,
+    ),
+}

@@ -491,3 +491,108 @@ def test_checkpoint_restart_resumes_offsets_exactly_once(spark):
         assert len(delivered) == sum(per_batch.values())
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 (VERDICT r11 item 4): kill-and-resume-from-checkpoint
+# RECOVERY, parametrized over the stateful-sink family registry the
+# production queries themselves use (plans/streamops.py
+# STATEFUL_SINK_FAMILIES — the same merge functions, not copies).
+# The single-sink restart test above proved the offset mechanics;
+# this sweep proves every family's state merge is restart-safe: a
+# stream dies between batches, its durable state (the register /
+# sketch / index tables — at scale these live in a real table) and
+# its checkpoint survive, and a NEW query on the SAME checkpoint
+# must resume with a CONTINUING batch-id sequence, re-deliver
+# nothing, and finish with state identical to an uninterrupted run.
+
+import pytest
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "family",
+    sorted(__import__("shopify_db_spark.plans.streamops", fromlist=["x"]).STATEFUL_SINK_FAMILIES),
+)
+def test_restart_recovery_per_stateful_family(spark, family, tmp_path):
+    import os
+    import shutil
+
+    from shopify_db_spark.plans.streamops import STATEFUL_SINK_FAMILIES
+
+    spec = STATEFUL_SINK_FAMILIES[family]
+    src = spec.source(spark, SF_SMOKE)
+    n_batches = 3
+
+    # ---- expected: uninterrupted merge over the ordered batches
+    expected_state = spec.init(spark, SF_SMOKE)
+    for b in range(n_batches):
+        batch = src.filter(F.col(spec.batch_col) == b)
+        if batch.isEmpty():
+            continue
+        expected_state["seen"].add(b)
+        spec.merge(spark, expected_state, batch, b)
+    expected = _canon(spec.result(spark, expected_state))
+
+    # ---- actual: two query LIFETIMES over one checkpoint.
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    ckpt = str(tmp_path / "ckpt")
+    schema = src.schema
+
+    def drop(b: int) -> None:
+        tmp = str(tmp_path / f"tmp{b}")
+        src.filter(F.col(spec.batch_col) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stream_dir, f"b{b}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        base = 1_600_000_000
+        os.utime(dst, (base + 100 * b, base + 100 * b))
+
+    state = spec.init(spark, SF_SMOKE)
+    batch_ids: list[int] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        # the production guard, verbatim (at-least-once + restart:
+        # batch ids CONTINUE across lifetimes, so replayed ids skip)
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
+        if batch_df.isEmpty():
+            return
+        batch_ids.append(batch_id)
+        spec.merge(spark, state, batch_df, batch_id)
+
+    def run_query() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drop(0)
+    drop(1)
+    run_query()  # lifetime 1: batches 0, 1 — then the process "dies"
+    assert batch_ids == [0, 1]
+    drop(2)
+    run_query()  # lifetime 2: SAME checkpoint, new query object
+    # offsets resumed: exactly the new batch, id sequence continued
+    assert batch_ids == [0, 1, 2], batch_ids
+
+    actual = _canon(spec.result(spark, state))
+    assert expected.columns.tolist() == actual.columns.tolist()
+    assert len(expected) == len(actual), (len(expected), len(actual))
+    assert expected.equals(actual), f"{family}: recovered state diverged"
