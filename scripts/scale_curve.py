@@ -222,11 +222,28 @@ def materialize(spark: SparkSession, factor: int) -> str:
     return out
 
 
+#: artifact label -> (memo name, builder import path) — timed as
+#: COLD builds (evict first), mirroring bench.py's line items
+ARTIFACTS = {
+    "art_clu": ("simhash_clusters", "shopify_db_spark.plans.curation", "simhash_clusters"),
+    "art_inv": ("invoice_table", "shopify_db_spark.plans.commerce", "invoice_table"),
+    "art_bpe": ("bpe_encoded", "shopify_db_spark.plans.textops", "bpe_encoded_table"),
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,3,10")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument(
+        "--artifacts",
+        default="",
+        help="comma-separated artifact labels (art_clu, art_inv, "
+        "art_bpe) whose COLD builds are timed per factor, evicting "
+        "the session memo before each run — artifact-consumer "
+        "queries named in --queries then measure warm reads",
+    )
     ap.add_argument(
         "--skew",
         action="store_true",
@@ -255,16 +272,37 @@ def main() -> None:
             print(f"warmup {q}: {exc}", file=sys.stderr)
     spark.catalog.clearCache()
 
-    results: dict[str, dict] = {}
+    import importlib
+
+    from shopify_db_spark.plans.artifacts import evict
+
+    art_labels = [a.strip() for a in args.artifacts.split(",") if a.strip()]
+    runners: list[tuple[str, object]] = []
+    for label in art_labels:
+        memo_name, mod, attr = ARTIFACTS[label]
+        builder = getattr(importlib.import_module(mod), attr)
+
+        def run_artifact(sf_dir, memo_name=memo_name, builder=builder):
+            # cold build: evict the memo hit first (bench.py parity)
+            evict(memo_name, spark, sf_dir)
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        runners.append((label, run_artifact))
     for q in qnames:
+        def run_query(sf_dir, fn=specs[q].fn):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        runners.append((q, run_query))
+
+    results: dict[str, dict] = {}
+    for q, run in runners:
         row: dict[str, float] = {}
         for f in factors:
             best = None
             for _ in range(args.runs):
                 try:
                     t0 = time.perf_counter()
-                    df = specs[q].fn(spark, dirs[f])
-                    df.write.format("noop").mode("overwrite").save()
+                    run(dirs[f])
                     elapsed = time.perf_counter() - t0
                 except Exception as exc:  # noqa: BLE001
                     row[f"x{f}_error"] = str(exc)[:200]
