@@ -2419,3 +2419,101 @@ def q154_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q162: per-document cross-corpus shingle novelty — the symmetric,
+# order-independent complement of q154's first-seen curve: for each
+# document, how many of its 3-token shingles appear in NO other
+# document (df == 1)? Low uniqueness flags boilerplate/template
+# documents whose content is shared corpus-wide (a standard
+# training-data curation filter, cf. the C4/RefinedWeb line-dedup
+# family); q154 instead asks whether the CRAWL ORDER is still
+# surfacing new content. The reference has no text tier; this
+# extends SURVEY §2's quality-filter family (q55/q57) with the
+# cross-document signal.
+#
+# Scale shape — deliberately JOIN-FREE on the shingle key: q154
+# joins (doc, shingle) pairs back to the per-shingle min-doc frame,
+# which under a Zipf head means the hottest shingles dominate one
+# join partition. Here a df==1 shingle by definition has exactly ONE
+# owning document, so per-doc uniqueness needs no join-back: one
+# per-shingle aggregate (count + min owner, map-side combinable even
+# under skew), filter df==1, and a doc-keyed rollup joined to the
+# per-doc shingle counts on the UNSKEWED doc_id key. The quantized
+# ratio uses a 2^20 scale (power-of-two floor rule,
+# tests/test_plan_lint.py::test_floor_scale_sites_are_version_proof);
+# all counts are exact BIGINTs, so the output is
+# order/partitioning-insensitive by construction.
+_Q162_SCALE = 1 << 20
+
+_Q162_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+),
+per_shingle AS (
+  SELECT shingle,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         MIN(doc_id) AS owner
+  FROM shingles GROUP BY shingle
+),
+uniq AS (
+  SELECT owner AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique
+  FROM per_shingle WHERE df = 1 GROUP BY owner
+),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM shingles GROUP BY doc_id
+)
+SELECT p.doc_id,
+       p.n_shingles,
+       CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(COALESCE(u.n_unique, 0) * {_Q162_SCALE} // p.n_shingles
+            AS BIGINT) AS novelty_q20
+FROM perdoc p LEFT JOIN uniq u ON u.doc_id = p.doc_id
+"""
+
+
+@query("q162_doc_novelty", oracle=_Q162_ORACLE)
+def q162_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unique-shingle profile (see section comment).
+    Returns (doc_id, n_shingles, n_unique, novelty_q20) — one row
+    per document, novelty_q20 = floor(n_unique·2^20 / n_shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 1)), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    per_shingle = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner")
+    )
+    uniq = (
+        per_shingle.filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    perdoc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return perdoc.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias("n_unique"),
+        F.expr(
+            f"CAST(coalesce(n_unique, 0) * {_Q162_SCALE} DIV n_shingles "
+            "AS BIGINT)"
+        ).alias("novelty_q20"),
+    )

@@ -253,3 +253,43 @@ def test_evict_session_retires_a_live_sessions_dirs(spark):
     assert A.evict_session(spark) == 0
     for n in names:
         A._MEMOS.pop(n, None)
+
+
+def test_q162_doc_novelty_invariants(spark):
+    """q162 structural invariants on the smoke corpus: one row per
+    doc with >= 1 shingle; n_unique <= n_shingles; Σ n_unique equals
+    the number of df==1 shingles corpus-wide (the join-free owner
+    trick is exactly a partition of the unique shingles); and the
+    quantized ratio is the floor formula recomputed in python."""
+    from pyspark.sql import functions as F
+
+    from shopify_db_spark.plans.curation import _Q162_SCALE, q162_doc_novelty
+    from shopify_db_spark.functions import text as TX
+    from shopify_db_spark.sources.tables import load_table
+
+    out = q162_doc_novelty(spark, SF_SMOKE).toPandas()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert len(out) == docs.count()  # tokens() yields >= 1 shingle per doc
+    assert (out.n_unique <= out.n_shingles).all()
+    assert (out.novelty_q20 == out.n_unique * _Q162_SCALE // out.n_shingles).all()
+
+    sh = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 1)), "
+                    "i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    n_df1 = (
+        sh.groupBy("shingle")
+        .count()
+        .filter(F.col("count") == 1)
+        .count()
+    )
+    assert int(out.n_unique.sum()) == n_df1
