@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ivf_assign consumers, the r7-evidence tier q92-q99), then the
 #: computed stale set oldest-evidence-first. Entries past the
 #: 50-query sample are next round's starting debt.
-# computed by scripts/rotation.py (base round-11; 19 plan-affected this round)
+# computed by scripts/rotation.py (base round-11; 20 plan-affected this round)
 _NEVER_DRIVER_SAMPLED = [
     "q20_invoice_pipeline",  # round-affected
     "q61_invoice_verify",  # round-affected
@@ -50,6 +50,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q125_canonical_corpus",  # round-affected
     "q137_cluster_split",  # round-affected
     "q146_soft_dedup_weights",  # round-affected
+    "q162_doc_novelty",  # round-affected
     "q49_streaming_merge",  # round-affected
     "q59_streaming_windows",  # round-affected
     "q60_stateful_activity",  # round-affected
@@ -82,7 +83,6 @@ _NEVER_DRIVER_SAMPLED = [
     "q104_embedding_quantize",  # stale since r8
     "q110_bpe_merges",  # stale since r8
     "q116_contrastive_pairs",  # stale since r8
-    "q14_sessionize",  # stale since r8
     "q51_stratified_sample",  # stale since r8
     "q52_length_deciles",  # stale since r8
     "q53_contamination",  # stale since r8
@@ -101,9 +101,9 @@ _NEVER_DRIVER_SAMPLED = [
     "q86_count_min_sketch",  # stale since r8
     "q119_balanced_clusters",  # stale since r9
     "q120_curriculum_sample",  # stale since r9
-    "q123_snapshot_diff",  # stale since r9
     "q127_ivf_label_infer",  # stale since r9
-    "q128_refresh_dedup",  # stale since r9
+    "q153_domain_coherence",  # stale since r9
+    "q38_ivf_ann",  # stale since r9
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -328,13 +328,26 @@ def changed_units(
             if relpath.startswith(PKG) and relpath.endswith(".py"):
                 out.add((_module_name(relpath), None))
             continue
+        try:
+            with open(os.path.join(REPO, relpath), encoding="utf-8") as fh:
+                text = fh.read().splitlines()
+        except OSError:
+            text = []
         for ln in nums:
             for uname, (lo, hi) in info.units.items():
                 if lo <= ln <= hi:
                     out.add((info.name, uname))
                     break
             else:
-                out.add((info.name, None))
+                # Outside every unit. Blank/comment-only lines cannot
+                # change behavior (docstrings live inside unit spans)
+                # — without this, a section comment between functions
+                # marks the whole module and drags every sibling
+                # query into the affected set (q162 append: 46
+                # "affected" of which 30 were comment fallout).
+                stripped = text[ln - 1].strip() if 0 < ln <= len(text) else "#"
+                if stripped and not stripped.startswith("#"):
+                    out.add((info.name, None))
     return out
 
 
