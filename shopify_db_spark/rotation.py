@@ -99,7 +99,11 @@ class _RefCollector(ast.NodeVisitor):
     def visit_Import(self, node: ast.Import) -> None:
         for a in node.names:
             if a.name.startswith(PKG):
-                self.aliases[a.asname or a.name.split(".")[0]] = (a.name, None)
+                if a.asname:  # `import a.b as z` binds z -> module a.b
+                    self.aliases[a.asname] = (a.name, None)
+                else:  # `import a.b` binds the ROOT package name a
+                    root = a.name.split(".")[0]
+                    self.aliases[root] = (root, None)
                 self.refs.add((a.name, None))
 
     def visit_ImportFrom(self, node: ast.ImportFrom) -> None:
@@ -117,18 +121,28 @@ class _RefCollector(ast.NodeVisitor):
             self._alias_target(*hit)
 
     def visit_Attribute(self, node: ast.Attribute) -> None:
-        if isinstance(node.value, ast.Name):
-            hit = self.aliases.get(node.value.id)
-            if hit and hit[1] is None:  # module alias: SIM.bm25_topk
-                self._alias_target(hit[0], node.attr)
-            elif hit:
-                # `from pkg.operators import similarity as SIM`
-                # binds SIM through ImportFrom like a unit; read the
-                # attribute BOTH as a unit of the submodule and as
-                # the bound unit itself — _resolve drops whichever
-                # module doesn't exist.
-                self._alias_target(f"{hit[0]}.{hit[1]}", node.attr)
-                self._alias_target(*hit)
+        # Collect the full dotted chain base.mid1.mid2.attr so both
+        # `SIM.bm25_topk` and `shopify_db_spark.fakeops.CONST`
+        # resolve to unit precision.
+        parts: list[str] = []
+        cur: ast.expr = node
+        while isinstance(cur, ast.Attribute):
+            parts.append(cur.attr)
+            cur = cur.value
+        if isinstance(cur, ast.Name):
+            parts.append(cur.id)
+            parts.reverse()  # [base, mids..., attr]
+            hit = self.aliases.get(parts[0])
+            if hit:
+                base = hit[0] if hit[1] is None else f"{hit[0]}.{hit[1]}"
+                mod = ".".join([base, *parts[1:-1]])
+                self._alias_target(mod, parts[-1])
+                if hit[1] is not None:
+                    # `from pkg.operators import similarity as SIM`
+                    # binds SIM through ImportFrom like a unit; also
+                    # read the bound unit itself — _resolve drops
+                    # whichever module doesn't exist.
+                    self._alias_target(*hit)
         self.generic_visit(node)
 
 

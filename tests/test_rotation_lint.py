@@ -100,3 +100,81 @@ def test_head_list_matches_registry():
     specs = load_all()
     unknown = [q for q in entrymod._NEVER_DRIVER_SAMPLED if q not in specs]
     assert not unknown, f"head entries not in the catalog: {unknown}"
+
+
+def test_collect_module_units_spans_and_edges():
+    """Hermetic resolver checks on synthetic sources: unit spans
+    include decorators, module-alias attribute calls resolve to the
+    target module's units, local (function-body) imports create
+    edges, and decorator arguments count as dependencies (oracle
+    builders live there)."""
+    opssrc = """
+def helper(x):
+    return x
+
+def deco(arg):
+    def wrap(fn):
+        return fn
+    return wrap
+
+CONST = 7
+"""
+    plansrc = """
+from shopify_db_spark.fakeops import deco
+
+@deco(CONSTANT)
+def fancy(spark):
+    from shopify_db_spark.fakeops import helper
+    return helper(1)
+
+def plain(spark):
+    import shopify_db_spark.fakeops
+    return shopify_db_spark.fakeops.CONST
+
+CONSTANT = 3
+"""
+    ops = R._collect_module("shopify_db_spark/fakeops.py", opssrc)
+    plan = R._collect_module("shopify_db_spark/fakeplan.py", plansrc)
+    mods = {m.name: m for m in (ops, plan)}
+
+    # decorator line is inside fancy's span
+    lo, hi = plan.units["fancy"]
+    assert lo < hi and "CONSTANT" in plan.units
+
+    cl = R.closure(mods, ("shopify_db_spark.fakeplan", "fancy"))
+    assert ("shopify_db_spark.fakeops", "helper") in cl  # local import edge
+    assert ("shopify_db_spark.fakeplan", "CONSTANT") in cl  # decorator arg
+    assert ("shopify_db_spark.fakeops", "deco") in cl
+    cl2 = R.closure(mods, ("shopify_db_spark.fakeplan", "plain"))
+    assert ("shopify_db_spark.fakeops", "CONST") in cl2  # plain-import attr
+
+    # a top-level import alone must NOT create unit-level edges:
+    # plain does not reach helper
+    assert ("shopify_db_spark.fakeops", "helper") not in cl2
+
+
+def test_changed_units_maps_lines_and_skips_comments(modules):
+    """Line→unit mapping on a real module: a line inside
+    session_artifact maps to that unit; a comment-only line between
+    units is ignored (the q162-append lesson); a code line outside
+    any unit falls back to the module pseudo-unit."""
+    import os
+
+    info = modules["shopify_db_spark.plans.artifacts"]
+    path = os.path.join(R.REPO, info.path)
+    text = open(path).read().splitlines()
+
+    lo, hi = info.units["session_artifact"]
+    got = R.changed_units(modules, {info.path: {lo + 1}})
+    assert ("shopify_db_spark.plans.artifacts", "session_artifact") in got
+
+    # find a comment-only line outside every unit span
+    spans = sorted(info.units.values())
+    comment_ln = next(
+        i + 1
+        for i, line in enumerate(text)
+        if line.strip().startswith("#")
+        and not any(a <= i + 1 <= b for a, b in spans)
+    )
+    got = R.changed_units(modules, {info.path: {comment_ln}})
+    assert got == set(), got
