@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ivf_assign consumers, the r7-evidence tier q92-q99), then the
 #: computed stale set oldest-evidence-first. Entries past the
 #: 50-query sample are next round's starting debt.
-# computed by scripts/rotation.py (base round-11; 20 plan-affected this round)
+# computed by scripts/rotation.py (base round-11; 21 plan-affected this round)
 _NEVER_DRIVER_SAMPLED = [
     "q20_invoice_pipeline",  # round-affected
     "q61_invoice_verify",  # round-affected
@@ -62,6 +62,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q144_streaming_histogram",  # round-affected
     "q155_streaming_novelty",  # round-affected
     "q160_streaming_engagement",  # round-affected
+    "q163_streaming_term_stats",  # round-affected
     "q112_ann_recall_gate",  # pinned
     "q113_incremental_ann_evict",  # pinned
     "q117_contrastive_ivf",  # pinned
@@ -103,7 +104,6 @@ _NEVER_DRIVER_SAMPLED = [
     "q120_curriculum_sample",  # stale since r9
     "q127_ivf_label_infer",  # stale since r9
     "q153_domain_coherence",  # stale since r9
-    "q38_ivf_ann",  # stale since r9
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

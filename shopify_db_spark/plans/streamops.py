@@ -1502,6 +1502,100 @@ def _ann_result(spark: SparkSession, state: dict) -> DataFrame:
     )
 
 
+def _term_stats_merge(
+    spark: SparkSession, state: dict, batch_df: DataFrame, batch_id: int
+) -> None:
+    """q163's vocabulary ADD-merge: per-batch (tf, df) term counts
+    summed into the accumulated stats. df merges by ADDITION because
+    the micro-batches partition the corpus by doc_id — each document
+    contributes its distinct terms to exactly one batch, so per-term
+    batch dfs are disjoint counts of the same corpus df."""
+    from shopify_db_spark.functions.text import tokens
+
+    terms = (
+        batch_df.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    )
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    state["stats"] = (
+        state["stats"]
+        .unionByName(counts)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
+        .localCheckpoint()
+    )
+
+
+def _term_stats_result(spark: SparkSession, state: dict) -> DataFrame:
+    """q40's finalize: top-100 by tf, deterministic term tie-break —
+    a single-partition window over the small vocabulary AFTER the
+    distributed heavy lifting (q40's documented shape)."""
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        state["stats"]
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 100)
+        .select("term", "tf", "df", "rank")
+    )
+
+
+def _q163_oracle() -> str:
+    from shopify_db_spark.plans.catalog import QUERIES
+
+    return QUERIES["q40_term_stats"].oracle
+
+
+@query("q163_streaming_term_stats", oracle=_q163_oracle())
+def q163_streaming_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q40's corpus vocabulary statistics maintained INCREMENTALLY
+    under Structured Streaming — the lexical-index twin completing
+    the streaming pairs table (q86→q90 count-min, q130→q133 HLL,
+    q139→q144 histogram, q158→q160 engagement, q40→q163 term
+    stats; the production shape of keeping a search index's df/tf
+    tables fresh as documents arrive). Three deterministic
+    micro-batches (doc_id % 3); per-batch (tf, df) counts ADD-merge
+    into the carried vocabulary state (df addition is exact because
+    the batches partition documents); finalize is q40's top-100
+    window. Oracle: q40's, verbatim — the stream must reproduce the
+    one-shot batch statistics bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 3).alias("batch_no")
+    )
+    stream_dir = _write_batch_files(docs, "batch_no", 3)
+    empty = spark.createDataFrame([], "term string, tf long, df long")
+    state = {"stats": empty, "seen": set()}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once guard (q114's pattern): tf/df merge by
+        # ADDITION — a redelivered batch would double-count
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
+        if batch_df.isEmpty():
+            return
+        _term_stats_merge(spark, state, batch_df, batch_id)
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _term_stats_result(spark, state)
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
 STATEFUL_SINK_FAMILIES: dict[str, SinkFamily] = {
     "hll_q133": SinkFamily(
         source=_docs_source(["doc_id", "text", "source"]),
@@ -1569,5 +1663,17 @@ STATEFUL_SINK_FAMILIES: dict[str, SinkFamily] = {
         init=_ann_init,
         merge=_ann_merge,
         result=_ann_result,
+    ),
+    "term_stats_q163": SinkFamily(
+        source=_docs_source(["doc_id", "text"]),
+        batch_col="batch_no",
+        init=lambda spark, sf: {
+            "stats": spark.createDataFrame(
+                [], "term string, tf long, df long"
+            ),
+            "seen": set(),
+        },
+        merge=_term_stats_merge,
+        result=_term_stats_result,
     ),
 }
