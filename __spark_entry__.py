@@ -34,64 +34,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 50-query driver sampler reaches them; harmless if the sample is
 #: uniform. COMPUTED, not curated (VERDICT r11 item 1): regenerate
 #: with ``python scripts/rotation.py`` after the round's last plan
-#: change — current-round plan-affected queries first (enforced by
-#: tests/test_rotation_lint.py), then the round-12 verdict's 18
-#: prescribed re-certs (q20 artifact-read plan, the un-rotated
-#: ivf_assign consumers, the r7-evidence tier q92-q99), then the
-#: computed stale set oldest-evidence-first. Entries past the
-#: 50-query sample are next round's starting debt.
-# computed by scripts/rotation.py (base round-11; 21 plan-affected this round)
+#: change. Order: current-round plan-affected queries (enforced by
+#: tests/test_rotation_lint.py), the computed stale set oldest-
+#: evidence-first, a FLOOR_K=10 freshness reserve of the globally
+#: oldest-evidence queries (VERDICT r12 item 2 — reserved AHEAD of
+#: any --must pins so pins can never starve the tail), then pins
+#: and the remaining oldest-first tail. The header line below is
+#: emitted by the generator and records how many pins were absorbed
+#: into higher tiers. Entries past the 50-query sample are next
+#: round's starting debt.
+# computed by scripts/rotation.py (base round-12; 1 plan-affected this round; 15 stale; 10 freshness-floor; 0 pins, 0 absorbed)
 _NEVER_DRIVER_SAMPLED = [
-    "q20_invoice_pipeline",  # round-affected
-    "q61_invoice_verify",  # round-affected
-    "q115_bpe_encode",  # round-affected
-    "q145_tokenizer_fertility",  # round-affected
-    "q50_dup_clusters",  # round-affected
-    "q125_canonical_corpus",  # round-affected
-    "q137_cluster_split",  # round-affected
-    "q146_soft_dedup_weights",  # round-affected
-    "q162_doc_novelty",  # round-affected
-    "q49_streaming_merge",  # round-affected
-    "q59_streaming_windows",  # round-affected
-    "q60_stateful_activity",  # round-affected
-    "q73_incremental_dedup",  # round-affected
-    "q102_incremental_dedup_capped",  # round-affected
-    "q90_incremental_cms",  # round-affected
-    "q114_streaming_ann",  # round-affected
-    "q133_streaming_hll",  # round-affected
-    "q144_streaming_histogram",  # round-affected
-    "q155_streaming_novelty",  # round-affected
-    "q160_streaming_engagement",  # round-affected
     "q163_streaming_term_stats",  # round-affected
-    "q112_ann_recall_gate",  # pinned
-    "q113_incremental_ann_evict",  # pinned
-    "q117_contrastive_ivf",  # pinned
-    "q147_dedup_disagreement",  # pinned
-    "q148_split_balance",  # pinned
-    "q151_bitext_mining",  # pinned
-    "q152_knn_hubness",  # pinned
-    "q159_knn_recall_gate",  # pinned
-    "q92_rfm_segments",  # pinned
-    "q93_touch_attribution",  # pinned
-    "q94_schema_evolution",  # pinned
-    "q95_snapshot_diff",  # pinned
-    "q96_fk_profile",  # pinned
-    "q97_column_profile",  # pinned
-    "q98_cascade_delete_plan",  # pinned
-    "q99_category_association",  # pinned
-    "q100_corpus_ship",  # stale since r8
-    "q103_lexical_rarity",  # stale since r8
-    "q104_embedding_quantize",  # stale since r8
-    "q110_bpe_merges",  # stale since r8
-    "q116_contrastive_pairs",  # stale since r8
-    "q51_stratified_sample",  # stale since r8
-    "q52_length_deciles",  # stale since r8
-    "q53_contamination",  # stale since r8
-    "q54_window_chunks",  # stale since r8
-    "q55_repetition_stats",  # stale since r8
-    "q56_pii_scan",  # stale since r8
-    "q57_boilerplate_filter",  # stale since r8
-    "q58_sequence_packing",  # stale since r8
     "q69_geo_heatmap",  # stale since r8
     "q70_mixture_weights",  # stale since r8
     "q71_shuffle_split",  # stale since r8
@@ -104,6 +58,53 @@ _NEVER_DRIVER_SAMPLED = [
     "q120_curriculum_sample",  # stale since r9
     "q127_ivf_label_infer",  # stale since r9
     "q153_domain_coherence",  # stale since r9
+    "q38_ivf_ann",  # stale since r9
+    "q124_source_drift",  # stale since r10
+    "q14_sessionize",  # freshness floor (evidence r8)
+    "q01_pricing_summary",  # freshness floor (evidence r9)
+    "q118_image_phash_dedup",  # freshness floor (evidence r9)
+    "q123_snapshot_diff",  # freshness floor (evidence r9)
+    "q128_refresh_dedup",  # freshness floor (evidence r9)
+    "q130_hll_distinct",  # freshness floor (evidence r9)
+    "q131_mixture_temperature",  # freshness floor (evidence r9)
+    "q132_hll_overlap",  # freshness floor (evidence r9)
+    "q134_source_keywords",  # freshness floor (evidence r9)
+    "q136_split_leakage",  # freshness floor (evidence r9)
+    "q139_length_quantile_sketch",  # evidence r9
+    "q140_target_affinity",  # evidence r9
+    "q141_kcenter_coreset",  # evidence r9
+    "q149_balanced_subsample",  # evidence r9
+    "q150_batch_padding",  # evidence r9
+    "q154_novelty_curve",  # evidence r9
+    "q156_budget_mixture",  # evidence r9
+    "q157_robust_outliers",  # evidence r9
+    "q30_cosine_topk",  # evidence r9
+    "q31_lsh_ann",  # evidence r9
+    "q32_embedding_dedup",  # evidence r9
+    "q39_running_totals",  # evidence r9
+    "q46_priority_pivot",  # evidence r9
+    "q02_top_order_per_customer",  # evidence r10
+    "q03_regional_revenue",  # evidence r10
+    "q04_union_distinct_branches",  # evidence r10
+    "q05_order_price_reconcile",  # evidence r10
+    "q06_orderkey_gaps",  # evidence r10
+    "q07_composite_key_join",  # evidence r10
+    "q08_group_numbering",  # evidence r10
+    "q09_predicate_gallery",  # evidence r10
+    "q10_scalar_gallery",  # evidence r10
+    "q11_first_per_group",  # evidence r10
+    "q122_centroid_classify",  # evidence r10
+    "q126_knn_label_infer",  # evidence r10
+    "q129_domain_outliers",  # evidence r10
+    "q12_global_aggregates",  # evidence r10
+    "q13_revenue_rollup",  # evidence r10
+    "q142_principal_direction",  # evidence r10
+    "q143_common_removal",  # evidence r10
+    "q158_decayed_engagement",  # evidence r10
+    "q17_topk_per_group",  # evidence r10
+    "q18_semi_anti_joins",  # evidence r10
+    "q21_exact_dedup",  # evidence r10
+    "q22_token_stats",  # evidence r10
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

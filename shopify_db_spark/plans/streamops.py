@@ -1545,6 +1545,11 @@ def _term_stats_result(spark: SparkSession, state: dict) -> DataFrame:
 
 
 def _q163_oracle() -> str:
+    # Import textops FIRST: q40 registers there, and load_all()
+    # imports streamops before textops — without this explicit edge
+    # the lookup only works because of incidental mid-module imports
+    # elsewhere in this file (ADVICE r12). The import is idempotent.
+    from shopify_db_spark.plans import textops  # noqa: F401
     from shopify_db_spark.plans.catalog import QUERIES
 
     return QUERIES["q40_term_stats"].oracle

@@ -304,10 +304,19 @@ def round_base(repo: str = REPO) -> str | None:
 
 
 def changed_lines(base: str, repo: str = REPO) -> dict[str, set[int]] | None:
-    """file relpath -> changed NEW-file line numbers (removal-only
-    hunks mark the line at the removal point), for ``shopify_db_spark/``.
+    """file relpath -> changed line numbers, for ``shopify_db_spark/``.
     Diffs ``base`` against the WORKING TREE (not just HEAD) so the
-    lint sees uncommitted plan changes too."""
+    lint sees uncommitted plan changes too.
+
+    Positive entries are NEW-file lines from add/modify hunks.
+    Removal-only hunks (``+L,0`` — nothing added at the anchor) used
+    to mark only the new-file anchor line, which is typically blank
+    or a section comment between units, so ``changed_units``'s
+    blank/comment skip silently dropped pure deletions — the exact
+    q20-class escape this module exists to prevent (ADVICE r12).
+    They are now encoded as NEGATED OLD-file line numbers (the lines
+    actually removed, always ≥ 1 so negation is unambiguous);
+    ``changed_units`` maps them to units of the BASE revision's AST."""
     try:
         diff = subprocess.run(
             ["git", "diff", "--no-renames", "--unified=0", base, "--", PKG],
@@ -323,16 +332,46 @@ def changed_lines(base: str, repo: str = REPO) -> dict[str, set[int]] | None:
         elif line.startswith("+++ "):
             cur = None  # /dev/null: deleted file
         elif line.startswith("@@") and cur is not None:
-            m = re.match(r"@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", line)
+            m = re.match(r"@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@", line)
             if m:
-                start, n = int(m.group(1)), int(m.group(2) or "1")
-                cur.update(range(start, start + max(n, 1)))
+                ostart, on = int(m.group(1)), int(m.group(2) or "1")
+                nstart, nn = int(m.group(3)), int(m.group(4) or "1")
+                if nn == 0:  # pure deletion: record the OLD lines
+                    cur.update(-ln for ln in range(ostart, ostart + on))
+                else:
+                    cur.update(range(nstart, nstart + nn))
     return out
 
 
+def _base_source(base: str | None, relpath: str, repo: str) -> str | None:
+    """``relpath``'s contents as they stood at ``base`` (for mapping
+    removed lines to the units they were removed FROM)."""
+    if base is None:
+        return None
+    try:
+        return subprocess.run(
+            ["git", "show", f"{base}:{relpath}"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout
+    except (subprocess.CalledProcessError, OSError):
+        return None
+
+
 def changed_units(
-    modules: dict[str, ModuleInfo], lines: dict[str, set[int]]
+    modules: dict[str, ModuleInfo],
+    lines: dict[str, set[int]],
+    base: str | None = None,
+    repo: str = REPO,
 ) -> set[Unit]:
+    """Map changed lines to (module, unit) pairs. Positive lines are
+    located in the CURRENT tree's AST; negative lines (removal-only
+    hunks, see ``changed_lines``) in the BASE revision's AST — a
+    removed line inside old unit X marks X if X still exists, else
+    the module pseudo-unit (a deleted unit's dependents all hold the
+    pseudo-unit in their closure; no surviving sibling would flag
+    them). Blank/comment-only removed lines are skipped like
+    modifications — here that is safe because the base source shows
+    the actual removed text, not a possibly-blank anchor line."""
     path_to_mod = {info.path: info for info in modules.values()}
     out: set[Unit] = set()
     for relpath, nums in lines.items():
@@ -347,7 +386,37 @@ def changed_units(
                 text = fh.read().splitlines()
         except OSError:
             text = []
+        old: ModuleInfo | None = None
+        old_text: list[str] = []
+        if any(ln < 0 for ln in nums):
+            old_src = _base_source(base, relpath, repo)
+            if old_src is not None:
+                old_text = old_src.splitlines()
+                try:
+                    old = _collect_module(relpath, old_src)
+                except SyntaxError:
+                    old = None
         for ln in nums:
+            if ln < 0:
+                oln = -ln
+                if old is None:
+                    # base source unavailable: conservative fallback
+                    out.add((info.name, None))
+                    continue
+                for uname, (lo, hi) in old.units.items():
+                    if lo <= oln <= hi:
+                        out.add(
+                            (info.name, uname if uname in info.units else None)
+                        )
+                        break
+                else:
+                    stripped = (
+                        old_text[oln - 1].strip()
+                        if 0 < oln <= len(old_text) else "?"
+                    )
+                    if stripped and not stripped.startswith("#"):
+                        out.add((info.name, None))
+                continue
             for uname, (lo, hi) in info.units.items():
                 if lo <= ln <= hi:
                     out.add((info.name, uname))
@@ -421,15 +490,25 @@ def round_commit(n: int, repo: str = REPO) -> str | None:
 
 def stale_queries(
     modules: dict[str, ModuleInfo] | None = None, repo: str = REPO
-) -> dict[str, int] | None:
+) -> dict[str, int]:
     """query -> newest-evidence round, for every query whose plan
     CHANGED since that round (i.e. whose newest driver row no longer
     certifies the shipped implementation). This is the computed form
     of the q20-class audit: q20's artifact-read rewrite in round 11
     left its newest driver row at r8, which this function reports as
     ``{"q20_invoice_pipeline": 8, ...}`` until a fresh row lands.
-    Queries with no driver evidence at all map to round 0. Returns
-    None when git history is unavailable."""
+    Queries with no driver evidence at all map to round 0.
+
+    A round whose ``round N: verdict`` commit cannot be resolved (or
+    whose diff fails) is SKIPPED with a stderr warning rather than
+    aborting wholesale — e.g. when ``CORRECTNESS_r{N}.json`` already
+    exists in the worktree before the round-N verdict commit lands,
+    the other rounds' staleness must still feed the rotation head
+    (ADVICE r12: the previous all-or-nothing return of None was
+    coerced to ``{}`` by scripts/rotation.py, silently dropping the
+    entire stale tier)."""
+    import sys
+
     modules = modules or load_package()
     rounds = evidence_rounds(repo)
     qunits = query_units()
@@ -437,12 +516,16 @@ def stale_queries(
     out: dict[str, int] = {q: 0 for q in qunits if q not in rounds}
     for ev_round in sorted({rounds[q] for q in qunits if q in rounds}):
         base = round_commit(ev_round, repo)
-        if base is None:
-            return None
-        lines = changed_lines(base, repo)
+        lines = changed_lines(base, repo) if base is not None else None
         if lines is None:
-            return None
-        changed = changed_units(modules, lines)
+            print(
+                f"rotation: WARNING — no resolvable 'round {ev_round}: "
+                "verdict' commit (or diff failed); skipping staleness "
+                "for that evidence round",
+                file=sys.stderr,
+            )
+            continue
+        changed = changed_units(modules, lines, base, repo)
         for q, ev in rounds.items():
             if ev == ev_round and q in closures and closures[q] & changed:
                 out[q] = ev

@@ -75,7 +75,7 @@ def test_round_diff_queries_are_in_the_sampled_head(modules):
     lines = R.changed_lines(base)
     if lines is None:
         pytest.skip("git diff unavailable")
-    affected = R.affected_queries(R.changed_units(modules, lines), modules)
+    affected = R.affected_queries(R.changed_units(modules, lines, base), modules)
     sampled = list(entrymod.queries())[:DRIVER_SAMPLE]
     if len(affected) <= DRIVER_SAMPLE:
         missing = [q for q in affected if q not in sampled]
@@ -178,3 +178,163 @@ def test_changed_units_maps_lines_and_skips_comments(modules):
     )
     got = R.changed_units(modules, {info.path: {comment_ln}})
     assert got == set(), got
+
+
+def test_removal_only_hunks_are_flagged(tmp_path):
+    """ADVICE r12 (medium): a pure-deletion plan change used to anchor
+    on a blank line and vanish under the blank/comment skip. End to
+    end in a scratch git repo: delete a whole top-level function and
+    a line inside another — changed_lines must encode the removals as
+    negated OLD-file lines, and changed_units must map them to the
+    base revision's units (module pseudo-unit for the deleted
+    function, the enclosing unit for the mid-unit deletion)."""
+    import subprocess
+
+    pkg = tmp_path / "shopify_db_spark"
+    pkg.mkdir()
+    mod = pkg / "fakemod.py"
+    old_src = (
+        "def keep(x):\n"
+        "    a = 1\n"
+        "    b = 2\n"
+        "    return a + b\n"
+        "\n"
+        "\n"
+        "def doomed(x):\n"
+        "    return x * 2\n"
+        "\n"
+        "\n"
+        "def also_keep(x):\n"
+        "    return x\n"
+    )
+    mod.write_text(old_src)
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+           "HOME": str(tmp_path), "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    run = lambda *a: subprocess.run(  # noqa: E731
+        a, cwd=tmp_path, env=env, capture_output=True, text=True, check=True
+    )
+    run("git", "init", "-q")
+    run("git", "add", "-A")
+    run("git", "commit", "-qm", "base")
+
+    # delete the WHOLE of doomed (plus its surrounding blank lines)
+    # and one line INSIDE keep — a pure-deletion diff, nothing added
+    new_src = (
+        "def keep(x):\n"
+        "    a = 1\n"
+        "    return a + b\n"
+        "\n"
+        "\n"
+        "def also_keep(x):\n"
+        "    return x\n"
+    )
+    mod.write_text(new_src)
+
+    lines = R.changed_lines("HEAD", repo=str(tmp_path))
+    assert lines is not None
+    nums = lines["shopify_db_spark/fakemod.py"]
+    assert nums and all(n < 0 for n in nums), nums  # removal-only diff
+
+    new_info = R._collect_module("shopify_db_spark/fakemod.py", new_src)
+    got = R.changed_units(
+        {new_info.name: new_info}, lines, base="HEAD", repo=str(tmp_path)
+    )
+    # deleted unit -> module pseudo-unit (its dependents' closures
+    # hold the pseudo-unit; no surviving sibling would flag them)
+    assert ("shopify_db_spark.fakemod", None) in got, got
+    # mid-unit deletion -> the enclosing (surviving) unit
+    assert ("shopify_db_spark.fakemod", "keep") in got, got
+    # untouched sibling must NOT be dragged in at unit precision
+    assert ("shopify_db_spark.fakemod", "also_keep") not in got, got
+
+    # without a resolvable base the fallback is the conservative
+    # module pseudo-unit, never a silent skip
+    got_nobase = R.changed_units({new_info.name: new_info}, lines)
+    assert ("shopify_db_spark.fakemod", None) in got_nobase
+
+
+def _mandatory_queries(modules):
+    """affected-this-round ∪ stale — the entries the main lint forces
+    into the head; they outrank the freshness floor."""
+    mandatory = set(R.stale_queries(modules))
+    base = R.round_base()
+    if base is not None:
+        lines = R.changed_lines(base)
+        if lines is not None:
+            mandatory |= set(
+                R.affected_queries(R.changed_units(modules, lines, base), modules)
+            )
+    return mandatory
+
+
+def test_freshness_floor_no_overdue_outside_head(modules):
+    """VERDICT r12 item 2: --must pins must never starve the
+    oldest-evidence tail. Any query whose newest driver evidence is
+    >= MAX_EVIDENCE_AGE rounds old must sit inside the sampled head,
+    unless the head is genuinely full of higher-priority entries
+    (plan-affected / stale — which the main lint forces in; pins do
+    NOT excuse)."""
+    import glob
+    import os
+    import re
+
+    files = glob.glob(os.path.join(R.REPO, "CORRECTNESS_r*.json"))
+    if not files:
+        pytest.skip("no driver evidence yet")
+    latest = max(
+        int(re.search(r"_r(\d+)\.json$", f).group(1)) for f in files
+    )
+    from shopify_db_spark.plans import load_all
+
+    MAX_EVIDENCE_AGE = 4
+    rounds = R.evidence_rounds()
+    overdue = sorted(
+        (q for q in load_all() if latest - rounds.get(q, 0) >= MAX_EVIDENCE_AGE),
+        key=lambda q: (rounds.get(q, 0), q),
+    )
+    if not overdue:
+        return
+    sampled = set(list(entrymod.queries())[:DRIVER_SAMPLE])
+    mandatory = _mandatory_queries(modules)
+    free = max(0, DRIVER_SAMPLE - len(mandatory - set(overdue)))
+    missing = [q for q in overdue if q not in sampled]
+    allowed = max(0, len(overdue) - free)
+    assert len(missing) <= allowed, (
+        f"queries with driver evidence >= {MAX_EVIDENCE_AGE} rounds old "
+        f"(latest round r{latest}) outside the {DRIVER_SAMPLE}-query "
+        f"sample head despite free slots: {missing} — regenerate "
+        "_NEVER_DRIVER_SAMPLED with scripts/rotation.py (the floor "
+        "reserves slots ahead of --must pins)"
+    )
+
+
+def test_freshness_floor_reserve_slots(modules):
+    """The FLOOR_K globally-oldest non-mandatory queries must occupy
+    sample-head slots whenever slack exists — keeps the evidence tail
+    rotating every round even when nothing is formally overdue."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_cli", os.path.join(R.REPO, "scripts", "rotation.py")
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    from shopify_db_spark.plans import load_all
+
+    rounds = R.evidence_rounds()
+    mandatory = _mandatory_queries(modules)
+    oldest = sorted(
+        (q for q in load_all() if q not in mandatory),
+        key=lambda q: (rounds.get(q, 0), q),
+    )
+    k = min(cli.FLOOR_K, max(0, DRIVER_SAMPLE - len(mandatory)), len(oldest))
+    sampled = set(list(entrymod.queries())[:DRIVER_SAMPLE])
+    starved = [q for q in oldest[:k] if q not in sampled]
+    assert not starved, (
+        f"freshness-floor reserve violated: the {k} oldest-evidence "
+        f"queries must be sampled, missing {starved} — regenerate "
+        "_NEVER_DRIVER_SAMPLED with scripts/rotation.py"
+    )
