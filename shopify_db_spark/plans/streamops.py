@@ -1502,6 +1502,88 @@ def _ann_result(spark: SparkSession, state: dict) -> DataFrame:
     )
 
 
+#: q163 vocabulary-state prune (VERDICT r12 item 4). ``state["cap"]``
+#: = None (the production default) carries the EXACT vocabulary, so
+#: the oracle stays q40's verbatim. An integer cap bounds the carried
+#: state to the ``cap`` highest-tf terms (distributed top-K via
+#: orderBy+limit — TakeOrderedAndProject, no global single-partition
+#: window) plus a fixed D×W count-min backstop accumulating the
+#: EVICTED (tf, df) mass: state size is O(cap + D·W) rows regardless
+#: of corpus vocabulary — the Zipf long tail at 100 TB never
+#: accumulates. Exactness certificate: any term absent from the
+#: carried state has true residual tf ≤ B, where B is the count-min
+#: upper bound ``_term_stats_evicted_bound`` (min over rows of the
+#: row-max cell — CMS estimates only overcount); when the finalized
+#: rank-100 tf exceeds B, the pruned top-100 is PROVABLY identical
+#: to the exact run (tests/test_streaming_realism.py asserts both
+#: the agreement and the certificate).
+_Q163_PRUNE_D = 4
+_Q163_PRUNE_W = 4096
+
+
+def _term_stats_prune(spark: SparkSession, state: dict) -> None:
+    """Bound the carried vocabulary to the cap highest-tf terms;
+    fold evicted (tf, df) mass into the count-min backstop."""
+    from shopify_db_spark.functions.text import md5_bucket
+
+    cap = state.get("cap")
+    if not cap:
+        return
+    merged = state["stats"]
+    kept = merged.orderBy(F.desc("tf"), F.asc("term")).limit(cap)
+    evicted = merged.join(kept.select("term"), "term", "left_anti")
+    cells = (
+        evicted.select(
+            "tf",
+            "df",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            md5_bucket(
+                                F.col("term"), f"q163cms{j}", _Q163_PRUNE_W
+                            ).alias("bucket"),
+                        )
+                        for j in range(_Q163_PRUNE_D)
+                    ]
+                )
+            ).alias("jb"),
+        )
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
+    )
+    if state.get("cms") is None:
+        state["cms"] = spark.createDataFrame(
+            [], "j int, bucket long, tf long, df long"
+        )
+    state["cms"] = (
+        state["cms"]
+        .unionByName(cells)
+        .groupBy("j", "bucket")
+        .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
+        .localCheckpoint()
+    )
+    state["stats"] = kept.localCheckpoint()
+
+
+def _term_stats_evicted_bound(state: dict) -> int:
+    """Count-min upper bound B on any single absent term's evicted tf
+    mass: estimates only overcount, so no key's total insertions can
+    exceed the smallest per-row maximum cell. 0 when nothing was ever
+    evicted (exact mode)."""
+    cms = state.get("cms")
+    if cms is None:
+        return 0
+    row = (
+        cms.groupBy("j")
+        .agg(F.max("tf").alias("mx"))
+        .agg(F.min("mx").alias("b"))
+        .collect()
+    )
+    return int(row[0]["b"]) if row and row[0]["b"] is not None else 0
+
+
 def _term_stats_merge(
     spark: SparkSession, state: dict, batch_df: DataFrame, batch_id: int
 ) -> None:
@@ -1509,7 +1591,9 @@ def _term_stats_merge(
     summed into the accumulated stats. df merges by ADDITION because
     the micro-batches partition the corpus by doc_id — each document
     contributes its distinct terms to exactly one batch, so per-term
-    batch dfs are disjoint counts of the same corpus df."""
+    batch dfs are disjoint counts of the same corpus df. When
+    ``state["cap"]`` is set, ``_term_stats_prune`` bounds the carried
+    vocabulary after the merge (see the prune note above)."""
     from shopify_db_spark.functions.text import tokens
 
     terms = (
@@ -1529,6 +1613,7 @@ def _term_stats_merge(
         .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
         .localCheckpoint()
     )
+    _term_stats_prune(spark, state)
 
 
 def _term_stats_result(spark: SparkSession, state: dict) -> DataFrame:
@@ -1573,7 +1658,10 @@ def q163_streaming_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_dir = _write_batch_files(docs, "batch_no", 3)
     empty = spark.createDataFrame([], "term string, tf long, df long")
-    state = {"stats": empty, "seen": set()}
+    # cap=None: exact vocabulary (the gated default — oracle is q40's
+    # verbatim). Set an int to bound state at 100 TB; see
+    # _term_stats_prune for the count-min-certified top-K semantics.
+    state = {"stats": empty, "seen": set(), "cap": None}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # at-least-once guard (q114's pattern): tf/df merge by
@@ -1677,6 +1765,7 @@ STATEFUL_SINK_FAMILIES: dict[str, SinkFamily] = {
                 [], "term string, tf long, df long"
             ),
             "seen": set(),
+            "cap": None,
         },
         merge=_term_stats_merge,
         result=_term_stats_result,
