@@ -215,6 +215,63 @@ def main() -> None:
     canary_last = _canary(spark)
 
     total = round(sum(timings.values()), 4)
+
+    # ---- canary-normalized self-adjudication (VERDICT r12 item 3).
+    # Raw seconds swing with host load (r12's driver run read 274.9 s
+    # vs the same tree's clean-window 229.6 s purely from canary
+    # drift); dividing by the run's canary mean removes the common
+    # machine factor. Alongside raw seconds, the full payload carries
+    # per-query times in canary units, the same for the committed
+    # clean-window reference (git show HEAD:BENCH_local.json), and a
+    # per-query vs_committed ratio of the two NORMALIZED times. Only
+    # a normalized ratio > NORM_REGRESSION_FLAG on a query whose
+    # reference time is >= NORM_FLOOR_SEC counts as a regression —
+    # sub-second entries are scheduler noise (floor per the r9
+    # timing-hygiene sweep), and canary-proportional slowdowns are
+    # machine noise by construction, not plan regressions.
+    NORM_REGRESSION_FLAG = 1.5
+    NORM_FLOOR_SEC = 0.5
+    canary_mean = None
+    if canary_first and canary_last:
+        canary_mean = round((canary_first + canary_last) / 2, 4)
+    normalized = (
+        {n: round(t / canary_mean, 2) for n, t in timings.items()}
+        if canary_mean
+        else {}
+    )
+    ref_payload = None
+    try:
+        import subprocess
+
+        ref_raw = subprocess.run(
+            ["git", "show", "HEAD:BENCH_local.json"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, check=True,
+        ).stdout
+        ref_payload = json.loads(ref_raw)
+    except Exception:  # noqa: BLE001 - no git/first run: skip the ratio tier
+        ref_payload = None
+    vs_committed: dict[str, float] = {}
+    regressions: list[str] = []
+    if (
+        canary_mean
+        and ref_payload
+        and ref_payload.get("canary", {}).get("first")
+        and ref_payload.get("canary", {}).get("last")
+        and str(ref_payload.get("sf")) == str(sf)
+        and ref_payload.get("layout", "flat") == layout
+    ):
+        ref_mean = (
+            ref_payload["canary"]["first"] + ref_payload["canary"]["last"]
+        ) / 2
+        for n, t in timings.items():
+            ref_t = ref_payload.get("queries", {}).get(n)
+            if not ref_t or ref_t < NORM_FLOOR_SEC:
+                continue
+            ratio = (t / canary_mean) / (ref_t / ref_mean)
+            vs_committed[n] = round(ratio, 2)
+            if ratio > NORM_REGRESSION_FLAG:
+                regressions.append(n)
     try:
         sf_val: float | str = float(sf)
     except ValueError:
@@ -228,6 +285,20 @@ def main() -> None:
     }
     if canary_first is not None:
         payload["canary"] = {"first": canary_first, "last": canary_last}
+    if canary_mean:
+        payload["canary_mean"] = canary_mean
+        payload["value_canary_units"] = round(total / canary_mean, 2)
+        payload["queries_canary_units"] = normalized
+    if vs_committed:
+        payload["vs_committed_clean_window"] = vs_committed
+        payload["normalized_regressions"] = sorted(regressions)
+        payload["normalization_rule"] = (
+            f"flag only queries whose canary-normalized time exceeds "
+            f"{NORM_REGRESSION_FLAG}x the committed clean-window's "
+            f"canary-normalized time, reference raw time >= "
+            f"{NORM_FLOOR_SEC}s; canary-proportional slowdown is "
+            f"machine noise, not a plan regression"
+        )
     if errors:
         payload["errors"] = errors
     if layout != "flat":
@@ -284,6 +355,10 @@ def main() -> None:
     }
     if canary_first is not None:
         compact["canary"] = [round(canary_first, 2), round(canary_last, 2)]
+    if vs_committed:
+        # self-adjudication verdict for the driver's tail window:
+        # count + names only when the normalized rule actually flags
+        compact["norm_regr"] = sorted(_short(n) for n in regressions)[:15]
     if errors:
         compact["error_queries"] = sorted(_short(n) for n in errors)[:20]
     if layout != "flat":
