@@ -73,6 +73,77 @@ def materialize_partitioned(spark, sf_dir: str) -> str:
     return out
 
 
+#: compact aliases for the artifact line items — the full names
+#: in the compact line pushed it past the driver's ~2000-char
+#: stdout tail window (the full 4-dp payload with full names is
+#: always in BENCH_local.json, committed)
+_ARTIFACT_SHORT = {
+    "artifact_materialization": "art_clu",
+    "artifact_invoice_table": "art_inv",
+    "artifact_bpe_encoded": "art_bpe",
+}
+
+
+def _short(name: str) -> str:
+    if name in _ARTIFACT_SHORT:
+        return _ARTIFACT_SHORT[name]
+    head = name.split("_", 1)[0]
+    return head if head not in (name,) and head.startswith("q") else name
+
+
+def _ref_canary_mean(ref_payload: dict) -> float | None:
+    """Canary mean of a committed reference payload — tolerates both
+    the full shape ({'first': .., 'last': ..}) and the compact line's
+    2-element list."""
+    c = ref_payload.get("canary")
+    if isinstance(c, dict) and c.get("first") and c.get("last"):
+        return (c["first"] + c["last"]) / 2
+    if isinstance(c, (list, tuple)) and len(c) == 2 and all(c):
+        return (c[0] + c[1]) / 2
+    return None
+
+
+#: self-adjudication thresholds (VERDICT r12 item 3): flag only
+#: queries whose canary-NORMALIZED time regresses beyond the factor,
+#: and only when the committed reference time clears the floor
+#: (sub-second entries are scheduler noise — the r9 hygiene sweep)
+NORM_REGRESSION_FLAG = 1.5
+NORM_FLOOR_SEC = 0.5
+
+
+def _normalize_against_ref(
+    timings: dict[str, float],
+    canary_mean: float | None,
+    ref_payload: dict | None,
+    sf: str,
+    layout: str,
+) -> tuple[dict[str, float], list[str]]:
+    """Per-query ratio of this run's canary-normalized time to the
+    committed clean-window reference's canary-normalized time, plus
+    the list of queries the normalized rule flags. Empty when the
+    reference is missing, canary-less, or from a different sf/layout.
+    Tolerates a compact-format reference (short keys, list canary)."""
+    vs_committed: dict[str, float] = {}
+    regressions: list[str] = []
+    ref_mean = _ref_canary_mean(ref_payload) if ref_payload else None
+    if (
+        canary_mean
+        and ref_mean
+        and str(ref_payload.get("sf")) == str(sf)
+        and ref_payload.get("layout", "flat") == layout
+    ):
+        ref_q = ref_payload.get("queries", {})
+        for n, t in timings.items():
+            ref_t = ref_q.get(n, ref_q.get(_short(n)))
+            if not ref_t or ref_t < NORM_FLOOR_SEC:
+                continue
+            ratio = (t / canary_mean) / (ref_t / ref_mean)
+            vs_committed[n] = round(ratio, 2)
+            if ratio > NORM_REGRESSION_FLAG:
+                regressions.append(n)
+    return vs_committed, regressions
+
+
 def _canary(spark) -> float | None:
     """Fixed-cost environment canary (VERDICT r8 #3): a constant-size
     scan+aggregate over the sf0.001 lineitem file (same input no
@@ -229,8 +300,6 @@ def main() -> None:
     # sub-second entries are scheduler noise (floor per the r9
     # timing-hygiene sweep), and canary-proportional slowdowns are
     # machine noise by construction, not plan regressions.
-    NORM_REGRESSION_FLAG = 1.5
-    NORM_FLOOR_SEC = 0.5
     canary_mean = None
     if canary_first and canary_last:
         canary_mean = round((canary_first + canary_last) / 2, 4)
@@ -251,27 +320,9 @@ def main() -> None:
         ref_payload = json.loads(ref_raw)
     except Exception:  # noqa: BLE001 - no git/first run: skip the ratio tier
         ref_payload = None
-    vs_committed: dict[str, float] = {}
-    regressions: list[str] = []
-    if (
-        canary_mean
-        and ref_payload
-        and ref_payload.get("canary", {}).get("first")
-        and ref_payload.get("canary", {}).get("last")
-        and str(ref_payload.get("sf")) == str(sf)
-        and ref_payload.get("layout", "flat") == layout
-    ):
-        ref_mean = (
-            ref_payload["canary"]["first"] + ref_payload["canary"]["last"]
-        ) / 2
-        for n, t in timings.items():
-            ref_t = ref_payload.get("queries", {}).get(n)
-            if not ref_t or ref_t < NORM_FLOOR_SEC:
-                continue
-            ratio = (t / canary_mean) / (ref_t / ref_mean)
-            vs_committed[n] = round(ratio, 2)
-            if ratio > NORM_REGRESSION_FLAG:
-                regressions.append(n)
+    vs_committed, regressions = _normalize_against_ref(
+        timings, canary_mean, ref_payload, sf, layout
+    )
     try:
         sf_val: float | str = float(sf)
     except ValueError:
@@ -320,22 +371,6 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout must not kill the bench line
-
-    #: compact aliases for the artifact line items — the full names
-    #: in the compact line pushed it past the driver's ~2000-char
-    #: stdout tail window (the full 4-dp payload with full names is
-    #: always in BENCH_local.json, committed)
-    _ARTIFACT_SHORT = {
-        "artifact_materialization": "art_clu",
-        "artifact_invoice_table": "art_inv",
-        "artifact_bpe_encoded": "art_bpe",
-    }
-
-    def _short(name: str) -> str:
-        if name in _ARTIFACT_SHORT:
-            return _ARTIFACT_SHORT[name]
-        head = name.split("_", 1)[0]
-        return head if head not in (name,) and head.startswith("q") else name
 
     shorts = [_short(n) for n in timings]
     compact_keys = (
