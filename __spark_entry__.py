@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: emitted by the generator and records how many pins were absorbed
 #: into higher tiers. Entries past the 50-query sample are next
 #: round's starting debt.
-# computed by scripts/rotation.py (base round-12; 6 plan-affected this round; 20 stale; 10 freshness-floor; 0 pins, 0 absorbed)
+# computed by scripts/rotation.py (base round-12; 7 plan-affected this round; 21 stale; 10 freshness-floor; 0 pins, 0 absorbed)
 _NEVER_DRIVER_SAMPLED = [
     "q33_media_metadata",  # round-affected
     "q34_media_features",  # round-affected
@@ -51,6 +51,7 @@ _NEVER_DRIVER_SAMPLED = [
     "q35_frame_sample_plan",  # round-affected
     "q164_wav_band_energy",  # round-affected
     "q163_streaming_term_stats",  # round-affected
+    "q165_streaming_reservoir",  # round-affected
     "q69_geo_heatmap",  # stale since r8
     "q70_mixture_weights",  # stale since r8
     "q71_shuffle_split",  # stale since r8
@@ -104,7 +105,6 @@ _NEVER_DRIVER_SAMPLED = [
     "q13_revenue_rollup",  # evidence r10
     "q142_principal_direction",  # evidence r10
     "q143_common_removal",  # evidence r10
-    "q158_decayed_engagement",  # evidence r10
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1689,6 +1689,134 @@ def q163_streaming_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
 
 
+def _reservoir_topk(df: DataFrame) -> DataFrame:
+    """Per-source Efraimidis–Spirakis top-K (q80's keyed-window
+    shape: partitioned by the stratum, no global sort)."""
+    from shopify_db_spark.plans.curation import _Q80_K
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("es_key"), F.asc("doc_id")
+    )
+    return (
+        df.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _Q80_K)
+        .drop("r")
+    )
+
+
+def _reservoir_merge(
+    spark: SparkSession, state: dict, batch_df: DataFrame, batch_id: int
+) -> None:
+    """q165's weighted-reservoir merge: key each arriving doc with
+    q80's deterministic Efraimidis–Spirakis priority (ln(u)/w, u from
+    the portable md5 bucket — identical expression, so batch and
+    stream agree float-for-float), reduce the BATCH to its per-source
+    top-K first (distributed keyed window), then fold into the
+    carried reservoir and re-take top-K. Top-K is an associative,
+    commutative, IDEMPOTENT merge (top-K(A ∪ B) = top-K(top-K(A) ∪
+    top-K(B))), so any batch arrival order — and even a redelivery —
+    yields the exact one-shot sample. State is bounded at
+    n_sources × K rows by construction: the reservoir IS the prune."""
+    from shopify_db_spark.functions.text import md5_bucket
+    from shopify_db_spark.plans.curation import _BLOOM_M
+
+    u = (
+        md5_bucket(F.col("doc_id").cast("string"), "es", _BLOOM_M)
+        + F.lit(0.5)
+    ) / F.lit(float(_BLOOM_M))
+    keyed = batch_df.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    state["res"] = _reservoir_topk(
+        state["res"].unionByName(_reservoir_topk(keyed))
+    ).localCheckpoint()
+
+
+def _reservoir_init(spark: SparkSession, sf_dir: str) -> dict:
+    return {
+        "res": spark.createDataFrame(
+            [], "source string, doc_id long, weight long, es_key double"
+        ),
+        "seen": set(),
+    }
+
+
+def _reservoir_result(spark: SparkSession, state: dict) -> DataFrame:
+    """q80's output shape: the float key is ranked, never emitted
+    (cross-engine libm ulp — q80's documented discipline)."""
+    from shopify_db_spark.plans.curation import _Q80_K
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("es_key"), F.asc("doc_id")
+    )
+    return (
+        state["res"]
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= _Q80_K)
+        .select("source", "doc_id", "weight", "sample_rank")
+    )
+
+
+def _q165_oracle() -> str:
+    # force q80's registration before reading it (q163's lesson —
+    # ADVICE r12: never rely on incidental import order)
+    from shopify_db_spark.plans import curation  # noqa: F401
+    from shopify_db_spark.plans.catalog import QUERIES
+
+    return QUERIES["q80_weighted_sample"].oracle
+
+
+@query("q165_streaming_reservoir", oracle=_q165_oracle())
+def q165_streaming_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80's weighted sample WITHOUT replacement maintained
+    INCREMENTALLY under Structured Streaming — the one-pass reservoir
+    Efraimidis–Spirakis was designed as (2006, Inf. Proc. Letters:
+    key = u^(1/w), a reservoir of the k largest keys is a weighted
+    sample of the stream so far). Three deterministic micro-batches
+    (doc_id % 3); per batch the arriving docs are keyed with the
+    portable md5-derived priority and top-K-merged into the carried
+    per-source reservoir — an associative/commutative/idempotent
+    fold, so the finalized sample equals the one-shot batch query
+    exactly. Oracle: q80's, verbatim. State: n_sources × K rows —
+    bounded by construction, the streaming-sampler shape a 100 TB
+    ingest would run. Cites reference scope: the reference has no
+    sampler; this extends the curation tier (SURVEY §2-extension)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        (F.col("doc_id") % 3).alias("batch_no"),
+    )
+    stream_dir = _write_batch_files(docs, "batch_no", 3)
+    state = _reservoir_init(spark, sf_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once guard (the registry-enforced pattern); the
+        # top-K merge is idempotent anyway — belt and braces
+        if batch_id in state["seen"]:
+            return
+        state["seen"].add(batch_id)
+        if batch_df.isEmpty():
+            return
+        _reservoir_merge(spark, state, batch_df, batch_id)
+
+    try:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _reservoir_result(spark, state)
+    finally:
+        shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
+
+
 STATEFUL_SINK_FAMILIES: dict[str, SinkFamily] = {
     "hll_q133": SinkFamily(
         source=_docs_source(["doc_id", "text", "source"]),
@@ -1756,6 +1884,13 @@ STATEFUL_SINK_FAMILIES: dict[str, SinkFamily] = {
         init=_ann_init,
         merge=_ann_merge,
         result=_ann_result,
+    ),
+    "reservoir_q165": SinkFamily(
+        source=_docs_source(["doc_id", "source", "n_chars"]),
+        batch_col="batch_no",
+        init=_reservoir_init,
+        merge=_reservoir_merge,
+        result=_reservoir_result,
     ),
     "term_stats_q163": SinkFamily(
         source=_docs_source(["doc_id", "text"]),
