@@ -1,67 +1,99 @@
-"""bench.py's canary-normalized self-adjudication (VERDICT r12 item
-3): raw seconds swing with host load; the bench must flag only
-queries whose CANARY-NORMALIZED time regresses vs the committed
-clean-window reference, so a machine-wide slowdown (canary and
-queries inflated by the same factor) self-adjudicates to zero flags.
+"""bench.py's normalized self-adjudication (VERDICT r12 item 3): raw
+seconds swing with host load; the bench must flag only queries whose
+time regresses vs the committed clean-window reference AFTER dividing
+out the run-wide machine factor — the MEDIAN per-query raw ratio, not
+the canary ratio (the ~0.1 s canary is scheduling-latency-bound and
+its swing is not proportional to workload throughput: the first live
+run's canary ratio was 0.67 while the 107-query median was 0.94, so
+canary normalization branded a FASTER run with 31 fake regressions).
 Hermetic — no SparkSession."""
 
 from __future__ import annotations
 
 import bench
 
-
-def test_ref_canary_mean_both_shapes():
-    assert bench._ref_canary_mean({"canary": {"first": 0.1, "last": 0.3}}) == 0.2
-    assert bench._ref_canary_mean({"canary": [0.1, 0.3]}) == 0.2
-    assert bench._ref_canary_mean({"canary": None}) is None
-    assert bench._ref_canary_mean({}) is None
-    assert bench._ref_canary_mean({"canary": [0.1]}) is None
-
-
 REF = {
     "sf": 0.1,
     "canary": {"first": 0.10, "last": 0.10},
-    "queries": {"q50_dup_clusters": 2.0, "q63_csv_roundtrip": 8.0,
-                "q09_predicate_gallery": 0.2},
+    "queries": {
+        "q50_dup_clusters": 2.0,
+        "q63_csv_roundtrip": 8.0,
+        "q73_incremental_dedup": 4.0,
+        "q90_incremental_cms": 3.0,
+        "q102_incremental_dedup_capped": 6.0,
+        "q112_ann_recall_gate": 5.0,
+        "q09_predicate_gallery": 0.2,
+    },
 }
 
 
+def _run(scale: float, overrides: dict | None = None) -> dict:
+    t = {n: v * scale for n, v in REF["queries"].items() if v >= 0.5}
+    t.update(overrides or {})
+    return t
+
+
 def test_machine_wide_slowdown_is_not_flagged():
-    """Everything 2x slower INCLUDING the canary: normalized ratios
-    are 1.0, zero regressions — the exact r12 judge-time sink."""
-    timings = {"q50_dup_clusters": 4.0, "q63_csv_roundtrip": 16.0}
-    vs, regr = bench._normalize_against_ref(timings, 0.20, REF, "0.1", "flat")
-    assert vs == {"q50_dup_clusters": 1.0, "q63_csv_roundtrip": 1.0}
+    """Everything 2x slower: the median ratio IS 2.0, normalized
+    ratios are 1.0, zero regressions — the exact r12 judge-time sink
+    (and the first-live-run failure mode of canary normalization:
+    the canary here is irrelevant by design)."""
+    vs, regr, factor = bench._normalize_against_ref(
+        _run(2.0), REF, "0.1", "flat"
+    )
+    assert factor == 2.0
+    assert all(v == 1.0 for v in vs.values())
     assert regr == []
 
 
 def test_genuine_regression_is_flagged():
-    """Canary flat, one query 2x slower: that IS a plan regression."""
-    timings = {"q50_dup_clusters": 4.0, "q63_csv_roundtrip": 8.0}
-    vs, regr = bench._normalize_against_ref(timings, 0.10, REF, "0.1", "flat")
+    """Machine flat, one query 2x slower: that IS a plan regression."""
+    vs, regr, factor = bench._normalize_against_ref(
+        _run(1.0, {"q50_dup_clusters": 4.0}), REF, "0.1", "flat"
+    )
+    assert factor == 1.0
     assert regr == ["q50_dup_clusters"]
     assert vs["q63_csv_roundtrip"] == 1.0
 
 
+def test_regression_on_a_slow_machine_still_flagged():
+    """2x machine factor AND one query 4x slower: the median divides
+    out the machine, the genuine 2x normalized regression survives."""
+    vs, regr, factor = bench._normalize_against_ref(
+        _run(2.0, {"q50_dup_clusters": 8.0}), REF, "0.1", "flat"
+    )
+    assert factor == 2.0
+    assert regr == ["q50_dup_clusters"]
+    assert vs["q50_dup_clusters"] == 2.0
+
+
 def test_subsecond_reference_floor():
     """Reference under NORM_FLOOR_SEC: scheduler noise, never rated."""
-    timings = {"q09_predicate_gallery": 3.0}
-    vs, regr = bench._normalize_against_ref(timings, 0.10, REF, "0.1", "flat")
-    assert vs == {} and regr == []
+    vs, regr, _ = bench._normalize_against_ref(
+        _run(1.0, {"q09_predicate_gallery": 3.0}), REF, "0.1", "flat"
+    )
+    assert "q09_predicate_gallery" not in vs
+    assert regr == []
 
 
-def test_mismatched_sf_or_layout_disables_the_tier():
-    timings = {"q50_dup_clusters": 9.0}
-    assert bench._normalize_against_ref(timings, 0.1, REF, "0.01", "flat") == ({}, [])
-    assert bench._normalize_against_ref(timings, 0.1, REF, "0.1", "partitioned") == ({}, [])
-    assert bench._normalize_against_ref(timings, None, REF, "0.1", "flat") == ({}, [])
-    assert bench._normalize_against_ref(timings, 0.1, None, "0.1", "flat") == ({}, [])
+def test_mismatched_sf_or_layout_or_thin_overlap_disables_the_tier():
+    t = _run(1.0)
+    assert bench._normalize_against_ref(t, REF, "0.01", "flat") == ({}, [], None)
+    assert bench._normalize_against_ref(t, REF, "0.1", "partitioned") == ({}, [], None)
+    assert bench._normalize_against_ref(t, None, "0.1", "flat") == ({}, [], None)
+    thin = {"q50_dup_clusters": 2.0}  # < NORM_MIN_COMMON common queries
+    assert bench._normalize_against_ref(thin, REF, "0.1", "flat") == ({}, [], None)
 
 
 def test_compact_reference_short_keys_resolve():
-    ref = {"sf": 0.1, "canary": [0.1, 0.1], "queries": {"q50": 2.0}}
-    vs, regr = bench._normalize_against_ref(
-        {"q50_dup_clusters": 4.0}, 0.1, ref, "0.1", "flat"
+    ref = {
+        "sf": 0.1,
+        "queries": {"q50": 2.0, "q63": 8.0, "q73": 4.0, "q90": 3.0,
+                    "q102": 6.0, "q112": 5.0},
+    }
+    vs, regr, factor = bench._normalize_against_ref(
+        _run(1.0, {"q50_dup_clusters": 4.0}), ref, "0.1", "flat"
     )
-    assert vs == {"q50_dup_clusters": 2.0}
+    assert factor == 1.0
     assert regr == ["q50_dup_clusters"]
+    assert vs["q50_dup_clusters"] == 2.0
