@@ -43,13 +43,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: emitted by the generator and records how many pins were absorbed
 #: into higher tiers. Entries past the 50-query sample are next
 #: round's starting debt.
-# computed by scripts/rotation.py (base round-12; 7 plan-affected this round; 21 stale; 10 freshness-floor; 0 pins, 0 absorbed)
+# computed by scripts/rotation.py (base round-12; 16 plan-affected this round; 30 stale; 10 freshness-floor; 0 pins, 0 absorbed)
 _NEVER_DRIVER_SAMPLED = [
     "q33_media_metadata",  # round-affected
     "q34_media_features",  # round-affected
     "q118_image_phash_dedup",  # round-affected
     "q35_frame_sample_plan",  # round-affected
     "q164_wav_band_energy",  # round-affected
+    "q30_cosine_topk",  # round-affected
+    "q107_cosine_topk_grid",  # round-affected
+    "q109_hybrid_rrf",  # round-affected
+    "q112_ann_recall_gate",  # round-affected
+    "q116_contrastive_pairs",  # round-affected
+    "q126_knn_label_infer",  # round-affected
+    "q135_mmr_rerank",  # round-affected
+    "q138_mmr_ivf",  # round-affected
+    "q159_knn_recall_gate",  # round-affected
     "q163_streaming_term_stats",  # round-affected
     "q165_streaming_reservoir",  # round-affected
     "q69_geo_heatmap",  # stale since r8
@@ -83,7 +92,6 @@ _NEVER_DRIVER_SAMPLED = [
     "q154_novelty_curve",  # evidence r9
     "q156_budget_mixture",  # evidence r9
     "q157_robust_outliers",  # evidence r9
-    "q30_cosine_topk",  # evidence r9
     "q31_lsh_ann",  # evidence r9
     "q32_embedding_dedup",  # evidence r9
     "q39_running_totals",  # evidence r9
@@ -97,14 +105,6 @@ _NEVER_DRIVER_SAMPLED = [
     "q08_group_numbering",  # evidence r10
     "q09_predicate_gallery",  # evidence r10
     "q10_scalar_gallery",  # evidence r10
-    "q11_first_per_group",  # evidence r10
-    "q122_centroid_classify",  # evidence r10
-    "q126_knn_label_infer",  # evidence r10
-    "q129_domain_outliers",  # evidence r10
-    "q12_global_aggregates",  # evidence r10
-    "q13_revenue_rollup",  # evidence r10
-    "q142_principal_direction",  # evidence r10
-    "q143_common_removal",  # evidence r10
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

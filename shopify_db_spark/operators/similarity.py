@@ -139,6 +139,25 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def _respread_thin_candidates(c: DataFrame) -> DataFrame:
+    """Under a broadcast-queries join, the O(|q| × |c|) scoring runs
+    with the CANDIDATES side's partitioning — which is scan- or
+    limit-determined, not compute-determined: a small parquet scan
+    plans one split, and an upstream orderBy+limit pool (q126)
+    localCheckpoints to ONE partition, serializing the whole pair
+    grid onto a single task (measured: 80 s single-task stage at the
+    ×10 scale fixture vs 12 s at ×30, where the query side outgrew
+    the broadcast gate and took the parallel blocked path).
+    Re-spread a thin candidates side before the compute; the shuffle
+    is linear in |c| and amortized by the quadratic scoring it
+    parallelizes. A corpus-scale scan already plans
+    ≥ defaultParallelism splits and skips this untouched."""
+    par = c.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        return c.repartition(par, F.col("neighbor_id"))
+    return c
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -173,6 +192,7 @@ def cosine_topk(
             plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
         )
     if broadcast_queries:
+        c = _respread_thin_candidates(c)
         pairs = F.broadcast(q).join(
             c, F.col("query_id") != F.col("neighbor_id")
         )
@@ -242,6 +262,7 @@ def contrastive_topk(
             plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
         )
     if broadcast_queries:
+        c = _respread_thin_candidates(c)
         pairs = F.broadcast(q).join(
             c, F.col("query_id") != F.col("neighbor_id")
         )

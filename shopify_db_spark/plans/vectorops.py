@@ -19,6 +19,28 @@ from shopify_db_spark.sources.tables import load_table
 DIM = 64
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 rows are the query set
 
+#: Bounded brute-force panel (round 13). The recall gates and the
+#: MMR demo embed an exact O(|panel| × n) baseline; with the panel
+#: growing as n/QUERY_MOD those tiers were O(n²/QUERY_MOD) — measured
+#: superlinear at ×30 (q112 ×10→×30 slope 1.57, q135 1.49,
+#: SCALE.md). A recall ESTIMATE needs a fixed panel (256 queries:
+#: ±3 % at 95 % CI on a mean recall), so the gates take the first
+#: QUERY_PANEL_MAX query ids. At every gate SF the corpus has
+#: ≤ QUERY_PANEL_MAX panel queries (sf0.1: 40), so outputs are
+#: bit-identical; the bound binds only on the ×7+ scale fixtures,
+#: where it makes the gates linear in the corpus.
+QUERY_PANEL_MAX = 256
+QUERY_PANEL_BOUND = QUERY_PANEL_MAX * QUERY_MOD
+
+
+def query_panel(emb: DataFrame) -> DataFrame:
+    """The bounded recall/rerank query panel: the first
+    QUERY_PANEL_MAX vectors of the query slice."""
+    return emb.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_PANEL_BOUND)
+    )
+
 
 def _sql_dot(a: str, b: str) -> str:
     return (
@@ -1357,7 +1379,7 @@ _Q112_ORACLE = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(1 AS INT) AS recall_floor_met
 FROM embeddings
-WHERE vec_id % {QUERY_MOD} = 0
+WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_PANEL_BOUND}
 """
 
 
@@ -1375,7 +1397,7 @@ def q112_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (n_queries, recall_floor_met)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    queries = query_panel(emb)
     exact = SIM.cosine_topk(queries, emb, k=_Q112_K).select(
         "query_id", "neighbor_id"
     )
@@ -2369,7 +2391,7 @@ a{r} AS (
     return f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id % {QUERY_MOD} = 0
+  WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_PANEL_BOUND}
 ),
 cand AS MATERIALIZED (
   SELECT query_id, neighbor_id, rel FROM (
@@ -2490,7 +2512,7 @@ def q135_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims, 5 greedy λ=1/2 rounds. Returns (query_id, neighbor_id,
     score, mmr_rank)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    queries = query_panel(emb)
     topk = SIM.cosine_topk(queries, emb, k=_Q135_C)
     cand = topk.select(
         "query_id", "neighbor_id", F.col("cosine").alias("rel")
@@ -2597,7 +2619,9 @@ def q138_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     mmr_rank)."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    # panel-bounded like q135: the oracle splice inherits q135's q
+    # CTE, so the Spark side must take the same bounded slice
+    queries = query_panel(emb)
     topk = SIM.ivf_ann(queries, emb, centroids, k=_Q135_C, nprobe=NPROBE)
     cand = topk.select(
         "query_id", "neighbor_id", F.col("cosine").alias("rel")
@@ -3689,7 +3713,7 @@ def q153_domain_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id % {QUERY_MOD} = 0
+  WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_PANEL_BOUND}
 ),
 exact AS (
   SELECT query_id, neighbor_id FROM (
@@ -3743,7 +3767,7 @@ def q159_knn_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force top-k on the query slice (see section comment).
     Returns one row (n_queries, n_hits, n_expected, recall)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    queries = query_panel(emb)
     centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
     exact = SIM.cosine_topk(queries, emb, k=_Q152_K).select(
         "query_id", "neighbor_id"
