@@ -43,75 +43,76 @@ def entry(spark: SparkSession) -> DataFrame:
 #: emitted by the generator and records how many pins were absorbed
 #: into higher tiers. Entries past the 50-query sample are next
 #: round's starting debt.
-# computed by scripts/rotation.py (base round-12; 16 plan-affected this round; 30 stale; 10 freshness-floor; 0 pins, 0 absorbed)
-_NEVER_DRIVER_SAMPLED = [
-    "q33_media_metadata",  # round-affected
-    "q34_media_features",  # round-affected
-    "q118_image_phash_dedup",  # round-affected
-    "q35_frame_sample_plan",  # round-affected
-    "q164_wav_band_energy",  # round-affected
-    "q30_cosine_topk",  # round-affected
-    "q107_cosine_topk_grid",  # round-affected
-    "q109_hybrid_rrf",  # round-affected
-    "q112_ann_recall_gate",  # round-affected
-    "q116_contrastive_pairs",  # round-affected
-    "q126_knn_label_infer",  # round-affected
-    "q135_mmr_rerank",  # round-affected
-    "q138_mmr_ivf",  # round-affected
-    "q159_knn_recall_gate",  # round-affected
-    "q163_streaming_term_stats",  # round-affected
-    "q165_streaming_reservoir",  # round-affected
-    "q69_geo_heatmap",  # stale since r8
-    "q70_mixture_weights",  # stale since r8
-    "q71_shuffle_split",  # stale since r8
-    "q72_dup_spans",  # stale since r8
-    "q75_bloom_decontamination",  # stale since r8
-    "q80_weighted_sample",  # stale since r8
-    "q85_cross_source_dups",  # stale since r8
-    "q86_count_min_sketch",  # stale since r8
-    "q119_balanced_clusters",  # stale since r9
-    "q120_curriculum_sample",  # stale since r9
-    "q127_ivf_label_infer",  # stale since r9
-    "q153_domain_coherence",  # stale since r9
-    "q38_ivf_ann",  # stale since r9
-    "q124_source_drift",  # stale since r10
-    "q14_sessionize",  # freshness floor (evidence r8)
-    "q01_pricing_summary",  # freshness floor (evidence r9)
-    "q123_snapshot_diff",  # freshness floor (evidence r9)
-    "q128_refresh_dedup",  # freshness floor (evidence r9)
-    "q130_hll_distinct",  # freshness floor (evidence r9)
-    "q131_mixture_temperature",  # freshness floor (evidence r9)
-    "q132_hll_overlap",  # freshness floor (evidence r9)
-    "q134_source_keywords",  # freshness floor (evidence r9)
-    "q136_split_leakage",  # freshness floor (evidence r9)
-    "q139_length_quantile_sketch",  # freshness floor (evidence r9)
-    "q140_target_affinity",  # evidence r9
-    "q141_kcenter_coreset",  # evidence r9
-    "q149_balanced_subsample",  # evidence r9
-    "q150_batch_padding",  # evidence r9
-    "q154_novelty_curve",  # evidence r9
-    "q156_budget_mixture",  # evidence r9
-    "q157_robust_outliers",  # evidence r9
-    "q31_lsh_ann",  # evidence r9
-    "q32_embedding_dedup",  # evidence r9
-    "q39_running_totals",  # evidence r9
-    "q46_priority_pivot",  # evidence r9
-    "q02_top_order_per_customer",  # evidence r10
-    "q03_regional_revenue",  # evidence r10
-    "q04_union_distinct_branches",  # evidence r10
-    "q05_order_price_reconcile",  # evidence r10
-    "q06_orderkey_gaps",  # evidence r10
-    "q07_composite_key_join",  # evidence r10
-    "q08_group_numbering",  # evidence r10
-    "q09_predicate_gallery",  # evidence r10
-    "q10_scalar_gallery",  # evidence r10
+# computed by scripts/rotation.py (base round-13; 0 plan-affected this round; 0 stale; 10 freshness-floor; 0 pins, 0 absorbed)
+_DRIVER_SAMPLE_HEAD = [
+    "q46_priority_pivot",  # freshness floor (evidence r9)
+    "q02_top_order_per_customer",  # freshness floor (evidence r10)
+    "q03_regional_revenue",  # freshness floor (evidence r10)
+    "q04_union_distinct_branches",  # freshness floor (evidence r10)
+    "q05_order_price_reconcile",  # freshness floor (evidence r10)
+    "q06_orderkey_gaps",  # freshness floor (evidence r10)
+    "q07_composite_key_join",  # freshness floor (evidence r10)
+    "q08_group_numbering",  # freshness floor (evidence r10)
+    "q09_predicate_gallery",  # freshness floor (evidence r10)
+    "q10_scalar_gallery",  # freshness floor (evidence r10)
+    "q11_first_per_group",  # evidence r10
+    "q122_centroid_classify",  # evidence r10
+    "q129_domain_outliers",  # evidence r10
+    "q12_global_aggregates",  # evidence r10
+    "q13_revenue_rollup",  # evidence r10
+    "q142_principal_direction",  # evidence r10
+    "q143_common_removal",  # evidence r10
+    "q158_decayed_engagement",  # evidence r10
+    "q17_topk_per_group",  # evidence r10
+    "q18_semi_anti_joins",  # evidence r10
+    "q21_exact_dedup",  # evidence r10
+    "q22_token_stats",  # evidence r10
+    "q23_quality_scores",  # evidence r10
+    "q24_lang_id",  # evidence r10
+    "q25_ngram_jaccard_pairs",  # evidence r10
+    "q26_minhash_lsh_pairs",  # evidence r10
+    "q27_simhash_pairs",  # evidence r10
+    "q28_winnow_fingerprints",  # evidence r10
+    "q29_bpe_token_counts",  # evidence r10
+    "q40_term_stats",  # evidence r10
+    "q47_corpus_prep",  # evidence r10
+    "q62_upsert_merge",  # evidence r10
+    "q63_csv_roundtrip",  # evidence r10
+    "q64_json_ingest",  # evidence r10
+    "q65_json_shipping",  # evidence r10
+    "q66_json_variants",  # evidence r10
+    "q67_json_refunds",  # evidence r10
+    "q68_json_customers",  # evidence r10
+    "q76_sparse_cosine_retrieval",  # evidence r10
+    "q84_prefix_filter_jaccard",  # evidence r10
+    "q101_ivf_nprobe",  # evidence r11
+    "q105_quantized_ann",  # evidence r11
+    "q106_ivf_quantized",  # evidence r11
+    "q108_incremental_ann",  # evidence r11
+    "q111_hybrid_rrf_ivf",  # evidence r11
+    "q121_domain_centroids",  # evidence r11
+    "q15_tumbling_window",  # evidence r11
+    "q161_bm25_retrieval",  # evidence r11
+    "q16_json_extract",  # evidence r11
+    "q19_event_funnel",  # evidence r11
+    "q36_customer_map",  # evidence r11
+    "q37_product_search",  # evidence r11
+    "q41_cohort_retention",  # evidence r11
+    "q42_value_percentiles",  # evidence r11
+    "q43_approx_stats",  # evidence r11
+    "q44_asof_config",  # evidence r11
+    "q45_promo_range_join",  # evidence r11
+    "q48_hourly_gapfill",  # evidence r11
+    "q74_semantic_dedup",  # evidence r11
+    "q77_entity_resolution",  # evidence r11
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, with
-    the never-driver-sampled queries registered first."""
+    the rotation head registered first (the driver samples the
+    first 50 in registration order)."""
     specs = load_all()
-    ordered = {n: specs[n].fn for n in _NEVER_DRIVER_SAMPLED if n in specs}
+    ordered = {n: specs[n].fn for n in _DRIVER_SAMPLE_HEAD if n in specs}
     ordered.update(
         (n, s.fn) for n, s in specs.items() if n not in ordered
     )

@@ -11,7 +11,7 @@ oldest-evidence freshness tail, truncated to ``--n`` entries (the
 driver samples the first 50).
 
 See ``shopify_db_spark/rotation.py`` for the model; run this AFTER
-the round's last plan change and regenerate ``_NEVER_DRIVER_SAMPLED``
+the round's last plan change and regenerate ``_DRIVER_SAMPLE_HEAD``
 from it — ``tests/test_rotation_lint.py`` fails the round if a
 plan-changed query is missing from the sampled head.
 """
@@ -87,7 +87,7 @@ def main() -> None:
           f"{len(affected)} plan-affected this round; "
           f"{len(stale_sorted)} stale; {len(reserve)} freshness-floor; "
           f"{len(must)} pins, {len(absorbed)} absorbed)")
-    print("_NEVER_DRIVER_SAMPLED = [")
+    print("_DRIVER_SAMPLE_HEAD = [")
     for q in ordered:
         why = ("round-affected" if q in affected
                else f"stale since r{stale[q]}" if q in stale

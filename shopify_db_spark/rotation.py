@@ -2,7 +2,7 @@
 
 Round-11 lesson (the q20 miss): the driver samples 50 of the 161
 catalog queries per round, ordered by the hand-maintained
-``_NEVER_DRIVER_SAMPLED`` head in ``__spark_entry__.py`` — and a
+``_DRIVER_SAMPLE_HEAD`` head in ``__spark_entry__.py`` — and a
 hand-curated head leaks. q20's plan changed (it moved to the invoice
 artifact read) but nobody put it back in the head, so the round
 shipped a plan change with no driver re-certification. This module
@@ -450,14 +450,25 @@ def affected_queries(
     return out
 
 
-def evidence_rounds(repo: str = REPO) -> dict[str, int]:
-    """query -> newest round with a fully-green driver row."""
+def evidence_rounds(
+    repo: str = REPO, max_round: int | None = None
+) -> dict[str, int]:
+    """query -> newest round with a fully-green driver row.
+
+    ``max_round`` caps which ``CORRECTNESS_r*.json`` files count —
+    pass :func:`adjudicated_latest_round` to see the evidence state
+    as of the last round whose verdict commit exists (the
+    freshness-floor lints use this so a driver artifact landing in
+    the worktree BEFORE its verdict commit cannot flip them red;
+    VERDICT r13 item 1 / ADVICE r13)."""
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             data = json.load(open(path))
         except (OSError, json.JSONDecodeError):
@@ -468,6 +479,26 @@ def evidence_rounds(repo: str = REPO) -> dict[str, int]:
             if row.get("rows_match") and row.get("hash_match", True):
                 latest[q] = max(latest.get(q, 0), rnd)
     return latest
+
+
+def adjudicated_latest_round(repo: str = REPO) -> int | None:
+    """Newest evidence round whose ``round N: verdict`` commit
+    resolves — the grace boundary for the freshness-floor lints
+    (VERDICT r13 item 1): between the driver dropping
+    ``CORRECTNESS_r{N}.json`` and the round-N verdict commit landing,
+    the rotation head cannot yet have been regenerated against the
+    new evidence, so the lints compare against the last ADJUDICATED
+    round's evidence instead (mirroring ``stale_queries``'
+    skip-with-warning tolerance for the same state)."""
+    rounds = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.add(int(m.group(1)))
+    for rnd in sorted(rounds, reverse=True):
+        if round_commit(rnd, repo) is not None:
+            return rnd
+    return None
 
 
 def round_commit(n: int, repo: str = REPO) -> str | None:
@@ -489,7 +520,9 @@ def round_commit(n: int, repo: str = REPO) -> str | None:
 
 
 def stale_queries(
-    modules: dict[str, ModuleInfo] | None = None, repo: str = REPO
+    modules: dict[str, ModuleInfo] | None = None,
+    repo: str = REPO,
+    max_round: int | None = None,
 ) -> dict[str, int]:
     """query -> newest-evidence round, for every query whose plan
     CHANGED since that round (i.e. whose newest driver row no longer
@@ -510,7 +543,7 @@ def stale_queries(
     import sys
 
     modules = modules or load_package()
-    rounds = evidence_rounds(repo)
+    rounds = evidence_rounds(repo, max_round)
     qunits = query_units()
     closures = {q: closure(modules, u) for q, u in qunits.items()}
     out: dict[str, int] = {q: 0 for q in qunits if q not in rounds}

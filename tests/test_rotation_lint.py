@@ -1,7 +1,7 @@
 """Computed driver-rotation lint (VERDICT r11 item 1).
 
 The q20 miss: round 11 moved q20 to the invoice-artifact read but
-the hand-curated ``_NEVER_DRIVER_SAMPLED`` head never resurfaced it,
+the hand-curated ``_DRIVER_SAMPLE_HEAD`` head never resurfaced it,
 so a plan change shipped without driver re-certification. These
 tests make the head mechanical: ``shopify_db_spark.rotation`` maps
 the round's git diff to catalog queries through each module's AST
@@ -82,7 +82,7 @@ def test_round_diff_queries_are_in_the_sampled_head(modules):
         assert not missing, (
             f"plan-changed since {base} but NOT in the driver's "
             f"{DRIVER_SAMPLE}-query sample head: {missing} — regenerate "
-            "_NEVER_DRIVER_SAMPLED with scripts/rotation.py"
+            "_DRIVER_SAMPLE_HEAD with scripts/rotation.py"
         )
     else:
         rogue = [q for q in sampled if q not in affected]
@@ -98,7 +98,7 @@ def test_head_list_matches_registry():
     from shopify_db_spark.plans import load_all
 
     specs = load_all()
-    unknown = [q for q in entrymod._NEVER_DRIVER_SAMPLED if q not in specs]
+    unknown = [q for q in entrymod._DRIVER_SAMPLE_HEAD if q not in specs]
     assert not unknown, f"head entries not in the catalog: {unknown}"
 
 
@@ -254,10 +254,53 @@ def test_removal_only_hunks_are_flagged(tmp_path):
     assert ("shopify_db_spark.fakemod", None) in got_nobase
 
 
-def _mandatory_queries(modules):
+def test_adjudicated_latest_round_grace(tmp_path):
+    """VERDICT r13 item 1: a CORRECTNESS_r{N}.json landing in the
+    worktree BEFORE the round-N verdict commit must not advance the
+    evidence view the floor lints see. In a scratch repo: evidence
+    files for r5 and r6, a verdict commit for r5 only —
+    adjudicated_latest_round is 5, evidence_rounds(max_round=5)
+    ignores the r6 rows, and once the r6 verdict commit lands the
+    cap advances to 6."""
+    import json as _json
+    import subprocess
+
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+           "HOME": str(tmp_path), "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    run = lambda *a: subprocess.run(  # noqa: E731
+        a, cwd=tmp_path, env=env, capture_output=True, text=True, check=True
+    )
+    run("git", "init", "-q")
+    row = {"rows_match": True, "schema_match": True,
+           "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r5.json").write_text(
+        _json.dumps({"qA": row, "qB": row})
+    )
+    run("git", "add", "-A")
+    run("git", "commit", "-qm", "round 5: verdict/advice")
+
+    # r6 artifact lands, no r6 verdict commit yet (judge-time state)
+    (tmp_path / "CORRECTNESS_r6.json").write_text(_json.dumps({"qA": row}))
+    repo = str(tmp_path)
+    assert R.adjudicated_latest_round(repo) == 5
+    capped = R.evidence_rounds(repo, max_round=5)
+    assert capped == {"qA": 5, "qB": 5}
+    uncapped = R.evidence_rounds(repo)
+    assert uncapped["qA"] == 6  # the cap is what hides it, not a bug
+
+    run("git", "add", "-A")
+    run("git", "commit", "-qm", "round 6: verdict/advice")
+    assert R.adjudicated_latest_round(repo) == 6
+
+
+def _mandatory_queries(modules, max_round=None):
     """affected-this-round ∪ stale — the entries the main lint forces
-    into the head; they outrank the freshness floor."""
-    mandatory = set(R.stale_queries(modules))
+    into the head; they outrank the freshness floor. ``max_round``
+    pins the evidence view to the last adjudicated round (VERDICT r13
+    item 1) so a driver artifact landing pre-verdict-commit doesn't
+    shift the mandatory set under the floor lints."""
+    mandatory = set(R.stale_queries(modules, max_round=max_round))
     base = R.round_base()
     if base is not None:
         lines = R.changed_lines(base)
@@ -274,21 +317,21 @@ def test_freshness_floor_no_overdue_outside_head(modules):
     >= MAX_EVIDENCE_AGE rounds old must sit inside the sampled head,
     unless the head is genuinely full of higher-priority entries
     (plan-affected / stale — which the main lint forces in; pins do
-    NOT excuse)."""
-    import glob
-    import os
-    import re
+    NOT excuse).
 
-    files = glob.glob(os.path.join(R.REPO, "CORRECTNESS_r*.json"))
-    if not files:
-        pytest.skip("no driver evidence yet")
-    latest = max(
-        int(re.search(r"_r(\d+)\.json$", f).group(1)) for f in files
-    )
+    Evidence view is capped at the last ADJUDICATED round (one whose
+    ``round N: verdict`` commit resolves) so the lint stays green in
+    the judge-time state where ``CORRECTNESS_r{N}.json`` has landed
+    in the worktree but the head regeneration that follows it hasn't
+    happened yet (VERDICT r13 item 1 / ADVICE r13 — mirrors
+    ``stale_queries``' skip tolerance)."""
+    latest = R.adjudicated_latest_round()
+    if latest is None:
+        pytest.skip("no adjudicated driver evidence yet")
     from shopify_db_spark.plans import load_all
 
     MAX_EVIDENCE_AGE = 4
-    rounds = R.evidence_rounds()
+    rounds = R.evidence_rounds(max_round=latest)
     overdue = sorted(
         (q for q in load_all() if latest - rounds.get(q, 0) >= MAX_EVIDENCE_AGE),
         key=lambda q: (rounds.get(q, 0), q),
@@ -296,7 +339,7 @@ def test_freshness_floor_no_overdue_outside_head(modules):
     if not overdue:
         return
     sampled = set(list(entrymod.queries())[:DRIVER_SAMPLE])
-    mandatory = _mandatory_queries(modules)
+    mandatory = _mandatory_queries(modules, max_round=latest)
     free = max(0, DRIVER_SAMPLE - len(mandatory - set(overdue)))
     missing = [q for q in overdue if q not in sampled]
     allowed = max(0, len(overdue) - free)
@@ -304,7 +347,7 @@ def test_freshness_floor_no_overdue_outside_head(modules):
         f"queries with driver evidence >= {MAX_EVIDENCE_AGE} rounds old "
         f"(latest round r{latest}) outside the {DRIVER_SAMPLE}-query "
         f"sample head despite free slots: {missing} — regenerate "
-        "_NEVER_DRIVER_SAMPLED with scripts/rotation.py (the floor "
+        "_DRIVER_SAMPLE_HEAD with scripts/rotation.py (the floor "
         "reserves slots ahead of --must pins)"
     )
 
@@ -324,8 +367,9 @@ def test_freshness_floor_reserve_slots(modules):
 
     from shopify_db_spark.plans import load_all
 
-    rounds = R.evidence_rounds()
-    mandatory = _mandatory_queries(modules)
+    cap = R.adjudicated_latest_round()
+    rounds = R.evidence_rounds(max_round=cap)
+    mandatory = _mandatory_queries(modules, max_round=cap)
     oldest = sorted(
         (q for q in load_all() if q not in mandatory),
         key=lambda q: (rounds.get(q, 0), q),
@@ -336,5 +380,5 @@ def test_freshness_floor_reserve_slots(modules):
     assert not starved, (
         f"freshness-floor reserve violated: the {k} oldest-evidence "
         f"queries must be sampled, missing {starved} — regenerate "
-        "_NEVER_DRIVER_SAMPLED with scripts/rotation.py"
+        "_DRIVER_SAMPLE_HEAD with scripts/rotation.py"
     )
