@@ -151,9 +151,21 @@ def _respread_thin_candidates(c: DataFrame) -> DataFrame:
     Re-spread a thin candidates side before the compute; the shuffle
     is linear in |c| and amortized by the quadratic scoring it
     parallelizes. A corpus-scale scan already plans
-    ≥ defaultParallelism splits and skips this untouched."""
-    par = c.sparkSession.sparkContext.defaultParallelism
-    if c.rdd.getNumPartitions() < par:
+    ≥ defaultParallelism splits and skips this untouched.
+
+    The probe degrades gracefully (ADVICE r13): ``df.rdd`` and
+    ``sparkContext`` are unavailable under Spark Connect, and the
+    respread is a pure performance optimization — any failure falls
+    through to the unrepartitioned candidates (matching
+    ``planutil.plan_size_bytes``' any-failure-degrades discipline),
+    so an explicit ``broadcast_queries=True`` call keeps working
+    under Connect."""
+    try:
+        par = c.sparkSession.sparkContext.defaultParallelism
+        thin = c.rdd.getNumPartitions() < par
+    except Exception:
+        return c
+    if thin:
         return c.repartition(par, F.col("neighbor_id"))
     return c
 

@@ -268,6 +268,17 @@ WITH audio AS (
   SELECT doc_id AS media_id, text, length(text) AS n
   FROM documents WHERE doc_id % 3 = 1
 ),
+-- ADVICE r13: the sample model below indexes CHARS via ascii()
+-- while the Spark decode reads utf-8 BYTES, and an empty text
+-- yields no oracle row but a zero-energy Spark row. Both are safe
+-- only while every audio document is non-empty ASCII
+-- (octet_length == length) — verified for all current fixtures; a
+-- fixture refresh that breaks the assumption must fail LOUDLY here,
+-- not as a confusing hash mismatch.
+guard AS (
+  SELECT COALESCE(BOOL_AND(n > 0 AND octet_length(encode(text)) = n), TRUE) AS ok
+  FROM audio
+),
 samples AS (
   SELECT media_id, n, i,
          256 * abs(ascii(substring(text, CAST(i AS INT), 1)) - 128) AS amp
@@ -277,7 +288,10 @@ SELECT media_id,
        CAST({MM.WAV_SAMPLE_RATE} AS INT) AS sample_rate,
        CAST(ANY_VALUE(n) AS INT) AS n_samples,
 {_Q164_BANDS}
-FROM samples
+FROM samples, guard
+WHERE CASE WHEN guard.ok THEN TRUE
+      ELSE error('q164 oracle: audio documents must be non-empty ASCII '
+                 || '(fixture changed? see ADVICE r13 guard)') END
 GROUP BY media_id
 """
 
@@ -300,5 +314,78 @@ def q164_wav_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.col("energies")[w].alias(f"e{w:02d}")
             for w in range(MM.FEATURE_DIM)
+        ],
+    )
+
+
+# q166: REAL PNG decode, end-to-end (VERDICT r13 item 4 — the image
+# twin of q164). The image-kind documents become genuine 8-bit
+# grayscale PNG blobs (stdlib zlib; CRC-32 chunks; scanline filters
+# CYCLE all five standard types), and the engine actually DECODES
+# them — signature check, CRC-validated chunk walk, IDAT inflate,
+# per-row defilter — inside the Arrow mapInPandas boundary, reducing
+# each raster to FEATURE_DIM integer band sums (band b sums pixel k
+# over k in [bN/D, (b+1)N/D), N = width*height incl. padding). Pixel
+# k = byte_k of the text (padded with ASCII space to the raster), so
+# DuckDB reproduces every decoded pixel from the source text: a
+# wrong Paeth predictor, a CRC slip, or a scanline-stride off-by-one
+# shifts a band sum and the hash compare goes red.
+_Q166_BANDS = ",\n".join(
+    f"       CAST(COALESCE(SUM(CASE WHEN (k - 1) * {MM.FEATURE_DIM} // N = {b}"
+    f" THEN px END), 0) AS BIGINT) AS e{b:02d}"
+    for b in range(MM.FEATURE_DIM)
+)
+
+_Q166_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+         GREATEST((length(text) + {MM.PNG_WIDTH - 1}) // {MM.PNG_WIDTH}, 1) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+-- ADVICE r13 discipline (q164's guard, image flavor): the pixel
+-- model below indexes CHARS while the Spark synthesis encodes utf-8
+-- BYTES — sound only while the corpus is ASCII. Empty text is fine
+-- here (an all-padding 1-row raster on both sides), so the guard is
+-- ASCII-only; fail LOUDLY on a fixture refresh, not via the hash.
+guard AS (
+  SELECT COALESCE(BOOL_AND(octet_length(encode(text)) = n), TRUE) AS ok
+  FROM img
+),
+pixels AS (
+  SELECT media_id, h, {MM.PNG_WIDTH} * h AS N, k,
+         CASE WHEN k <= n
+              THEN ascii(substring(text, CAST(k AS INT), 1))
+              ELSE {MM.PNG_PAD_BYTE} END AS px
+  FROM img, UNNEST(generate_series(1, {MM.PNG_WIDTH} * h)) AS u(k)
+)
+SELECT media_id,
+       CAST({MM.PNG_WIDTH} AS INT) AS width,
+       CAST(ANY_VALUE(h) AS INT) AS height,
+{_Q166_BANDS}
+FROM pixels, guard
+WHERE CASE WHEN guard.ok THEN TRUE
+      ELSE error('q166 oracle: image documents must be ASCII '
+                 || '(fixture changed? see the guard CTE)') END
+GROUP BY media_id
+"""
+
+
+@query("q166_png_band_energy", oracle=_Q166_ORACLE)
+def q166_png_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-sum extraction through the SECOND registered real codec:
+    synthesize genuine PNG blobs for the image documents, decode them
+    with the stdlib chunk-walk + inflate + full defilter inside the
+    Arrow batch boundary (``multimodal.png_band_features``), emit
+    integer band sums. The gate projection unpacks the array<long>
+    into scalar columns (q164's convention)."""
+    media = MM.synthesize_png_media(load_table(spark, sf_dir, "documents"))
+    feats = MM.png_band_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        *[
+            F.col("bands")[b].alias(f"e{b:02d}")
+            for b in range(MM.FEATURE_DIM)
         ],
     )

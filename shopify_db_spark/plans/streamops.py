@@ -1510,15 +1510,34 @@ def _ann_result(spark: SparkSession, state: dict) -> DataFrame:
 #: window) plus a fixed D×W count-min backstop accumulating the
 #: EVICTED (tf, df) mass: state size is O(cap + D·W) rows regardless
 #: of corpus vocabulary — the Zipf long tail at 100 TB never
-#: accumulates. Exactness certificate: any term absent from the
-#: carried state has true residual tf ≤ B, where B is the count-min
-#: upper bound ``_term_stats_evicted_bound`` (min over rows of the
-#: row-max cell — CMS estimates only overcount); when the finalized
-#: rank-100 tf exceeds B, the pruned top-100 is PROVABLY identical
-#: to the exact run (tests/test_streaming_realism.py asserts both
-#: the agreement and the certificate).
+#: accumulates. Exactness certificate (``_term_stats_certificate``,
+#: ADVICE r13 — the earlier absent-terms-only condition was unsound:
+#: a term evicted at one prune and re-ADDED by a later batch stays
+#: present with tf understated by its stranded evicted mass, so
+#: rank-100 tf > B alone cannot certify kept VALUES): the pruned
+#: top-100 is provably identical to the exact run when ALL of
+#:   (1) every top-100 member's count-min point estimate is 0 —
+#:       estimates only overcount and every eviction inserts tf ≥ 1,
+#:       so est(t)=0 ⟺ t was never evicted ⟺ its kept tf AND df
+#:       are exact;
+#:   (2) B < rank-100 tf, where B = min-over-rows of the row-max
+#:       cell — a global upper bound on any ABSENT term's true tf;
+#:   (3) every kept term OUTSIDE the top-100 has tf + est(t) <
+#:       rank-100 tf — its true tf (kept + stranded ≤ kept + est)
+#:       cannot displace a member.
+#: Collisions can only make est too big, so a failed certificate is
+#: conservative, never falsely "exact"
+#: (tests/test_streaming_realism.py asserts the agreement, the
+#: certificate, and the re-added-term unsoundness regression).
 _Q163_PRUNE_D = 4
-_Q163_PRUNE_W = 4096
+#: Width 2^16: the sketch table is stored SPARSE (only touched
+#: cells), so width costs nothing until the evicted key set
+#: approaches it — and certificate condition (1) needs a top-100
+#: member's 4 cells to include at least one never-touched bucket,
+#: which at 4096 failed ~4% of members per 2k-term eviction set
+#: (min-over-rows fill 0.45^4). 2^16 puts the all-rows-collide
+#: probability per member at ~6e-7 for the same set.
+_Q163_PRUNE_W = 65536
 
 
 def _term_stats_prune(spark: SparkSession, state: dict) -> None:
@@ -1582,6 +1601,82 @@ def _term_stats_evicted_bound(state: dict) -> int:
         .collect()
     )
     return int(row[0]["b"]) if row and row[0]["b"] is not None else 0
+
+
+def _term_stats_cms_estimate(state: dict, terms: DataFrame) -> DataFrame:
+    """Count-min POINT estimate of each given term's evicted tf mass:
+    min over the D rows of its cell (absent cell = 0). Estimates only
+    overcount, and every eviction inserts tf ≥ 1, so est = 0 proves
+    the term was never evicted — its carried (tf, df) are exact.
+    Cost: |terms| × D rows joined against the ≤ D·W-cell sketch —
+    both bounded, shuffle-free at cap scale."""
+    from shopify_db_spark.functions.text import md5_bucket
+
+    cells = terms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        md5_bucket(
+                            F.col("term"), f"q163cms{j}", _Q163_PRUNE_W
+                        ).alias("bucket"),
+                    )
+                    for j in range(_Q163_PRUNE_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("term", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    cms = state["cms"]
+    return (
+        cells.join(cms.select("j", "bucket", "tf"), ["j", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("tf"), F.lit(0))).alias("est"))
+    )
+
+
+def _term_stats_certificate(spark: SparkSession, state: dict) -> dict:
+    """Sound exactness certificate for the pruned top-100 (ADVICE
+    r13; see the module note above for the three conditions). Returns
+    the scalar evidence alongside the verdict so a refusal is
+    diagnosable. A single 1-row aggregate collect — bounded."""
+    bound = _term_stats_evicted_bound(state)
+    if bound == 0:
+        # nothing was ever evicted (exact mode, or the cap never bit)
+        return {
+            "exact": True, "bound": 0, "n_kept": None,
+            "members_est_max": 0, "rank100_tf": None, "outsider_max": None,
+        }
+    kept = state["stats"]
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    ranked = kept.withColumn("rk", F.row_number().over(w))
+    est = _term_stats_cms_estimate(state, kept.select("term"))
+    joined = ranked.join(est, "term", "left").withColumn(
+        "est", F.coalesce(F.col("est"), F.lit(0))
+    )
+    top = F.col("rk") <= 100
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(top, F.col("est"))).alias("members_est_max"),
+        F.min(F.when(top, F.col("tf"))).alias("rank100_tf"),
+        F.max(F.when(~top, F.col("tf") + F.col("est"))).alias("outsider_max"),
+    ).collect()[0]
+    exact = (
+        row["n_kept"] is not None
+        and row["n_kept"] >= 100
+        and (row["members_est_max"] or 0) == 0
+        and bound < row["rank100_tf"]
+        and (row["outsider_max"] is None or row["outsider_max"] < row["rank100_tf"])
+    )
+    return {
+        "exact": bool(exact),
+        "bound": bound,
+        "n_kept": row["n_kept"],
+        "members_est_max": row["members_est_max"],
+        "rank100_tf": row["rank100_tf"],
+        "outsider_max": row["outsider_max"],
+    }
 
 
 def _term_stats_merge(

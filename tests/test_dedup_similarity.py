@@ -1296,3 +1296,26 @@ def test_bm25_topk_semantics(spark):
     assert got[4][0] < got[3][0]
     # (d) the 2-vs-3 tie breaks by doc id
     assert got[2][1] == 2 and got[3][1] == 3 and got[4][1] == 4
+
+
+def test_respread_probe_degrades_gracefully(spark, vectors, monkeypatch):
+    """ADVICE r13: ``_respread_thin_candidates`` probes
+    ``df.rdd.getNumPartitions()``, which Spark Connect does not
+    support. The respread is a pure performance optimization, so a
+    failing probe must fall through to the unrepartitioned
+    candidates — and an explicit ``broadcast_queries=True`` call
+    (the advertised API) must still produce correct results."""
+    from pyspark.sql import DataFrame
+
+    from shopify_db_spark.operators import similarity as S
+
+    def _no_rdd(self):
+        raise Exception("rdd is not supported in Spark Connect")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_no_rdd))
+    c = vectors.selectExpr("vec_id as neighbor_id", "embedding as cv")
+    assert S._respread_thin_candidates(c) is c  # untouched, no raise
+
+    got = S.cosine_topk(vectors, vectors, k=2, broadcast_queries=True)
+    rows = got.collect()
+    assert rows and all(r["query_id"] != r["neighbor_id"] for r in rows)

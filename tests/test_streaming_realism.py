@@ -652,10 +652,69 @@ def test_q163_prune_agrees_with_exact_and_certifies(spark):
     got_capped = _canon(_term_stats_result(spark, capped))
     assert got_exact.equals(got_capped), "pruned top-100 diverged from exact"
 
-    # exactness certificate: every absent term's true residual tf is
-    # <= the count-min bound B (estimates only overcount); rank-100's
-    # tf clears it, so the agreement above is PROVABLE, not luck
-    b_bound = _term_stats_evicted_bound(capped)
+    # sound exactness certificate (ADVICE r13): members' evicted-mass
+    # point estimates are all 0 (kept tf/df exact), no absent term can
+    # reach rank 100 (B < rank-100 tf), and no kept outsider can
+    # displace a member — so the agreement above is PROVABLE, not luck
+    from shopify_db_spark.plans.streamops import _term_stats_certificate
+
+    cert = _term_stats_certificate(spark, capped)
+    assert cert["exact"], cert
     tf_100 = int(got_capped.sort_values("rank").iloc[-1]["tf"])
-    assert b_bound < tf_100, (b_bound, tf_100)
+    assert cert["bound"] < tf_100, cert
     assert _term_stats_evicted_bound(exact) == 0  # exact mode: no CMS
+
+
+def test_q163_certificate_refuses_readded_evicted_term(spark):
+    """ADVICE r13 unsoundness regression: a term evicted at one prune
+    and re-added by a later batch stays PRESENT with tf understated
+    by its stranded evicted mass. The old absent-terms-only condition
+    (rank-last tf > B) PASSES on this corpus while the pruned output
+    is wrong (x's tf reads 500, true 550) — the sound certificate
+    must refuse, via a non-zero member point estimate."""
+    from shopify_db_spark.plans.streamops import (
+        _term_stats_certificate,
+        _term_stats_cms_estimate,
+        _term_stats_evicted_bound,
+        _term_stats_merge,
+        _term_stats_result,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    empty = "term string, tf long, df long"
+    st = {"stats": spark.createDataFrame([], empty), "seen": set(), "cap": 4}
+    # batch 0: h1..h4 dominate; x (tf 50) is evicted into the CMS
+    _term_stats_merge(spark, st, batch([
+        (0, " ".join(["h1"] * 100)), (1, " ".join(["h2"] * 99)),
+        (2, " ".join(["h3"] * 98)), (3, " ".join(["h4"] * 97)),
+        (4, " ".join(["x"] * 50)),
+    ]), 0)
+    # batch 1: x re-added with tf 500 — kept, but its batch-0 mass is
+    # stranded in the sketch; h4 is evicted this prune
+    _term_stats_merge(spark, st, batch([
+        (5, " ".join(["h1"] * 100)), (6, " ".join(["h2"] * 99)),
+        (7, " ".join(["h3"] * 98)), (8, " ".join(["h4"] * 97)),
+        (9, " ".join(["x"] * 500)),
+    ]), 1)
+
+    out = {
+        r["term"]: r["tf"]
+        for r in _term_stats_result(spark, st).collect()
+    }
+    assert out["x"] == 500  # understated — true tf is 550
+    # the OLD condition would have certified this wrong output
+    b = _term_stats_evicted_bound(st)
+    assert b < min(out.values()), (b, out)
+    # the sound certificate refuses: x carries stranded evicted mass
+    cert = _term_stats_certificate(spark, st)
+    assert not cert["exact"], cert
+    est = {
+        r["term"]: r["est"]
+        for r in _term_stats_cms_estimate(
+            st, st["stats"].select("term")
+        ).collect()
+    }
+    assert est["x"] >= 50, est  # point estimate sees the stranded mass
+    assert est["h1"] == 0 and est["h2"] == 0 and est["h3"] == 0, est
