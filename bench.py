@@ -108,6 +108,24 @@ NORM_REGRESSION_FLAG = 1.5
 NORM_FLOOR_SEC = 0.5
 NORM_MIN_COMMON = 5
 
+#: rep-median auto-adjudication (VERDICT r13 item 3): a sub-2 s
+#: query's single best-of-two is scheduler-dominated — r13 flagged
+#: q46 (1.54×) and q56 (1.58×) with ZERO code changes behind them.
+#: When the normalized rule flags a query whose committed reference
+#: time is below this bound, re-run it REP_MEDIAN_RUNS more times and
+#: adjudicate on the MEDIAN (the r8 q63 protocol, SCALE.md): the flag
+#: is either CONFIRMED (median still regresses normalized) or CLEARED
+#: in the artifact itself, with the rep evidence recorded either way.
+REP_MEDIAN_REF_SEC = 2.0
+REP_MEDIAN_RUNS = 3
+
+
+def _rep_verdict(rep_median: float, ref_t: float, factor: float) -> tuple[float, str]:
+    normed = (rep_median / ref_t) / factor
+    return round(normed, 2), (
+        "cleared" if normed <= NORM_REGRESSION_FLAG else "confirmed"
+    )
+
 NORMALIZATION_RULE = (
     f"machine factor = MEDIAN per-query raw ratio vs the committed "
     f"clean window (git show HEAD:BENCH_local.json); flag only queries "
@@ -217,6 +235,22 @@ def renormalize(path: str) -> None:
         str(payload.get("sf")),
         payload.get("layout", "flat"),
     )
+    # re-apply stored rep-median evidence (measured in the original
+    # window) under the recomputed factor: a rep-cleared flag stays
+    # cleared without re-measuring
+    if regr and factor:
+        ref_q = (ref_payload or {}).get("queries", {})
+        kept = []
+        for n in regr:
+            rep = payload.get("rep_adjudication", {}).get(n)
+            ref_t = ref_q.get(n, ref_q.get(_short(n)))
+            if rep and ref_t:
+                normed, verdict = _rep_verdict(rep["rep_median"], ref_t, factor)
+                rep["vs_committed"], rep["verdict"] = normed, verdict
+                if verdict == "cleared":
+                    continue
+            kept.append(n)
+        regr = kept
     for k in ("machine_factor_vs_committed", "vs_committed_clean_window",
               "normalized_regressions", "normalization_rule"):
         payload.pop(k, None)
@@ -375,6 +409,51 @@ def main() -> None:
     vs_committed, regressions, machine_factor = _normalize_against_ref(
         timings, ref_payload, sf, layout
     )
+
+    # rep-median auto-adjudication of sub-2 s flags (VERDICT r13
+    # item 3): re-measure each flagged fast query REP_MEDIAN_RUNS
+    # more times in the SAME window and adjudicate on the median —
+    # a flag leaves the artifact either confirmed or cleared, never
+    # live-but-unexplained.
+    rep_adjudication: dict[str, dict] = {}
+    if regressions and machine_factor:
+        import statistics
+
+        ref_q = (ref_payload or {}).get("queries", {})
+        still_flagged: list[str] = []
+        for n in sorted(regressions):
+            ref_t = ref_q.get(n, ref_q.get(_short(n)))
+            if n not in specs or not ref_t or ref_t >= REP_MEDIAN_REF_SEC:
+                still_flagged.append(n)  # slow query: a real re-run is a
+                continue                 # scale_curve job, not a bench rep
+            reps: list[float] = []
+            for _ in range(REP_MEDIAN_RUNS):
+                try:
+                    t0 = time.perf_counter()
+                    specs[n].fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    reps.append(time.perf_counter() - t0)
+                except Exception:  # noqa: BLE001 - keep the original flag
+                    break
+                finally:
+                    spark.catalog.clearCache()
+                    gc.collect()
+            if len(reps) < REP_MEDIAN_RUNS:
+                still_flagged.append(n)
+                continue
+            med = statistics.median(reps)
+            normed, verdict = _rep_verdict(med, ref_t, machine_factor)
+            rep_adjudication[n] = {
+                "reps": [round(r, 4) for r in reps],
+                "rep_median": round(med, 4),
+                "vs_committed": normed,
+                "verdict": verdict,
+            }
+            if verdict == "confirmed":
+                still_flagged.append(n)
+        regressions = still_flagged
+
     try:
         sf_val: float | str = float(sf)
     except ValueError:
@@ -397,6 +476,8 @@ def main() -> None:
         payload["vs_committed_clean_window"] = vs_committed
         payload["normalized_regressions"] = sorted(regressions)
         payload["normalization_rule"] = NORMALIZATION_RULE
+    if rep_adjudication:
+        payload["rep_adjudication"] = rep_adjudication
     if errors:
         payload["errors"] = errors
     if layout != "flat":
@@ -441,6 +522,11 @@ def main() -> None:
         # self-adjudication verdict for the driver's tail window:
         # count + names only when the normalized rule actually flags
         compact["norm_regr"] = sorted(_short(n) for n in regressions)[:15]
+    cleared = [
+        n for n, r in rep_adjudication.items() if r["verdict"] == "cleared"
+    ]
+    if cleared:
+        compact["rep_clear"] = sorted(_short(n) for n in cleared)[:10]
     if errors:
         compact["error_queries"] = sorted(_short(n) for n in errors)[:20]
     if layout != "flat":

@@ -97,3 +97,22 @@ def test_compact_reference_short_keys_resolve():
     assert factor == 1.0
     assert regr == ["q50_dup_clusters"]
     assert vs["q50_dup_clusters"] == 2.0
+
+
+def test_rep_median_verdict():
+    """VERDICT r13 item 3: a sub-2 s flag is re-measured and
+    adjudicated on the rep MEDIAN — cleared when the median lands
+    back inside the threshold after dividing out the machine factor,
+    confirmed when it doesn't."""
+    # ref 0.5 s, machine factor 1.0: median 0.6 → 1.2x → cleared
+    normed, verdict = bench._rep_verdict(0.6, 0.5, 1.0)
+    assert verdict == "cleared" and normed == 1.2
+    # median 0.9 → 1.8x → confirmed
+    normed, verdict = bench._rep_verdict(0.9, 0.5, 1.0)
+    assert verdict == "confirmed" and normed == 1.8
+    # a 2x-loaded machine divides out before the threshold applies
+    normed, verdict = bench._rep_verdict(1.2, 0.5, 2.0)
+    assert verdict == "cleared" and normed == 1.2
+    # boundary is inclusive-clear (flag rule is strictly-greater)
+    normed, verdict = bench._rep_verdict(0.75, 0.5, 1.0)
+    assert verdict == "cleared" and normed == bench.NORM_REGRESSION_FLAG
