@@ -445,3 +445,136 @@ def test_hash64_pairs_exact_dups_survive_hot_bucket_cap(spark):
     # without the cap the near-dup pairs appear (full recall)
     full = hash64_pairs(sig, max_hamming=4).collect()
     assert sum(1 for r in full if r["hamming"] == 1) == 10
+
+
+def test_q164_oracle_guard_trips_on_bad_fixture():
+    """ADVICE r13: q164's oracle models samples from CHARS
+    (length/ascii) while the Spark decode reads utf-8 BYTES, and an
+    empty text yields no oracle row but a zero-energy Spark row. The
+    oracle carries an explicit guard so a fixture refresh that breaks
+    the non-empty-ASCII assumption fails LOUDLY at the assumption,
+    not as a hash mismatch. DuckDB-only — no Spark session."""
+    import duckdb
+    import pytest
+
+    from shopify_db_spark.plans.mediaops import _Q164_ORACLE
+
+    def run(values: str):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM (VALUES {values}) t(doc_id, text)"
+        )
+        return con.execute(_Q164_ORACLE).df()
+
+    # healthy: non-empty ASCII (doc_id % 3 == 1 selects the audio kind)
+    ok = run("(1, 'abc'), (4, 'xy')")
+    assert len(ok) == 2
+
+    # empty text: Spark would emit a zero-energy row, oracle none
+    with pytest.raises(Exception, match="non-empty ASCII"):
+        run("(1, ''), (4, 'abc')")
+
+    # non-ASCII: char count != byte count, sample streams diverge
+    with pytest.raises(Exception, match="non-empty ASCII"):
+        run("(1, 'café'), (4, 'abc')")
+
+
+def test_png_codec_roundtrip_exact():
+    """The second real codec (VERDICT r13 item 4): synthesis writes a
+    genuine 8-bit grayscale PNG (CRC-32 chunks, zlib IDAT, scanline
+    filters cycling ALL FIVE standard types); decode walks chunks
+    CRC-checked, inflates, and reverses the filters. Pixel k must
+    equal byte k of the text (space-padded raster) — bit-exact."""
+    from shopify_db_spark.operators import multimodal as MM
+
+    for text in ["hello", "q" * 200, "", "The quick brown fox. " * 40]:
+        blob = MM.synthesize_png(text)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, px = MM.png_gray_decode(blob)
+        data = text.encode("utf-8")
+        exp_h = max(1, -(-len(data) // MM.PNG_WIDTH))
+        padded = data + bytes([MM.PNG_PAD_BYTE]) * (MM.PNG_WIDTH * exp_h - len(data))
+        assert (w, h) == (MM.PNG_WIDTH, exp_h)
+        assert px == padded
+
+    # a ≥5-row raster exercises every filter type (row r uses r % 5)
+    tall = MM.synthesize_png("z" * (MM.PNG_WIDTH * 7))
+    _, h7, _ = MM.png_gray_decode(tall)
+    assert h7 == 7
+
+
+def test_png_codec_rejects_corruption():
+    """CRC validation and header checks are load-bearing: a flipped
+    byte in a chunk body or CRC must fail the decode loudly."""
+    import pytest
+
+    from shopify_db_spark.operators import multimodal as MM
+
+    blob = bytearray(MM.synthesize_png("corruption probe " * 10))
+    blob[-5] ^= 0xFF  # inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        MM.png_gray_decode(bytes(blob))
+
+    blob2 = bytearray(MM.synthesize_png("x"))
+    blob2[0] ^= 0x01
+    with pytest.raises(ValueError, match="signature"):
+        MM.png_gray_decode(bytes(blob2))
+
+
+def test_png_band_sums_match_direct_recompute():
+    """Band b sums pixel k over k in [bN/D, (b+1)N/D) — the q166
+    reduction, recomputed directly from the padded byte stream."""
+    from shopify_db_spark.operators import multimodal as MM
+
+    text = "Band sums are integer-exact! " * 13
+    w, h, sums = MM.png_band_sums(MM.synthesize_png(text))
+    data = text.encode("utf-8")
+    padded = data + bytes([MM.PNG_PAD_BYTE]) * (w * h - len(data))
+    n = w * h
+    exp = [0] * MM.FEATURE_DIM
+    for k, v in enumerate(padded):
+        exp[k * MM.FEATURE_DIM // n] += v
+    assert sums == exp
+
+
+def test_decode_media_dispatches_png():
+    """decode_media now handles image/PNG natively (two real codecs:
+    WAV + PNG); video remains the injection-only boundary."""
+    import pytest
+
+    from shopify_db_spark.operators import multimodal as MM
+
+    blob = MM.synthesize_png("dispatch me")
+    feats = MM.decode_media(blob, "image")
+    assert len(feats) == MM.FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in feats)
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"\x00\x01\x02", "video")
+    # a non-PNG image blob still requires an injected decoder
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"JFIF-ish", "image")
+
+
+def test_png_media_plumbing(spark):
+    """Spark-side contract for the PNG path: image-kind docs only,
+    real raster metadata, and band features that match the
+    pure-Python decode per media_id."""
+    from shopify_db_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma " * 9), (1, "skipped-audio"), (3, "short")],
+        "doc_id long, text string",
+    )
+    media = MM.synthesize_png_media(docs)
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert set(rows) == {0, 3}  # doc_id % 3 == 0 only
+    assert rows[0]["meta"]["format"] == "image/png"
+    assert rows[0]["meta"]["width"] == MM.PNG_WIDTH
+
+    feats = {r["media_id"]: r for r in MM.png_band_features(media).collect()}
+    for mid, text in [(0, "alpha beta gamma " * 9), (3, "short")]:
+        exp_w, exp_h, exp_sums = MM.png_band_sums(MM.synthesize_png(text))
+        assert feats[mid]["width"] == exp_w
+        assert feats[mid]["height"] == exp_h
+        assert list(feats[mid]["bands"]) == exp_sums
