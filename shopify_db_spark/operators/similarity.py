@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from shopify_db_spark.operators.planutil import (
+    STATS_UNKNOWN,
     blocked_pair_join,
     plan_size_bytes,
 )
@@ -654,6 +655,105 @@ def cosine_dedup_pairs_lsh(
     )
 
 
+#: two-level (hierarchical) coarse assignment engages when the
+#: centroid frame's plan-time SOURCE estimate clears this bound.
+#: The codebook is derived as a filter of the corpus scan and
+#: Catalyst's size-only estimator reports the CHILD's size for a
+#: Filter, so this is effectively a CORPUS-size gate — exactly the
+#: quantity K scales with (K = N/CENTROID_MOD). Gate SFs (sf0.01
+#: ≈ 80 KB, sf0.1 ≈ 0.8 MB source) stay on the brute path with a
+#: bit-identical plan; the ×10/×30 scale fixtures (≥ 5 MB) flip.
+IVF_HIER_ASSIGN_SOURCE_BYTES = 2 << 20
+#: below this codebook size the two-level path is pointless (√K ≤
+#: probe count would cover every group anyway) and the brute pass
+#: is cheap — bail out even when the source-size gate fired.
+IVF_HIER_ASSIGN_MIN_K = 256
+#: super-cells probed per vector — the recall dial of the two-level
+#: path (misassignment needs the true nearest centroid's group to
+#: miss ALL probed slots).
+IVF_HIER_PROBE = 4
+
+
+def _hier_scored(v: DataFrame, cent: DataFrame, k: int) -> DataFrame:
+    """(vec_id, v, vn, centroid_id, c_cos) candidate cosines via
+    two-level coarse quantization — the scale path of
+    :func:`ivf_assign` (VERDICT r14 scale audit: the flat N×K
+    assignment is Θ(N²/CENTROID_MOD) once the codebook grows with
+    the corpus; measured as q147's 19.6→231.6 s ×10→×30 semantic
+    side and q152's 1.67 slope).
+
+    Shape: ~√K super-centroids are a deterministic hash-stride
+    sample of the codebook; each CENTROID brute-assigns to its
+    nearest super (K×√K, map-side broadcast); each VECTOR ranks the
+    supers (N×√K slim rows through one window shuffle) and keeps
+    the IVF_HIER_PROBE best groups; the final exact scoring expands
+    only the probed groups' centroids (broadcast map-side, ~N·P·√K
+    cosines, partial-aggregated like the brute path). Total
+    Θ(N·√K) versus brute Θ(N·K) — the standard IVF trade: the
+    assignment may miss the true nearest centroid when its group is
+    outside all P probed supers, shifting that vector's cell
+    membership (recall measured in tests on separated clusters,
+    where the paths agree exactly)."""
+    import math
+
+    kp = max(int(math.ceil(math.sqrt(k))), 1)
+    stride = max(k // kp, 1)
+    sup = cent.filter(
+        F.pmod(F.xxhash64(F.col("centroid_id")), F.lit(stride)) == 0
+    ).select(
+        F.col("centroid_id").alias("group_id"),
+        F.col("cv").alias("gv"),
+        F.col("cn").alias("gn"),
+    )
+    sup_b = F.broadcast(sup.localCheckpoint())
+    g_cos = cosine_with_norms(
+        F.col("cv"), F.col("gv"), F.col("cn"), F.col("gn")
+    )
+    # centroid -> nearest super (deterministic: desc cos, asc group)
+    cg_key = F.coalesce(
+        F.when(F.isnan(g_cos), F.lit(-2.0)).otherwise(-g_cos), F.lit(2.0)
+    )
+    cgrp = (
+        cent.join(sup_b)
+        .groupBy("centroid_id")
+        .agg(
+            F.min_by(
+                F.col("group_id"),
+                F.struct(cg_key.alias("nk"), F.col("group_id")),
+            ).alias("group_id"),
+            F.any_value("cv").alias("cv"),
+            F.any_value("cn").alias("cn"),
+        )
+    )
+    # vector -> IVF_HIER_PROBE nearest supers (slim rows only)
+    vg_cos = cosine_with_norms(
+        F.col("v"), F.col("gv"), F.col("vn"), F.col("gn")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("g_cos"), F.asc("group_id")
+    )
+    probed = (
+        v.join(sup_b)
+        .select("vec_id", "group_id", vg_cos.alias("g_cos"))
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= IVF_HIER_PROBE)
+        .select("vec_id", "group_id")
+    )
+    return (
+        v.join(probed, "vec_id")
+        .join(F.broadcast(cgrp), "group_id")
+        .select(
+            "vec_id",
+            "v",
+            "vn",
+            "centroid_id",
+            cosine_with_norms(
+                F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")
+            ).alias("c_cos"),
+        )
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -661,6 +761,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_best: int = 1,
     keep_score: bool = False,
+    hier: bool | None = None,
 ) -> DataFrame:
     """Coarse-quantizer assignment: each vector goes to its
     ``n_best`` highest-cosine centroids (ties → lowest centroid id;
@@ -684,22 +785,41 @@ def ivf_assign(
     original rank window carrying (v, vn) — a join-back variant was
     tried and REVERTED: multi-probe consumers (q138's MMR loop)
     re-derive the assignment lazily per round, and the extra join
-    re-executed per derivation (measured 2.5 s → 130 s on q138)."""
+    re-executed per derivation (measured 2.5 s → 130 s on q138).
+
+    Scale path (round 14): the flat N×K scoring pass is
+    Θ(N²/CENTROID_MOD) once the codebook grows with the corpus —
+    the ×30 audit measured it as q147's quadratic semantic side and
+    q152's 1.67 ×10→×30 slope. Above the
+    ``IVF_HIER_ASSIGN_SOURCE_BYTES`` plan-size gate (and codebook ≥
+    ``IVF_HIER_ASSIGN_MIN_K``) the assignment goes two-level
+    (:func:`_hier_scored`, Θ(N·√K)); gate SFs keep the bit-identical
+    brute plan, an unsizable plan (Spark Connect) degrades to brute,
+    and ``hier=`` overrides for tests."""
     v = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
-    scored = v.join(F.broadcast(cent)).select(
-        "vec_id",
-        "v",
-        "vn",
-        "centroid_id",
-        cosine_with_norms(
-            F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")
-        ).alias("c_cos"),
-    )
+    if hier is None:
+        size = plan_size_bytes(centroids)
+        hier = size != STATS_UNKNOWN and size >= IVF_HIER_ASSIGN_SOURCE_BYTES
+    scored = None
+    if hier:
+        k = cent.count()
+        if k >= IVF_HIER_ASSIGN_MIN_K:
+            scored = _hier_scored(v, cent, k)
+    if scored is None:
+        scored = v.join(F.broadcast(cent)).select(
+            "vec_id",
+            "v",
+            "vn",
+            "centroid_id",
+            cosine_with_norms(
+                F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")
+            ).alias("c_cos"),
+        )
     cols = ["vec_id", "v", "vn", "centroid_id"] + (
         ["c_cos"] if keep_score else []
     )
