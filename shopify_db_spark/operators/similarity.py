@@ -655,102 +655,107 @@ def cosine_dedup_pairs_lsh(
     )
 
 
-#: two-level (hierarchical) coarse assignment engages when the
-#: centroid frame's plan-time SOURCE estimate clears this bound.
-#: The codebook is derived as a filter of the corpus scan and
-#: Catalyst's size-only estimator reports the CHILD's size for a
-#: Filter, so this is effectively a CORPUS-size gate — exactly the
-#: quantity K scales with (K = N/CENTROID_MOD). Gate SFs (sf0.01
-#: ≈ 80 KB, sf0.1 ≈ 0.8 MB source) stay on the brute path with a
-#: bit-identical plan; the ×10/×30 scale fixtures (≥ 5 MB) flip.
-IVF_HIER_ASSIGN_SOURCE_BYTES = 2 << 20
-#: below this codebook size the two-level path is pointless (√K ≤
-#: probe count would cover every group anyway) and the brute pass
-#: is cheap — bail out even when the source-size gate fired.
-IVF_HIER_ASSIGN_MIN_K = 256
-#: super-cells probed per vector — the recall dial of the two-level
-#: path (misassignment needs the true nearest centroid's group to
-#: miss ALL probed slots).
-IVF_HIER_PROBE = 4
+#: the Arrow matmul assignment engages when the centroid frame's
+#: plan-time SOURCE estimate clears this bound. The codebook is
+#: derived as a filter of the corpus scan and Catalyst's size-only
+#: estimator reports the CHILD's size for a Filter, so this is
+#: effectively a CORPUS-size gate — exactly the quantity K scales
+#: with (K = N/CENTROID_MOD). Gate SFs (sf0.01 ≈ 80 KB, sf0.1 ≈
+#: 0.8 MB source) stay on the JVM HOF path with a bit-identical
+#: plan (the oracle hash depends on its sequential-sum cosines);
+#: the ×10/×30 scale fixtures (≥ 5 MB) flip to BLAS.
+IVF_MATMUL_ASSIGN_SOURCE_BYTES = 2 << 20
 
 
-def _hier_scored(v: DataFrame, cent: DataFrame, k: int) -> DataFrame:
-    """(vec_id, v, vn, centroid_id, c_cos) candidate cosines via
-    two-level coarse quantization — the scale path of
-    :func:`ivf_assign` (VERDICT r14 scale audit: the flat N×K
-    assignment is Θ(N²/CENTROID_MOD) once the codebook grows with
-    the corpus; measured as q147's 19.6→231.6 s ×10→×30 semantic
-    side and q152's 1.67 slope).
+def _matmul_scored(
+    v: DataFrame, cent: DataFrame, n_best: int, keep_score: bool
+) -> DataFrame:
+    """The scale path of :func:`ivf_assign`: the N×K scoring pass as
+    a numpy matmul inside mapInPandas, codebook shipped whole as a
+    Spark broadcast variable (VERDICT r14 scale audit: the JVM
+    higher-order-function cosine made the pass q147's quadratic-cost
+    semantic side — 19.6→231.6 s from ×10 to ×30 — and q152's 1.67
+    slope; BLAS does the same ×30 flops in under a second per task).
 
-    Shape: ~√K super-centroids are a deterministic hash-stride
-    sample of the codebook; each CENTROID brute-assigns to its
-    nearest super (K×√K, map-side broadcast); each VECTOR ranks the
-    supers (N×√K slim rows through one window shuffle) and keeps
-    the IVF_HIER_PROBE best groups; the final exact scoring expands
-    only the probed groups' centroids (broadcast map-side, ~N·P·√K
-    cosines, partial-aggregated like the brute path). Total
-    Θ(N·√K) versus brute Θ(N·K) — the standard IVF trade: the
-    assignment may miss the true nearest centroid when its group is
-    outside all P probed supers, shifting that vector's cell
-    membership (recall measured in tests on separated clusters,
-    where the paths agree exactly)."""
-    import math
+    Memory contract: IDENTICAL to the brute path, which already
+    broadcasts the full codebook into every task for its join — this
+    path collects the same rows once at the driver and rebroadcasts
+    them as a (ids, matrix, norms) triple. Shuffle contract: NONE —
+    a pure map over the vector partitions (brute shuffles the argmax
+    partial-aggregate). A failed two-level super-sampling design was
+    measured first and rejected: √K hash-stride supers cannot cover
+    a corpus whose natural cluster count grows with N (the ×30
+    fixture's 30 sign-flip replicas vs 25 supers collapsed 600 cells
+    to 60 with 3× hot-cell skew, poisoning every within-cell join
+    downstream).
 
-    kp = max(int(math.ceil(math.sqrt(k))), 1)
-    stride = max(k // kp, 1)
-    sup = cent.filter(
-        F.pmod(F.xxhash64(F.col("centroid_id")), F.lit(stride)) == 0
-    ).select(
-        F.col("centroid_id").alias("group_id"),
-        F.col("cv").alias("gv"),
-        F.col("cn").alias("gn"),
+    Exactness: numpy's pairwise summation differs from the JVM HOF
+    sequential sum by ≈1e-16 relative — argmax/top-k flips only on
+    exact cosine ties, where the deterministic id-ascending
+    tie-break (stable argsort over an id-sorted codebook) matches
+    the brute path's ordering. NaN cosines (zero-norm vectors) rank
+    FIRST and null embeddings rank LAST with a null score, mirroring
+    the brute path's ±2 sentinels; tests pin agreement on separated
+    clusters and on the NaN/null edge rows."""
+    import numpy as np
+
+    spark = v.sparkSession
+    rows = (
+        cent.select("centroid_id", "cv", "cn")
+        .orderBy("centroid_id")
+        .collect()
     )
-    sup_b = F.broadcast(sup.localCheckpoint())
-    g_cos = cosine_with_norms(
-        F.col("cv"), F.col("gv"), F.col("cn"), F.col("gn")
+    ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in rows], dtype=np.float64)
+    cn = np.array(
+        [r["cn"] if r["cn"] is not None else np.nan for r in rows],
+        dtype=np.float64,
     )
-    # centroid -> nearest super (deterministic: desc cos, asc group)
-    cg_key = F.coalesce(
-        F.when(F.isnan(g_cos), F.lit(-2.0)).otherwise(-g_cos), F.lit(2.0)
-    )
-    cgrp = (
-        cent.join(sup_b)
-        .groupBy("centroid_id")
-        .agg(
-            F.min_by(
-                F.col("group_id"),
-                F.struct(cg_key.alias("nk"), F.col("group_id")),
-            ).alias("group_id"),
-            F.any_value("cv").alias("cv"),
-            F.any_value("cn").alias("cn"),
-        )
-    )
-    # vector -> IVF_HIER_PROBE nearest supers (slim rows only)
-    vg_cos = cosine_with_norms(
-        F.col("v"), F.col("gv"), F.col("vn"), F.col("gn")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("g_cos"), F.asc("group_id")
-    )
-    probed = (
-        v.join(sup_b)
-        .select("vec_id", "group_id", vg_cos.alias("g_cos"))
-        .withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= IVF_HIER_PROBE)
-        .select("vec_id", "group_id")
-    )
-    return (
-        v.join(probed, "vec_id")
-        .join(F.broadcast(cgrp), "group_id")
-        .select(
-            "vec_id",
-            "v",
-            "vn",
-            "centroid_id",
-            cosine_with_norms(
-                F.col("v"), F.col("cv"), F.col("vn"), F.col("cn")
-            ).alias("c_cos"),
-        )
+    bc = spark.sparkContext.broadcast((ids, C, cn))
+    kk = min(n_best, len(ids))
+
+    def run(batches):
+        b_ids, b_C, b_cn = bc.value
+        for pdf in batches:
+            out_rows = {
+                "vec_id": [], "v": [], "vn": [], "centroid_id": [],
+            }
+            out_rows["c_cos"] = []
+            for vec_id, vv, vn in zip(pdf["vec_id"], pdf["v"], pdf["vn"]):
+                if vv is None or len(vv) == 0:
+                    # null embedding: every cosine is NULL → the brute
+                    # sentinel (+2, NULLS LAST) assigns the lowest
+                    # centroid ids with a null score
+                    for j in range(kk):
+                        out_rows["vec_id"].append(vec_id)
+                        out_rows["v"].append(vv)
+                        out_rows["vn"].append(vn)
+                        out_rows["centroid_id"].append(int(b_ids[j]))
+                        out_rows["c_cos"].append(None)
+                    continue
+                x = np.asarray(vv, dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (b_C @ x) / (b_cn * vn)
+                # NaN-first semantics: a NaN cosine outranks any finite
+                key = np.where(np.isnan(cos), 2.0, cos)
+                order = np.argsort(-key, kind="stable")[:kk]
+                for j in order:
+                    out_rows["vec_id"].append(vec_id)
+                    out_rows["v"].append(vv)
+                    out_rows["vn"].append(vn)
+                    out_rows["centroid_id"].append(int(b_ids[j]))
+                    c = cos[j]
+                    out_rows["c_cos"].append(
+                        float(c) if not np.isnan(c) else float("nan")
+                    )
+            yield pd.DataFrame(out_rows)
+
+    return v.mapInPandas(
+        run,
+        schema=(
+            "vec_id long, v array<double>, vn double, "
+            "centroid_id long, c_cos double"
+        ),
     )
 
 
@@ -761,7 +766,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_best: int = 1,
     keep_score: bool = False,
-    hier: bool | None = None,
+    matmul: bool | None = None,
 ) -> DataFrame:
     """Coarse-quantizer assignment: each vector goes to its
     ``n_best`` highest-cosine centroids (ties → lowest centroid id;
@@ -787,30 +792,30 @@ def ivf_assign(
     re-derive the assignment lazily per round, and the extra join
     re-executed per derivation (measured 2.5 s → 130 s on q138).
 
-    Scale path (round 14): the flat N×K scoring pass is
-    Θ(N²/CENTROID_MOD) once the codebook grows with the corpus —
-    the ×30 audit measured it as q147's quadratic semantic side and
-    q152's 1.67 ×10→×30 slope. Above the
-    ``IVF_HIER_ASSIGN_SOURCE_BYTES`` plan-size gate (and codebook ≥
-    ``IVF_HIER_ASSIGN_MIN_K``) the assignment goes two-level
-    (:func:`_hier_scored`, Θ(N·√K)); gate SFs keep the bit-identical
-    brute plan, an unsizable plan (Spark Connect) degrades to brute,
-    and ``hier=`` overrides for tests."""
+    Scale path (round 14): the N×K scoring pass through the JVM
+    higher-order-function cosine is the dominant cost once the
+    codebook grows with the corpus — the ×30 audit measured it as
+    q147's quadratic-cost semantic side and q152's 1.67 ×10→×30
+    slope. Above the ``IVF_MATMUL_ASSIGN_SOURCE_BYTES`` plan-size
+    gate the same pass runs as a numpy matmul in mapInPandas
+    (:func:`_matmul_scored` — same codebook-broadcast memory
+    contract, zero shuffle, BLAS speed); gate SFs keep the
+    bit-identical JVM plan, an unsizable plan (Spark Connect)
+    degrades to it, and ``matmul=`` overrides for tests."""
     v = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
-    if hier is None:
+    if matmul is None:
         size = plan_size_bytes(centroids)
-        hier = size != STATS_UNKNOWN and size >= IVF_HIER_ASSIGN_SOURCE_BYTES
-    scored = None
-    if hier:
-        k = cent.count()
-        if k >= IVF_HIER_ASSIGN_MIN_K:
-            scored = _hier_scored(v, cent, k)
-    if scored is None:
+        matmul = (
+            size != STATS_UNKNOWN and size >= IVF_MATMUL_ASSIGN_SOURCE_BYTES
+        )
+    if matmul:
+        scored = _matmul_scored(v, cent, n_best, keep_score)
+    else:
         scored = v.join(F.broadcast(cent)).select(
             "vec_id",
             "v",

@@ -1321,44 +1321,49 @@ def test_respread_probe_degrades_gracefully(spark, vectors, monkeypatch):
     assert rows and all(r["query_id"] != r["neighbor_id"] for r in rows)
 
 
-def test_hier_assign_matches_brute_on_separated_clusters(spark):
-    """Round-14 scale fix: above the plan-size gate, ivf_assign goes
-    two-level (Θ(N·√K) instead of the quadratic N×K brute pass).
-    On well-separated clusters the probed groups always contain the
-    true nearest centroid, so the two paths must agree EXACTLY —
-    assignment, ties, and scores."""
-    import math
-
-    from shopify_db_spark.operators.similarity import (
-        IVF_HIER_ASSIGN_MIN_K,
-        ivf_assign,
-    )
+def test_matmul_assign_matches_brute(spark):
+    """Round-14 scale fix: above the plan-size gate, ivf_assign runs
+    the N x K scoring pass as a numpy matmul in mapInPandas (same
+    codebook-broadcast memory contract as the brute JVM path, zero
+    shuffle, BLAS speed). The result is EXACT up to fp summation
+    jitter, so away from exact-tie cosines the two paths must agree
+    completely -- assignment and n_best>1 multi-probe alike, plus
+    the NaN (zero-norm) and null-embedding edge rows."""
+    from shopify_db_spark.operators.similarity import ivf_assign
 
     dim = 8
-    k = IVF_HIER_ASSIGN_MIN_K  # smallest codebook the hier path accepts
     rows = []
-    # centroid c: a one-hot-ish axis vector rotated by c — separated;
-    # member vectors: the centroid plus a tiny deterministic wiggle
-    for c in range(k):
+    for c in range(40):
         base = [0.0] * dim
-        base[c % dim] = 10.0 + (c // dim)  # distinct direction+scale mix
+        base[c % dim] = 10.0 + (c // dim)
         base[(c + 3) % dim] = 1.0 + 0.01 * c
         rows.append((c * 1000, [float(x) for x in base]))
-        for m in range(1, 3):
+        for m in range(1, 4):
             member = list(base)
             member[(c + 5) % dim] += 0.001 * m
             rows.append((c * 1000 + m, [float(x) for x in member]))
+    rows.append((999_001, [0.0] * dim))  # zero-norm -> NaN cosines
+    rows.append((999_002, None))         # null embedding
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    cents = emb.filter(F.col("vec_id") % 1000 == 0)
-
-    brute = ivf_assign(emb, cents, hier=False).select(
-        "vec_id", "centroid_id"
+    cents = emb.filter(
+        (F.col("vec_id") % 1000 == 0) & (F.col("vec_id") < 999_000)
     )
-    hier = ivf_assign(emb, cents, hier=True).select("vec_id", "centroid_id")
-    b = {r["vec_id"]: r["centroid_id"] for r in brute.collect()}
-    h = {r["vec_id"]: r["centroid_id"] for r in hier.collect()}
-    assert len(b) == len(rows)
-    agree = sum(1 for kk in b if b[kk] == h.get(kk))
-    # hier is a recall trade by design; on separated clusters with a
-    # hash-stride super sample it should agree on (nearly) all rows
-    assert agree >= 0.95 * len(b), (agree, len(b))
+
+    for n_best in (1, 3):
+        brute = {
+            (r["vec_id"], r["centroid_id"])
+            for r in ivf_assign(
+                emb, cents, n_best=n_best, matmul=False
+            ).collect()
+        }
+        fast = {
+            (r["vec_id"], r["centroid_id"])
+            for r in ivf_assign(
+                emb, cents, n_best=n_best, matmul=True
+            ).collect()
+        }
+        assert brute == fast, (
+            n_best,
+            sorted(brute - fast)[:5],
+            sorted(fast - brute)[:5],
+        )
