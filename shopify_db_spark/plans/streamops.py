@@ -1548,6 +1548,12 @@ def _term_stats_prune(spark: SparkSession, state: dict) -> None:
     cap = state.get("cap")
     if not cap:
         return
+    # sketch width is a deployment knob (state["cms_w"], default
+    # _Q163_PRUNE_W): certificate condition (1) needs a member's D
+    # cells to include a never-touched bucket, so width should be
+    # sized well above the expected evicted vocabulary — soundness
+    # never degrades with width, only certification POWER does
+    width = int(state.get("cms_w", _Q163_PRUNE_W))
     merged = state["stats"]
     kept = merged.orderBy(F.desc("tf"), F.asc("term")).limit(cap)
     evicted = merged.join(kept.select("term"), "term", "left_anti")
@@ -1561,7 +1567,7 @@ def _term_stats_prune(spark: SparkSession, state: dict) -> None:
                         F.struct(
                             F.lit(j).alias("j"),
                             md5_bucket(
-                                F.col("term"), f"q163cms{j}", _Q163_PRUNE_W
+                                F.col("term"), f"q163cms{j}", width
                             ).alias("bucket"),
                         )
                         for j in range(_Q163_PRUNE_D)
@@ -1612,6 +1618,7 @@ def _term_stats_cms_estimate(state: dict, terms: DataFrame) -> DataFrame:
     both bounded, shuffle-free at cap scale."""
     from shopify_db_spark.functions.text import md5_bucket
 
+    width = int(state.get("cms_w", _Q163_PRUNE_W))
     cells = terms.select(
         "term",
         F.explode(
@@ -1620,7 +1627,7 @@ def _term_stats_cms_estimate(state: dict, terms: DataFrame) -> DataFrame:
                     F.struct(
                         F.lit(j).alias("j"),
                         md5_bucket(
-                            F.col("term"), f"q163cms{j}", _Q163_PRUNE_W
+                            F.col("term"), f"q163cms{j}", width
                         ).alias("bucket"),
                     )
                     for j in range(_Q163_PRUNE_D)
