@@ -43,8 +43,54 @@ def entry(spark: SparkSession) -> DataFrame:
 #: emitted by the generator and records how many pins were absorbed
 #: into higher tiers. Entries past the 50-query sample are next
 #: round's starting debt.
-# computed by scripts/rotation.py (base round-13; 0 plan-affected this round; 0 stale; 10 freshness-floor; 0 pins, 0 absorbed)
+# computed by scripts/rotation.py (base round-13; 46 plan-affected this round; 46 stale; 10 freshness-floor; 0 pins, 0 absorbed)
 _DRIVER_SAMPLE_HEAD = [
+    "q76_sparse_cosine_retrieval",  # round-affected
+    "q161_bm25_retrieval",  # round-affected
+    "q33_media_metadata",  # round-affected
+    "q34_media_features",  # round-affected
+    "q118_image_phash_dedup",  # round-affected
+    "q35_frame_sample_plan",  # round-affected
+    "q164_wav_band_energy",  # round-affected
+    "q166_png_band_energy",  # round-affected
+    "q30_cosine_topk",  # round-affected
+    "q107_cosine_topk_grid",  # round-affected
+    "q31_lsh_ann",  # round-affected
+    "q32_embedding_dedup",  # round-affected
+    "q38_ivf_ann",  # round-affected
+    "q101_ivf_nprobe",  # round-affected
+    "q74_semantic_dedup",  # round-affected
+    "q87_embedding_audit",  # round-affected
+    "q104_embedding_quantize",  # round-affected
+    "q105_quantized_ann",  # round-affected
+    "q106_ivf_quantized",  # round-affected
+    "q108_incremental_ann",  # round-affected
+    "q109_hybrid_rrf",  # round-affected
+    "q111_hybrid_rrf_ivf",  # round-affected
+    "q112_ann_recall_gate",  # round-affected
+    "q113_incremental_ann_evict",  # round-affected
+    "q116_contrastive_pairs",  # round-affected
+    "q117_contrastive_ivf",  # round-affected
+    "q119_balanced_clusters",  # round-affected
+    "q120_curriculum_sample",  # round-affected
+    "q121_domain_centroids",  # round-affected
+    "q122_centroid_classify",  # round-affected
+    "q126_knn_label_infer",  # round-affected
+    "q127_ivf_label_infer",  # round-affected
+    "q129_domain_outliers",  # round-affected
+    "q135_mmr_rerank",  # round-affected
+    "q138_mmr_ivf",  # round-affected
+    "q141_kcenter_coreset",  # round-affected
+    "q142_principal_direction",  # round-affected
+    "q143_common_removal",  # round-affected
+    "q147_dedup_disagreement",  # round-affected
+    "q148_split_balance",  # round-affected
+    "q151_bitext_mining",  # round-affected
+    "q152_knn_hubness",  # round-affected
+    "q153_domain_coherence",  # round-affected
+    "q159_knn_recall_gate",  # round-affected
+    "q114_streaming_ann",  # round-affected
+    "q163_streaming_term_stats",  # round-affected
     "q46_priority_pivot",  # freshness floor (evidence r9)
     "q02_top_order_per_customer",  # freshness floor (evidence r10)
     "q03_regional_revenue",  # freshness floor (evidence r10)
@@ -56,55 +102,9 @@ _DRIVER_SAMPLE_HEAD = [
     "q09_predicate_gallery",  # freshness floor (evidence r10)
     "q10_scalar_gallery",  # freshness floor (evidence r10)
     "q11_first_per_group",  # evidence r10
-    "q122_centroid_classify",  # evidence r10
-    "q129_domain_outliers",  # evidence r10
     "q12_global_aggregates",  # evidence r10
     "q13_revenue_rollup",  # evidence r10
-    "q142_principal_direction",  # evidence r10
-    "q143_common_removal",  # evidence r10
     "q158_decayed_engagement",  # evidence r10
-    "q17_topk_per_group",  # evidence r10
-    "q18_semi_anti_joins",  # evidence r10
-    "q21_exact_dedup",  # evidence r10
-    "q22_token_stats",  # evidence r10
-    "q23_quality_scores",  # evidence r10
-    "q24_lang_id",  # evidence r10
-    "q25_ngram_jaccard_pairs",  # evidence r10
-    "q26_minhash_lsh_pairs",  # evidence r10
-    "q27_simhash_pairs",  # evidence r10
-    "q28_winnow_fingerprints",  # evidence r10
-    "q29_bpe_token_counts",  # evidence r10
-    "q40_term_stats",  # evidence r10
-    "q47_corpus_prep",  # evidence r10
-    "q62_upsert_merge",  # evidence r10
-    "q63_csv_roundtrip",  # evidence r10
-    "q64_json_ingest",  # evidence r10
-    "q65_json_shipping",  # evidence r10
-    "q66_json_variants",  # evidence r10
-    "q67_json_refunds",  # evidence r10
-    "q68_json_customers",  # evidence r10
-    "q76_sparse_cosine_retrieval",  # evidence r10
-    "q84_prefix_filter_jaccard",  # evidence r10
-    "q101_ivf_nprobe",  # evidence r11
-    "q105_quantized_ann",  # evidence r11
-    "q106_ivf_quantized",  # evidence r11
-    "q108_incremental_ann",  # evidence r11
-    "q111_hybrid_rrf_ivf",  # evidence r11
-    "q121_domain_centroids",  # evidence r11
-    "q15_tumbling_window",  # evidence r11
-    "q161_bm25_retrieval",  # evidence r11
-    "q16_json_extract",  # evidence r11
-    "q19_event_funnel",  # evidence r11
-    "q36_customer_map",  # evidence r11
-    "q37_product_search",  # evidence r11
-    "q41_cohort_retention",  # evidence r11
-    "q42_value_percentiles",  # evidence r11
-    "q43_approx_stats",  # evidence r11
-    "q44_asof_config",  # evidence r11
-    "q45_promo_range_join",  # evidence r11
-    "q48_hourly_gapfill",  # evidence r11
-    "q74_semantic_dedup",  # evidence r11
-    "q77_entity_resolution",  # evidence r11
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
