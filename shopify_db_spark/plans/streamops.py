@@ -528,12 +528,30 @@ def incremental_minhash_dedup(
     empty_counts = spark.createDataFrame(
         [], "band int, band_key string, __n long"
     )
+    # The index and the output accumulate as LISTS of per-batch
+    # localCheckpoint-pinned parts, unioned lazily at probe/return
+    # time. The previous cumulative form re-unioned and re-CHECKPOINTED
+    # the whole accumulated index and output every batch — O(B·N) rows
+    # rematerialized over B batches for an index that only ever
+    # APPENDS settled rows (round-14 optimization; the batch twin
+    # ``similarity.incremental_ivf_topk`` already accumulated its
+    # probe outputs this way). Per batch, only batch-sized frames are
+    # now materialized; a union of checkpointed parts is a
+    # metadata-only plan node.
     state = {
-        "index": empty_index,
+        "index_parts": [],
+        "out_parts": [],
+        "index": empty_index,  # kept for _state_out inspection
         "out": None,
         "counts": empty_counts,
         "seen": set(),
     }
+
+    def _index_df() -> DataFrame:
+        out = empty_index
+        for p in state["index_parts"]:
+            out = out.unionByName(p)
+        return out
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # at-least-once guard (q114's pattern): a redelivered batch
@@ -597,7 +615,7 @@ def incremental_minhash_dedup(
                 )
             )
 
-        pairs = probe(state["index"], False).unionByName(probe(admitted, True))
+        pairs = probe(_index_df(), False).unionByName(probe(admitted, True))
         dups = (
             pairs.filter(F.col("est_j") >= threshold)
             .groupBy("late_id")
@@ -613,12 +631,10 @@ def incremental_minhash_dedup(
                 "dup_of",
             )
         )
-        state["out"] = (
-            out if state["out"] is None else state["out"].unionByName(out)
-        ).localCheckpoint()
-        state["index"] = state["index"].unionByName(
-            admitted.select(*state["index"].columns)
-        ).localCheckpoint()
+        # checkpoint THIS batch's decisions only; the settled index
+        # part (``admitted``) is already checkpoint-pinned above
+        state["out_parts"].append(out.localCheckpoint())
+        state["index_parts"].append(admitted.select(*empty_index.columns))
         if max_bucket is not None:
             added = admitted.groupBy("band", "band_key").agg(
                 F.count(F.lit(1)).alias("__add")
@@ -648,9 +664,18 @@ def incremental_minhash_dedup(
             .start()
         )
         q.awaitTermination()
+        state["index"] = _index_df()
+        out = state["out"]
+        for part in state["out_parts"]:
+            out = part if out is None else out.unionByName(part)
+        state["out"] = out
         if _state_out is not None:  # test hook: inspect final index/counts
             _state_out.update(state)
-        return state["out"]
+        if out is None:
+            return spark.createDataFrame(
+                [], "doc_id long, batch_no long, is_dup boolean, dup_of long"
+            )
+        return out
     finally:
         shutil.rmtree(os.path.dirname(stream_dir), ignore_errors=True)
 
@@ -772,7 +797,7 @@ def streaming_ann_maintenance(
     state: dict = {
         "index": None,
         "counts": None,
-        "out": None,
+        "out": [],
         "seen": set(),
         "centroids": centroids,
         "k": k,
@@ -1339,7 +1364,12 @@ def _novelty_merge(
                 )
             ).alias("term")
         )
-        .distinct()
+        # no .distinct(): HLL registers are MAX-per-idx, so duplicate
+        # shingles cannot change any register — the dedup was a full
+        # shingle-row exchange per batch for a mathematically void
+        # step (round-14 optimization; the q133/q90 merges already
+        # hash raw occurrences). The md5 per occurrence is map-side;
+        # the only shuffle left is the 64-register partial aggregate.
     )
     regs = hll_registers(sh, []).select(
         "idx", F.col("rho").cast("int").alias("rho")
@@ -1421,10 +1451,17 @@ def _ann_merge(
         spread, state["centroids"], keep_score=(state["admit"] == "distance")
     ).localCheckpoint()
     if state["index"] is not None:
-        out = ann_index_probe(a, state["index"], state["k"])
-        state["out"] = (
-            out if state["out"] is None else state["out"].unionByName(out)
-        ).localCheckpoint()
+        # accumulate per-batch probe outputs as checkpoint-pinned
+        # PARTS unioned lazily at result time (the batch twin
+        # ``incremental_ivf_topk``'s shape) instead of re-unioning
+        # and re-checkpointing the whole accumulated output every
+        # batch — O(B·N) rows rematerialized for an append-only
+        # result (round-14 optimization). The probe plan reads only
+        # checkpointed inputs (``a`` and the admitted index), so the
+        # part checkpoint materializes batch-sized data.
+        state["out"].append(
+            ann_index_probe(a, state["index"], state["k"]).localCheckpoint()
+        )
     state["index"], state["counts"] = ann_index_admit(
         a,
         state["index"],
@@ -1485,7 +1522,7 @@ def _ann_init(spark: SparkSession, sf_dir: str) -> dict:
     return {
         "index": None,
         "counts": None,
-        "out": None,
+        "out": [],
         "seen": set(),
         "centroids": emb.filter(F.col("vec_id") % CENTROID_MOD == 0),
         "k": _Q113_K,
@@ -1495,8 +1532,11 @@ def _ann_init(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def _ann_result(spark: SparkSession, state: dict) -> DataFrame:
-    if state["out"] is not None:
-        return state["out"]
+    out = None
+    for part in state["out"]:
+        out = part if out is None else out.unionByName(part)
+    if out is not None:
+        return out
     return spark.createDataFrame(
         [], "query_id long, neighbor_id long, cosine double, rank int"
     )

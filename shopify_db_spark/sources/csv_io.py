@@ -49,9 +49,23 @@ INVOICE_CSV_SCHEMA = T.StructType(
 )
 
 
-def write_invoice_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+def write_invoice_csv(
+    df: DataFrame,
+    path: str,
+    single_file: bool = True,
+    sort_cols: list[str] | None = None,
+) -> None:
     """Write invoice lines as ``;``-separated CSV in the Tripletex
-    column order."""
+    column order.
+
+    ``sort_cols`` orders the file content with a LOCAL sort after the
+    single-writer funnel (``sortWithinPartitions``). For a
+    single-file sink this replaces an upstream global ``orderBy``
+    outright: the global sort pays a range-boundary sampling job plus
+    a range-partitioned exchange, and the subsequent ``repartition(1)``
+    destroys that ordering anyway — one local sort on the one final
+    partition yields the reference's file order for one shuffle
+    (round-14 optimization, q63)."""
     out = df.select(*INVOICE_CSV_COLUMNS)
     tmp = path + ".tmpdir"
     # repartition(1), NOT coalesce(1): coalesce is a narrow
@@ -59,8 +73,11 @@ def write_invoice_csv(df: DataFrame, path: str, single_file: bool = True) -> Non
     # the six-join invoice pipeline) into one task; repartition keeps
     # the upstream parallel and funnels only the finished rows
     # through the single writer (measured 2x on the invoice slice).
+    funneled = out.repartition(1) if single_file else out
+    if sort_cols:
+        funneled = funneled.sortWithinPartitions(*sort_cols)
     writer = (
-        (out.repartition(1) if single_file else out)
+        funneled
         .write.mode("overwrite")
         .option("sep", ";")
         .option("header", True)
