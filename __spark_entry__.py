@@ -43,8 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: emitted by the generator and records how many pins were absorbed
 #: into higher tiers. Entries past the 50-query sample are next
 #: round's starting debt.
-# computed by scripts/rotation.py (base round-13; 46 plan-affected this round; 46 stale; 10 freshness-floor; 0 pins, 0 absorbed)
+# computed by scripts/rotation.py (base 9b31c4490655108fadea28eb938a3e8d7d309f11; 52 plan-affected this round; 52 stale; 10 freshness-floor; 0 pins, 0 absorbed)
 _DRIVER_SAMPLE_HEAD = [
+    "q20_invoice_pipeline",  # round-affected
+    "q61_invoice_verify",  # round-affected
+    "q63_csv_roundtrip",  # round-affected
     "q76_sparse_cosine_retrieval",  # round-affected
     "q161_bm25_retrieval",  # round-affected
     "q33_media_metadata",  # round-affected
@@ -53,6 +56,8 @@ _DRIVER_SAMPLE_HEAD = [
     "q35_frame_sample_plan",  # round-affected
     "q164_wav_band_energy",  # round-affected
     "q166_png_band_energy",  # round-affected
+    "q73_incremental_dedup",  # round-affected
+    "q102_incremental_dedup_capped",  # round-affected
     "q30_cosine_topk",  # round-affected
     "q107_cosine_topk_grid",  # round-affected
     "q31_lsh_ann",  # round-affected
@@ -90,6 +95,7 @@ _DRIVER_SAMPLE_HEAD = [
     "q153_domain_coherence",  # round-affected
     "q159_knn_recall_gate",  # round-affected
     "q114_streaming_ann",  # round-affected
+    "q155_streaming_novelty",  # round-affected
     "q163_streaming_term_stats",  # round-affected
     "q46_priority_pivot",  # freshness floor (evidence r9)
     "q02_top_order_per_customer",  # freshness floor (evidence r10)
@@ -99,12 +105,6 @@ _DRIVER_SAMPLE_HEAD = [
     "q06_orderkey_gaps",  # freshness floor (evidence r10)
     "q07_composite_key_join",  # freshness floor (evidence r10)
     "q08_group_numbering",  # freshness floor (evidence r10)
-    "q09_predicate_gallery",  # freshness floor (evidence r10)
-    "q10_scalar_gallery",  # freshness floor (evidence r10)
-    "q11_first_per_group",  # evidence r10
-    "q12_global_aggregates",  # evidence r10
-    "q13_revenue_rollup",  # evidence r10
-    "q158_decayed_engagement",  # evidence r10
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
