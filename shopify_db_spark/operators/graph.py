@@ -55,41 +55,52 @@ def connected_components(
     appearing in any edge. Raises if ``max_iter`` rounds do not
     converge (diameter > max_iter — not a dedup-shaped graph).
     """
-    # Hash-partitioned on the probe key BEFORE caching: every round
-    # joins on sym.a, and a cache retains its outputPartitioning, so
-    # the per-round exchange of the (static) edge side disappears —
-    # only the (changing) label side shuffles each round.
+    # ONE exchange builds the edge table (round-14 optimization):
+    # hash-partitioning on ``a`` alone already co-locates every
+    # (a, b) duplicate, so ``repartition(a)`` BEFORE the dedup lets
+    # the planner run the dedup aggregate on that exchange instead of
+    # adding its own (a, b)-keyed one — and the persisted frame
+    # retains hashpartitioning(a), the probe key of every round's
+    # message join, so the (static) edge side never shuffles again.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
         .repartition(F.col("a"))
+        .dropDuplicates(["a", "b"])
         .persist()
     )
     # Materialize the cache NOW: everything below touches sym several
-    # times (per-round joins + the node seed), and an edge list behind
+    # times (per-round joins + the label seed), and an edge list behind
     # an expensive generator (e.g. SimHash pair join) must be computed
     # exactly once, not once per consumer racing the lazy persist.
     sym.count()
+    # Seed with one propagation round for free: component₀ =
+    # min(node, min neighbor). The node set needs a pass over sym
+    # either way (the old identity seed ran DISTINCT over the same
+    # exchange-free input); folding the first min-aggregate into that
+    # pass converges dense near-clique dedup graphs a full round
+    # earlier — and a round (2 joins + checkpoint + convergence job)
+    # is the expensive unit of this loop.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.col("a")).alias("component"))
         .localCheckpoint()
     )
+    prev_total = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)"))
+    ).collect()[0][0]
     for _ in range(max_iter):
-        neighbor_min = (
+        # Self-messages ride in the same union as neighbor messages,
+        # so the min-aggregate computes least(own, min neighbor)
+        # directly — the old labels⟕neighbor_min join (one more
+        # label-sized shuffle per round) is gone.
+        messages = (
             labels.join(sym, labels["node"] == sym["a"])
             .select(F.col("b").alias("node"), "component")
-            .groupBy("node")
-            .agg(F.min("component").alias("nbr_component"))
+            .unionByName(labels)
         )
-        updated = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least("component", F.coalesce("nbr_component", "component")).alias(
-                "component"
-            ),
-            F.col("component").alias("__old"),
+        updated = messages.groupBy("node").agg(
+            F.min("component").alias("component")
         )
         # Pointer jumping: follow the new label through the PREVIOUS
         # label map (component → its component). Propagation alone
@@ -100,29 +111,30 @@ def connected_components(
         parent = labels.select(
             F.col("node").alias("__pnode"), F.col("component").alias("__pcomp")
         )
-        compressed = (
+        new_labels = (
             updated.join(parent, updated["component"] == parent["__pnode"], "left")
             .select(
                 "node",
                 F.least(
                     "component", F.coalesce("__pcomp", "component")
                 ).alias("component"),
-                "__old",
             )
+            .localCheckpoint()
         )
-        # The change flag rides along in the same projection, so
-        # convergence detection is a column scan of the (already
-        # materialized) checkpoint — no extra join per round.
-        new_labels = compressed.select(
-            "node",
-            "component",
-            (F.col("component") < F.col("__old")).alias("__changed"),
-        ).localCheckpoint()
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
+        # Convergence via the label-sum invariant: min-propagation
+        # labels are per-node monotonically non-increasing, so the
+        # decimal(38,0)-exact sum is strictly decreasing until the
+        # fixpoint and equal sums ⟺ no label changed. One scalar
+        # aggregate over the in-memory checkpoint replaces carrying
+        # an __old column through both joins plus the filter-count.
+        total = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels = new_labels
+        if total == prev_total:
             sym.unpersist()
             return labels
+        prev_total = total
     sym.unpersist()
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
