@@ -2430,79 +2430,137 @@ def mmr_rerank(
     cand: DataFrame, pairsim: DataFrame, k: int, lam: float = 0.5
 ) -> DataFrame:
     """Greedy MMR over (query_id, neighbor_id, rel) candidates with
-    (query_id, a, b, s) pairwise sims: k fixed rounds, each a
-    candidate-pool-sized join + partial-aggregating min_by argmax.
-    Returns (query_id, neighbor_id, score, mmr_rank)."""
-    # cand/ps are consumed every round and each round's pick by every
-    # later round — truncate lineage once (the invoice.py:713 idiom;
-    # both frames are candidate-pool-sized, #queries·C and ·C² rows)
-    cand = cand.localCheckpoint()
+    (query_id, a, b, s) pairwise sims: k rounds of
+    argmax λ·rel − (1−λ)·max_{s∈selected} sim, ties toward the
+    smaller neighbor id. Returns (query_id, neighbor_id, score,
+    mmr_rank).
+
+    One-pass per-query fold (round-14 optimization): each query's
+    pool is candidate-sized (C rows + C² pair sims), so the whole
+    greedy trajectory folds inside ONE row via JVM higher-order
+    functions — two collect_list aggregates + one join + a K-times
+    unrolled argmax projection. The previous shape ran K global
+    rounds, each a 3-join candidate-pool job ended by an eager
+    localCheckpoint: K cluster-wide barriers (and ~1 s of scheduler
+    latency per round locally) for per-query-independent work.
+    Every comparison the fold makes — the λ-blend, the float max
+    over selected sims, the (score DESC, id ASC) argmax — is the
+    same IEEE expression on the same values in an order-insensitive
+    reduction, so the trajectory and scores are bit-identical to the
+    round form (oracle-checked; q135/q138 hash-compare)."""
+    # ps is consumed once below but its self-join lineage would
+    # otherwise re-enter the (already caller-materialized) candidate
+    # pool twice — truncate once (the invoice.py:713 idiom; the
+    # frame is #queries·C² rows). cand itself arrives checkpointed
+    # from both callers (they derive ps from it), so it is not
+    # re-pinned here.
     pairsim = pairsim.localCheckpoint()
-    first = (
-        cand.groupBy("query_id")
-        .agg(
-            F.min_by(
-                F.struct("neighbor_id", F.col("rel").alias("score")),
-                F.struct(-F.col("rel"), F.col("neighbor_id")),
-            ).alias("p")
+    lam_c, mu_c = F.lit(lam), F.lit(1.0 - lam)
+    nid_t = dict(cand.dtypes)["neighbor_id"]
+    pick_t = f"struct<nid:{nid_t},score:double>"
+
+    def argmax(scored):  # array<struct<nid,score>> -> best or null
+        return F.aggregate(
+            scored,
+            F.lit(None).cast(pick_t),
+            lambda acc, x: F.when(
+                acc.isNull()
+                | (x["score"] > acc["score"])
+                | ((x["score"] == acc["score"]) & (x["nid"] < acc["nid"])),
+                x,
+            ).otherwise(acc),
         )
-        .select(
-            "query_id",
-            F.col("p.neighbor_id").alias("neighbor_id"),
-            F.col("p.score").alias("score"),
-            F.lit(1).cast("int").alias("mmr_rank"),
-        )
+
+    cs = cand.groupBy("query_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("neighbor_id").alias("nid"), F.col("rel").alias("rel")
+            )
+        ).alias("cs")
     )
-    rounds = [first]
-    for r in range(2, k + 1):
-        sel = rounds[0].select("query_id", "neighbor_id")
-        for prev in rounds[1:]:
-            sel = sel.unionByName(prev.select("query_id", "neighbor_id"))
-        rem = cand.join(sel, ["query_id", "neighbor_id"], "left_anti")
-        ms = (
-            rem.join(
-                pairsim,
-                (F.col("a") == F.col("neighbor_id"))
-                & (pairsim["query_id"] == rem["query_id"]),
-            )
-            .drop(pairsim["query_id"])
-            .join(
-                sel.select(
-                    F.col("query_id").alias("__sq"),
-                    F.col("neighbor_id").alias("b2"),
+    pss = pairsim.groupBy("query_id").agg(
+        F.collect_list(F.struct("a", "b", "s")).alias("ps")
+    )
+    g = cs.join(pss, "query_id", "left").select(
+        "query_id", "cs", F.coalesce("ps", F.array()).alias("ps")
+    )
+
+    # round 1: argmax by rel alone (score IS rel, matching the a1 CTE)
+    g = g.withColumn(
+        "p1",
+        argmax(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    c["nid"].alias("nid"), c["rel"].alias("score")
                 ),
-                (F.col("__sq") == F.col("query_id"))
-                & (F.col("b2") == F.col("b")),
             )
-            .groupBy("query_id", "neighbor_id", "rel")
-            .agg(F.max("s").alias("ms"))
+        ),
+    ).withColumn("sel", F.array(F.col("p1")["nid"]))
+    for r in range(2, k + 1):
+        sel = F.col("sel")
+
+        def scored_entry(c):
+            # max selected-pair sim; null when no qualifying pair —
+            # the round form's inner ps-join excluded such
+            # candidates, so null scores are filtered below
+            # (single-arg function: a second parameter would make
+            # PySpark bind it as the (element, index) binary lambda)
+            ms = F.aggregate(
+                F.filter(
+                    F.col("ps"),
+                    lambda p: (p["a"] == c["nid"])
+                    & F.array_contains(sel, p["b"]),
+                ),
+                F.lit(None).cast("double"),
+                lambda m, p: F.when(m.isNull() | (p["s"] > m), p["s"]).otherwise(
+                    m
+                ),
+            )
+            return F.struct(
+                c["nid"].alias("nid"),
+                (lam_c * c["rel"] - mu_c * ms).alias("score"),
+            )
+
+        pick = argmax(
+            F.filter(
+                F.transform(
+                    F.filter(
+                        F.col("cs"),
+                        lambda c: ~F.array_contains(sel, c["nid"]),
+                    ),
+                    scored_entry,
+                ),
+                lambda x: x["score"].isNotNull(),
+            )
         )
-        score = (F.lit(lam) * F.col("rel")) - (
-            F.lit(1.0 - lam) * F.col("ms")
+        g = g.withColumn(f"p{r}", pick).withColumn(
+            "sel",
+            F.when(
+                F.col(f"p{r}").isNull(), F.col("sel")
+            ).otherwise(F.array_union(F.col("sel"), F.array(F.col(f"p{r}")["nid"]))),
         )
-        pick = (
-            ms.select(
-                "query_id", "neighbor_id", score.alias("score")
-            )
-            .groupBy("query_id")
-            .agg(
-                F.min_by(
-                    F.struct("neighbor_id", "score"),
-                    F.struct(-F.col("score"), F.col("neighbor_id")),
-                ).alias("p")
-            )
-            .select(
-                "query_id",
-                F.col("p.neighbor_id").alias("neighbor_id"),
-                F.col("p.score").alias("score"),
-                F.lit(r).cast("int").alias("mmr_rank"),
-            )
-        )
-        rounds.append(pick.localCheckpoint())
-    out = rounds[0]
-    for nxt in rounds[1:]:
-        out = out.unionByName(nxt)
-    return out
+    out_arr = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"p{r}")["nid"].alias("neighbor_id"),
+                    F.col(f"p{r}")["score"].alias("score"),
+                    F.lit(r).cast("int").alias("mmr_rank"),
+                )
+                for r in range(1, k + 1)
+            ]
+        ),
+        lambda x: x["neighbor_id"].isNotNull(),
+    )
+    return g.select(
+        "query_id", F.explode(out_arr).alias("pick")
+    ).select(
+        "query_id",
+        F.col("pick.neighbor_id").alias("neighbor_id"),
+        F.col("pick.score").alias("score"),
+        F.col("pick.mmr_rank").alias("mmr_rank"),
+    )
 
 
 @query("q135_mmr_rerank", oracle=_q135_oracle())
@@ -2514,9 +2572,15 @@ def q135_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = query_panel(emb)
     topk = SIM.cosine_topk(queries, emb, k=_Q135_C)
+    # Materialize the candidate pool BEFORE deriving the pair-sim
+    # frame from it (round-14 optimization): ps references cand on
+    # both sides of its self-join, so an unmaterialized cand re-runs
+    # the whole candidate generator 2-3x — the generator (brute
+    # top-C grid here, IVF assignment in q138) is the query's
+    # dominant term, while the checkpointed pool is #queries*C rows.
     cand = topk.select(
         "query_id", "neighbor_id", F.col("cosine").alias("rel")
-    )
+    ).localCheckpoint()
     ce = cand.join(
         emb.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -2623,9 +2687,15 @@ def q138_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CTE, so the Spark side must take the same bounded slice
     queries = query_panel(emb)
     topk = SIM.ivf_ann(queries, emb, centroids, k=_Q135_C, nprobe=NPROBE)
+    # Materialize the candidate pool BEFORE deriving the pair-sim
+    # frame from it (round-14 optimization): ps references cand on
+    # both sides of its self-join, so an unmaterialized cand re-runs
+    # the whole candidate generator 2-3x — the generator (brute
+    # top-C grid here, IVF assignment in q138) is the query's
+    # dominant term, while the checkpointed pool is #queries*C rows.
     cand = topk.select(
         "query_id", "neighbor_id", F.col("cosine").alias("rel")
-    )
+    ).localCheckpoint()
     ce = cand.join(
         emb.select(
             F.col("vec_id").alias("neighbor_id"),
