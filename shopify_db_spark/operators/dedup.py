@@ -173,8 +173,21 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. The
     signature array rides along the band explode and the bucket
     join, so candidates are scored inline — no join back to a cached
-    signature table."""
-    bands = banded_minhash(docs, id_col, text_col, n_seeds, band_size)
+    signature table.
+
+    The band table is localCheckpointed before fan-out (round 14 —
+    the :func:`hash64_pairs` discipline): it feeds FOUR plan
+    subtrees (bucket sizing + probe, each side of the self-join),
+    and Catalyst does not share common subtrees, so unpinned the
+    whole tokenize → 8×md5 → min-agg signature pipeline plus the
+    band-key hashing executes four times (q26's before-plan:
+    11 scans of `documents`, zero reused exchanges). The pinned
+    frame is #docs × n_bands slim rows (signature array + 2 keys) —
+    the same size class hash64_pairs pins — and its blocks are
+    reclaimed by ContextCleaner with the result."""
+    bands = banded_minhash(
+        docs, id_col, text_col, n_seeds, band_size
+    ).localCheckpoint()
     # degenerate-bucket guard: boilerplate shingles put thousands of
     # docs in one bucket → quadratic pair blowup; cap and drop.
     bucket_sizes = bands.groupBy("band", "band_key").agg(

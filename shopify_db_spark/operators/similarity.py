@@ -767,6 +767,7 @@ def ivf_assign(
     n_best: int = 1,
     keep_score: bool = False,
     matmul: bool | None = None,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Coarse-quantizer assignment: each vector goes to its
     ``n_best`` highest-cosine centroids (ties → lowest centroid id;
@@ -827,7 +828,7 @@ def ivf_assign(
         )
     cols = ["vec_id", "v", "vn", "centroid_id"] + (
         ["c_cos"] if keep_score else []
-    )
+    ) + (["probe_rank"] if keep_rank else [])
     if n_best == 1:
         # The min_by key must order EXACTLY like the n_best>1 window
         # (desc(c_cos) → NaN first, NULLs last, ties → lowest
@@ -857,6 +858,7 @@ def ivf_assign(
             "vn",
             F.col("b.centroid_id").alias("centroid_id"),
             *([F.col("b.c_cos").alias("c_cos")] if keep_score else []),
+            *([F.lit(1).alias("probe_rank")] if keep_rank else []),
         )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("centroid_id")
@@ -864,6 +866,7 @@ def ivf_assign(
     return (
         scored.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= n_best)
+        .withColumn("probe_rank", F.col("r"))
         .select(*cols)
     )
 
@@ -899,23 +902,57 @@ def ivf_ann(
     the coarse quantizer); the QUERY side broadcasts only under the
     plan-time gate (``ANN_QUERY_BROADCAST_SOURCE_BYTES``) — over the
     bound, ``centroid_id`` is the equi key and the scoring join runs
-    as a plain shuffle join on the cell id (oracle-identical)."""
+    as a plain shuffle join on the cell id (oracle-identical).
+
+    Self-graph fast path (round 14): when ``queries`` IS the
+    ``candidates`` frame (the q152 k-NN-graph shape — every vector
+    queries the whole corpus), the n×K coarse-assignment pass — the
+    dominant cost at fixed cell size — would otherwise run TWICE
+    over the same input (n_best=nprobe for the query side, n_best=1
+    for the candidate side). The min_by fast path and the rank
+    window select by the exact same total order (its design
+    contract, pinned by tests), so rank-1 of the multi-probe
+    assignment IS the candidate assignment: run ONE n_best=nprobe
+    pass, localCheckpoint it (the semantic_dedup_pairs precedent —
+    unpinned, the pass re-executes per consumer), and derive both
+    sides from it. One corpus scan + one scoring pass instead of
+    two of each; bit-identical output."""
     if broadcast_queries is None:
         broadcast_queries = (
             plan_size_bytes(queries) < ANN_QUERY_BROADCAST_SOURCE_BYTES
         )
-    qa = ivf_assign(queries, centroids, id_col, vec_col, n_best=nprobe).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("vn").alias("qn"),
-        "centroid_id",
-    )
-    ca = ivf_assign(candidates, centroids, id_col, vec_col).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        F.col("vn").alias("cn"),
-        "centroid_id",
-    )
+    if queries is candidates:
+        shared = ivf_assign(
+            candidates, centroids, id_col, vec_col,
+            n_best=nprobe, keep_rank=True,
+        ).localCheckpoint()
+        qa = shared.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vn").alias("qn"),
+            "centroid_id",
+        )
+        ca = shared.filter(F.col("probe_rank") == 1).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+            "centroid_id",
+        )
+    else:
+        qa = ivf_assign(
+            queries, centroids, id_col, vec_col, n_best=nprobe
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vn").alias("qn"),
+            "centroid_id",
+        )
+        ca = ivf_assign(candidates, centroids, id_col, vec_col).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("vn").alias("cn"),
+            "centroid_id",
+        )
     scored = (
         (F.broadcast(qa) if broadcast_queries else qa)
         .join(
