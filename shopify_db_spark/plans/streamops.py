@@ -1392,14 +1392,19 @@ def _novelty_merge(
 def _engagement_merge(
     spark: SparkSession, state: dict, batch_df: DataFrame, batch_id: int
 ) -> None:
-    """q160's per-(user, day) count ADD-merge + max-date track."""
+    """q160's per-(user, day) count ADD-merge.
+
+    The decay reference max-date is NOT tracked per batch: the merged
+    histogram keeps every (user, day) seen with cnt > 0, so
+    ``max(d)`` over the final state equals the max over all arrivals
+    — the finalize derives it in one 1-row aggregate instead of a
+    per-batch collect job (round-14 optimization: one fewer job and
+    driver round trip per micro-batch, and one less driver-held
+    scalar for the recovery story to reconstruct)."""
     spread = batch_df.repartition(
         spark.sparkContext.defaultParallelism, F.col("event_id")
     )
     hist = spread.groupBy("user_id", "d").agg(F.count(F.lit(1)).alias("cnt"))
-    bmax = spread.agg(F.max("d")).collect()[0][0]
-    if state["max_d"] is None or bmax > state["max_d"]:
-        state["max_d"] = bmax
     state["hist"] = (
         state["hist"]
         .unionByName(hist)
@@ -1410,9 +1415,14 @@ def _engagement_merge(
 
 
 def _engagement_result(spark: SparkSession, state: dict) -> DataFrame:
-    """q160's finalize: exact shift weights from the tracked max
-    date (see the q158/q160 section comments for the clamp/base)."""
-    now_d = F.lit(state["max_d"])
+    """q160's finalize: exact shift weights from the max date, which
+    is derived here from the merged histogram in one 1-row aggregate
+    (see _engagement_merge; a pre-derived ``max_d`` — the recovery
+    test's inline sink still tracks one — takes precedence)."""
+    max_d = state.get("max_d")
+    if max_d is None:
+        max_d = state["hist"].agg(F.max("d")).collect()[0][0]
+    now_d = F.lit(max_d)
     aged = state["hist"].select(
         "user_id",
         "cnt",
