@@ -2791,50 +2791,75 @@ def kcenter_greedy(emb: DataFrame, k: int = _Q141_K) -> DataFrame:
     """Farthest-first k-center selection over (vec_id, embedding)
     rows (see section comment). Rank 1's max_sim is the -1.0
     sentinel (no centers exist before the seed pick). Returns
-    (vec_id, k_rank, max_sim)."""
+    (vec_id, k_rank, max_sim).
+
+    Each greedy round is ONE single-aggregate job: the selected
+    centers ride into the round as LITERALS (a 1-row collect per
+    round — a bounded scalar aggregate, the repo's collect
+    discipline), so the per-point score is a map-side
+    ``greatest(cos(v, c_1), …, cos(v, c_{r-1}))`` over literal
+    arrays with a literal NOT-IN exclusion, reduced by one
+    partial-aggregating global ``min_by``. The previous shape
+    derived the centers/remainder through two broadcast joins
+    against a growing union-of-picks plan and eagerly
+    localCheckpointed each 1-row pick — three extra jobs and two
+    broadcast builds per round for frames the driver already holds
+    (round 14; scores unchanged: IEEE max over the same
+    fixed-order cosines is order-insensitive and the collected
+    doubles round-trip py4j bit-exactly)."""
+    spark = emb.sparkSession
     pool = emb.select(
         "vec_id", SIM.as_double(F.col("embedding")).alias("ev")
     ).localCheckpoint()
-    first = pool.agg(F.min("vec_id").alias("vec_id")).select(
-        "vec_id",
-        F.lit(1).cast("int").alias("k_rank"),
-        F.lit(-1.0).alias("max_sim"),
+    seed = pool.agg(
+        F.min_by(F.struct("vec_id", "ev"), F.col("vec_id")).alias("p")
+    ).collect()[0]["p"]
+    picked: list[tuple] = [
+        (seed["vec_id"] if seed is not None else None, 1, -1.0)
+    ]
+    center_vecs: list[list[float]] = (
+        [list(seed["ev"])]
+        if seed is not None and seed["vec_id"] is not None
+        else []
     )
-    rounds = [first]
     for r in range(2, k + 1):
-        sel = rounds[0].select("vec_id")
-        for prev in rounds[1:]:
-            sel = sel.unionByName(prev.select("vec_id"))
-        centers = pool.join(sel, "vec_id").select(
-            F.col("vec_id").alias("__c_id"), F.col("ev").alias("cv")
-        )
-        rem = pool.join(sel, "vec_id", "left_anti")
-        ms = (
-            rem.crossJoin(F.broadcast(centers))
-            .select(
-                "vec_id",
-                SIM.cosine(F.col("ev"), F.col("cv")).alias("s"),
+        ids = [p[0] for p in picked if p[0] is not None]
+        cos_cols = [
+            SIM.cosine(
+                F.col("ev"), F.array(*[F.lit(float(x)) for x in cv])
             )
-            .groupBy("vec_id")
-            .agg(F.max("s").alias("ms"))
+            for cv in center_vecs
+        ]
+        if not cos_cols:
+            score = F.lit(None).cast("double")
+        elif len(cos_cols) == 1:
+            score = cos_cols[0]
+        else:
+            score = F.greatest(*cos_cols)
+        rem = (
+            pool.filter(~F.col("vec_id").isin(ids)) if ids else pool
         )
         pick = (
-            ms.agg(
+            rem.select("vec_id", score.alias("ms"), "ev")
+            .agg(
                 F.min_by(
-                    F.struct("vec_id", "ms"), F.struct("ms", "vec_id")
+                    F.struct("vec_id", "ms", "ev"),
+                    F.struct("ms", "vec_id"),
                 ).alias("p")
             )
-            .select(
-                F.col("p.vec_id").alias("vec_id"),
-                F.lit(r).cast("int").alias("k_rank"),
-                F.col("p.ms").alias("max_sim"),
-            )
+            .collect()[0]["p"]
         )
-        rounds.append(pick.localCheckpoint())
-    out = rounds[0]
-    for nxt in rounds[1:]:
-        out = out.unionByName(nxt)
-    return out
+        if pick is None:
+            # exhausted pool (k > n): the previous shape's min_by
+            # over an empty remainder yielded a null-id row per rank
+            picked.append((None, r, None))
+            continue
+        picked.append((pick["vec_id"], r, pick["ms"]))
+        if pick["vec_id"] is not None:
+            center_vecs.append(list(pick["ev"]))
+    return spark.createDataFrame(
+        picked, schema="vec_id long, k_rank int, max_sim double"
+    )
 
 
 @query("q141_kcenter_coreset", oracle=_q141_oracle())
