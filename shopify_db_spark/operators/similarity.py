@@ -1219,15 +1219,22 @@ def semantic_dedup_pairs(
     replacement for q32's pair list where banding recall is the
     contract.
 
-    Plan shape (q32's slim-candidate discipline): the within-cell
-    self-join carries 16-byte id pairs only — each vector sits in
-    exactly ONE cell (one block even with sub-splitting), so no pair
-    dedup is needed — and the vector projection joins back twice for
-    exact scoring. The assignment is consumed three times (cell key
-    ×2, score projection ×2), so it is localCheckpoint-pinned —
-    without it the n×K scoring pass re-executes per consumer
-    (measured 59 s unpinned → 11 s pinned at the ×10 scale point,
-    idle machine).
+    Plan shape: each vector sits in exactly ONE cell (one block even
+    with sub-splitting), so a pair occurs at most once and no pair
+    dedup exchange is ever needed — which means the cosine can be
+    computed INSIDE the single block-keyed self-join projection and
+    the threshold filter applied streaming, never materializing a
+    vector-carrying pair set. q32's slim-id discipline exists to
+    keep vectors out of the multi-band ``dropDuplicates`` exchange;
+    with no dedup stage here the slim shape just deferred scoring
+    through two extra id-keyed joins of the assignment (6 exchanges
+    + 3 sort-merge joins in q147's before-plan, round 14) for the
+    same vector bytes shuffled. Now: 2 block-keyed exchanges, one
+    join, identical cosine expression on identical values — results
+    bit-identical. The assignment is still consumed twice (both join
+    sides), so it stays localCheckpoint-pinned — without it the n×K
+    scoring pass re-executes per consumer (measured 59 s unpinned →
+    11 s pinned at the ×10 scale point, idle machine).
 
     Skewed cells: a corpus whose embeddings CLUSTER puts a constant
     fraction of the data in one cell, and that cell's pair join is
@@ -1243,29 +1250,21 @@ def semantic_dedup_pairs(
             "sub_bucket", lsh_bucket(F.col("v"), sub_planes, dim)
         )
     block = ["centroid_id"] + (["sub_bucket"] if sub_planes > 0 else [])
-    slim = assigned.select("vec_id", *block)
-    cand = (
-        slim.select(F.col("vec_id").alias("id_a"), *block)
-        .join(
-            slim.select(F.col("vec_id").alias("id_b"), *block),
-            block,
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    va = assigned.select(
+    sa = assigned.select(
         F.col("vec_id").alias("id_a"),
+        *block,
         F.col("v").alias("va"),
         F.col("vn").alias("na"),
     )
-    vb = assigned.select(
+    sb = assigned.select(
         F.col("vec_id").alias("id_b"),
+        *block,
         F.col("v").alias("vb"),
         F.col("vn").alias("nb"),
     )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        sa.join(sb, block)
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
