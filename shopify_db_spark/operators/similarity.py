@@ -608,25 +608,34 @@ def cosine_dedup_pairs_lsh(
     proj = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", norm(F.col("v")))
-    banded = proj.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        lsh_bucket(
-                            F.col("v"),
-                            planes_per_band,
-                            dim,
-                            plane_offset=b * planes_per_band,
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vid", "bb.band", "bb.bucket")
+    banded = (
+        proj.select(
+            "vid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            lsh_bucket(
+                                F.col("v"),
+                                planes_per_band,
+                                dim,
+                                plane_offset=b * planes_per_band,
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("vid", "bb.band", "bb.bucket")
+        # both sides of the candidate self-join consume this frame;
+        # unpinned, the bands × planes_per_band sign-projection
+        # pipeline (each projection a dim-wide fold) executes twice —
+        # the minhash band-table precedent (round 14): pin the output
+        # of the expensive signature tier, 3-int rows per (doc, band)
+        .localCheckpoint()
+    )
     a = banded.select(F.col("vid").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("vid").alias("id_b"), "band", "bucket")
     cand = (
