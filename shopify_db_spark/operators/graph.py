@@ -192,8 +192,13 @@ def integer_pagerank(
     are impossible with symmetric edges.
 
     Returns (node, degree, pr) with ``pr`` at the final iteration."""
-    out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    # node-sized degree table, consumed once per iteration (the
+    # damping join) plus the rank init; unpinned it re-aggregated the
+    # full edge table every round (round 14)
+    out_deg = (
+        edges.groupBy(F.col(src_col).alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint()
     )
     ranks = out_deg.withColumn("pr", F.lit(scale).cast("long"))
     base = int(round((100 - damping_pct) / 100 * scale))
