@@ -212,10 +212,16 @@ def q59_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_event_counts,
     )
 
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    # project to what the windowed aggregate reads (ts, event_type,
+    # value) + the batch key before the batch-file write — event_id
+    # and user_id only rode along into the stream files (guide §2.3:
+    # project before the exchange/write)
+    batched = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        "value",
+        (F.col("event_id") % 4).alias("batch_no"),
     )
-    batched = events.withColumn("batch_no", F.col("event_id") % 4)
     stream_dir = _write_batch_files(batched, "batch_no", 4)
     try:
         stream = (
@@ -1189,8 +1195,9 @@ def q160_streaming_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shift weights applied at finalize from the tracked max
     date. Returns (user_id, n_events, decayed_ppm,
     days_since_last) — q158's exact output."""
+    # event_id only derives the batch key; project it away before the
+    # batch-file write (guide §2.3)
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
         "user_id",
         F.col("ts").cast("date").alias("d"),
         (F.col("event_id") % 3).alias("batch_no"),
@@ -1401,8 +1408,13 @@ def _engagement_merge(
     per-batch collect job (round-14 optimization: one fewer job and
     driver round trip per micro-batch, and one less driver-held
     scalar for the recovery story to reconstruct)."""
+    # spread on user_id, not event_id: hash partitioning on a subset
+    # of the grouping keys satisfies the aggregate's clustering, so
+    # ONE exchange serves the single-partition-micro-batch spread AND
+    # the (user, day) count — the event_id spread added a second,
+    # full-batch exchange for no pre-shuffle compute (round 14)
     spread = batch_df.repartition(
-        spark.sparkContext.defaultParallelism, F.col("event_id")
+        spark.sparkContext.defaultParallelism, F.col("user_id")
     )
     hist = spread.groupBy("user_id", "d").agg(F.count(F.lit(1)).alias("cnt"))
     state["hist"] = (
