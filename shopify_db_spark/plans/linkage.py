@@ -409,8 +409,20 @@ def q96_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything lower localizes broken ingestion. The reference
     enforces FKs in Postgres DDL (setup.sql); on a lake engine
     integrity is a measured property, and this is the measurement
-    (q18's anti-join checks generalized to a schema-wide profile)."""
-    rows = []
+    (q18's anti-join checks generalized to a schema-wide profile).
+
+    One plan, zero driver actions: the per-edge (n_distinct,
+    n_orphans) pair folds out of a single left join of the distinct
+    child keys against the distinct parent keys (distinct on the
+    parent side makes the join fan-out-free, so COUNT(*) over the
+    joined frame is exactly the child-key count and the null-parent
+    indicator sum is exactly the anti-join count), and the five
+    edges union into one 5-row job. The previous shape ran 2
+    blocking ``.count()`` actions per edge — 10 sequential jobs +
+    driver round-trips for work with no cross-edge dependency
+    (guide §2.6/§5; round 14). The containment division is the same
+    binary64 divide the driver-side float() computed."""
+    edge_frames = []
     for child, ck, parent, pk in _Q96_EDGES:
         c = load_table(spark, sf_dir, child)
         p = load_table(spark, sf_dir, parent)
@@ -418,33 +430,45 @@ def q96_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.select(F.col(ck).alias("v")).filter(F.col("v").isNotNull())
             .distinct()
         )
-        n_distinct = child_keys.count()
-        n_orphans = child_keys.join(
-            p.select(F.col(pk).alias("v")).distinct(), "v", "left_anti"
-        ).count()
-        rows.append(
-            (
-                child,
-                ck,
-                parent,
-                pk,
-                n_distinct,
-                n_orphans,
+        parent_keys = (
+            p.select(F.col(pk).alias("v")).distinct()
+            .withColumn("__p", F.lit(1))
+        )
+        stats = child_keys.join(parent_keys, "v", "left").agg(
+            F.count(F.lit(1)).alias("n_child_distinct"),
+            F.sum(
+                F.when(F.col("__p").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        )
+        edge_frames.append(
+            stats.select(
+                F.lit(child).alias("child_table"),
+                F.lit(ck).alias("child_col"),
+                F.lit(parent).alias("parent_table"),
+                F.lit(pk).alias("parent_col"),
+                F.col("n_child_distinct").cast("long"),
+                F.coalesce(F.col("n_orphans"), F.lit(0))
+                .cast("long")
+                .alias("n_orphans"),
                 # an all-NULL FK column has zero distinct keys and
                 # vacuously full containment (the SQL oracle's
                 # 1 - 0/NULLIF(0,..) path would yield NULL; we pin the
                 # vacuous-truth convention on both sides)
-                1.0
-                if n_distinct == 0
-                else 1.0 - (float(n_orphans) / float(n_distinct)),
+                F.when(F.col("n_child_distinct") == 0, F.lit(1.0))
+                .otherwise(
+                    F.lit(1.0)
+                    - F.coalesce(F.col("n_orphans"), F.lit(0)).cast(
+                        "double"
+                    )
+                    / F.col("n_child_distinct").cast("double")
+                )
+                .alias("containment"),
             )
         )
-    return spark.createDataFrame(
-        rows,
-        "child_table string, child_col string, parent_table string,"
-        " parent_col string, n_child_distinct long, n_orphans long,"
-        " containment double",
-    )
+    out = edge_frames[0]
+    for nxt in edge_frames[1:]:
+        out = out.unionByName(nxt)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1409,19 +1409,27 @@ def q112_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=_Q112_NCELLS,
         seed=42,
     ).select("query_id", "neighbor_id")
-    ex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ex"))
-    hits = (
-        exact.join(ann, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    recall = (
-        ex.join(hits, "query_id", "left")
-        .select(
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_ex")
-            ).alias("recall")
+    # one pass over the brute-force baseline: the former shape
+    # consumed `exact` twice (a per-query count subtree + the hits
+    # join), re-executing the panel × corpus scoring tier per
+    # consumer; a LEFT join against the (unique-keyed) ANN list
+    # folds n_ex and n_hit out of the same rows — counts are exact
+    # integers, so the recall doubles are bit-identical
+    # (round 14, guide §2.4)
+    per_q = (
+        exact.join(
+            ann.withColumn("__h", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
         )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ex"),
+            F.sum(F.coalesce(F.col("__h"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    recall = per_q.select(
+        (F.col("n_hit") / F.col("n_ex")).alias("recall")
     )
     return recall.agg(
         F.count(F.lit(1)).alias("n_queries"),
@@ -3569,14 +3577,31 @@ def q151_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = en.filter(F.col("vec_id") % CENTROID_MOD == 0)
     topk = SIM.ivf_ann(oth, en, centroids, k=2, nprobe=NPROBE)
-    t1 = topk.filter(F.col("rank") == 1).select(
-        "query_id", "neighbor_id", "cosine"
+    # one pass over the IVF output: the former rank==1 / rank==2
+    # filter-split + left self-join re-executed the whole IVF
+    # scoring lineage once per side and added a query-keyed
+    # exchange; rank is a row_number (exactly one row per rank per
+    # query), so MAX over a rank-gated struct/scalar recovers both
+    # rows from a single aggregate — a query with no second
+    # candidate yields NULL exactly where the left join did
+    # (round 14, guide §2.4)
+    g = topk.groupBy("query_id").agg(
+        F.max(
+            F.when(
+                F.col("rank") == 1, F.struct("neighbor_id", "cosine")
+            )
+        ).alias("t1"),
+        F.max(F.when(F.col("rank") == 2, F.col("cosine"))).alias(
+            "__cos2"
+        ),
     )
-    t2 = topk.filter(F.col("rank") == 2).select(
-        F.col("query_id").alias("__q2"), F.col("cosine").alias("__cos2")
-    )
-    j = t1.join(t2, F.col("__q2") == F.col("query_id"), "left").withColumn(
-        "margin", F.col("cosine") - F.coalesce(F.col("__cos2"), F.lit(0.0))
+    j = g.select(
+        "query_id",
+        F.col("t1.neighbor_id").alias("neighbor_id"),
+        F.col("t1.cosine").alias("cosine"),
+        (
+            F.col("t1.cosine") - F.coalesce(F.col("__cos2"), F.lit(0.0))
+        ).alias("margin"),
     )
     return j.select(
         "query_id",
@@ -3744,7 +3769,18 @@ FROM norms n JOIN gram g ON g.source = n.source
 def q153_domain_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mean pairwise cosine via the Gram identity — no
     pair join (see section comment). Returns (source, n,
-    norm2_of_sum, sum_norm2, mean_pairwise_cos)."""
+    norm2_of_sum, sum_norm2, mean_pairwise_cos).
+
+    One pass over the quantized vectors: the before-plan ran the
+    emb⋈docs join + normalize/quantize lineage TWICE (a component
+    subtree for Σ_d and a whole-row subtree for n/Σ‖x̂q‖²). All
+    three statistics fold out of the SAME posexplode — Σ‖x̂q‖² =
+    Σ_d Σ_rows x̂q_d² (exact BIGINT sums commute), and n is the
+    per-dim row count (embeddings are non-null fixed-DIM arrays by
+    the table contract, so every row contributes exactly one row
+    per dim) — so the per-(source, dim) aggregate carries (Σ xd,
+    Σ xd², count) and the per-source rollup squares/sums them.
+    4 parquet scans → 2, one quantize pass (round 14)."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     base = emb.join(
@@ -3760,25 +3796,21 @@ def q153_domain_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x / F.col("nrm") * _Q153_S1).cast("long"),
         ).alias("xq"),
     )
-    comp = (
+    per_dim = (
         xq.select("source", F.posexplode("xq").alias("dim", "xd"))
         .groupBy("source", "dim")
-        .agg(F.sum("xd").alias("s"))
+        .agg(
+            F.sum("xd").alias("s"),
+            F.sum(F.col("xd") * F.col("xd")).alias("ss"),
+            F.count(F.lit(1)).alias("c"),
+        )
     )
-    gram = comp.groupBy("source").agg(
-        F.sum(F.col("s") * F.col("s")).alias("norm2_of_sum")
+    rolled = per_dim.groupBy("source").agg(
+        F.sum(F.col("s") * F.col("s")).alias("norm2_of_sum"),
+        F.sum("ss").alias("sum_norm2"),
+        F.max("c").alias("n"),
     )
-    norms = xq.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.aggregate(
-                F.transform(F.col("xq"), lambda x: x * x),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-        ).alias("sum_norm2"),
-    )
-    return norms.join(gram, "source").select(
+    return rolled.select(
         "source",
         "n",
         F.col("norm2_of_sum").cast("long"),

@@ -104,6 +104,7 @@ SINGLE_PARTITION_OK = {
     "q70_mixture_weights": (1, "partitionless window over per-source rows"),
     "q71_shuffle_split": (1, "two-phase numbering offsets, #partitions rows"),
     "q92_rfm_segments": (3, "three independent two-phase NTILE offset frames, #partitions rows each"),
+    "q96_fk_profile": (5, "five per-FK-edge scalar (n_distinct, n_orphans) finals over partial aggs, one row each (round-14 single-plan shape)"),
     "q97_column_profile": (1, "final scalar aggregate over partial aggs (one stats row)"),
     "q98_cascade_delete_plan": (3, "three per-table scalar count finals over partial aggs"),
     "q100_corpus_ship": (1, "two-phase prefix-sum offsets, #partitions rows (q58's bound)"),
