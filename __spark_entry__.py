@@ -43,19 +43,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #: emitted by the generator and records how many pins were absorbed
 #: into higher tiers. Entries past the 50-query sample are next
 #: round's starting debt.
-# computed by scripts/rotation.py (base 9b31c4490655108fadea28eb938a3e8d7d309f11; 52 plan-affected this round; 52 stale; 10 freshness-floor; 0 pins, 0 absorbed)
+# computed by scripts/rotation.py (base 9b31c4490655108fadea28eb938a3e8d7d309f11; 62 plan-affected this round; 62 stale; 10 freshness-floor; 0 pins, 0 absorbed)
 _DRIVER_SAMPLE_HEAD = [
     "q20_invoice_pipeline",  # round-affected
     "q61_invoice_verify",  # round-affected
     "q63_csv_roundtrip",  # round-affected
+    "q26_minhash_lsh_pairs",  # round-affected
     "q76_sparse_cosine_retrieval",  # round-affected
     "q161_bm25_retrieval",  # round-affected
+    "q50_dup_clusters",  # round-affected
+    "q125_canonical_corpus",  # round-affected
+    "q136_split_leakage",  # round-affected
+    "q137_cluster_split",  # round-affected
+    "q146_soft_dedup_weights",  # round-affected
+    "q96_fk_profile",  # round-affected
     "q33_media_metadata",  # round-affected
     "q34_media_features",  # round-affected
     "q118_image_phash_dedup",  # round-affected
     "q35_frame_sample_plan",  # round-affected
     "q164_wav_band_energy",  # round-affected
     "q166_png_band_energy",  # round-affected
+    "q59_streaming_windows",  # round-affected
     "q73_incremental_dedup",  # round-affected
     "q102_incremental_dedup_capped",  # round-affected
     "q30_cosine_topk",  # round-affected
@@ -96,15 +104,7 @@ _DRIVER_SAMPLE_HEAD = [
     "q159_knn_recall_gate",  # round-affected
     "q114_streaming_ann",  # round-affected
     "q155_streaming_novelty",  # round-affected
-    "q163_streaming_term_stats",  # round-affected
-    "q46_priority_pivot",  # freshness floor (evidence r9)
-    "q02_top_order_per_customer",  # freshness floor (evidence r10)
-    "q03_regional_revenue",  # freshness floor (evidence r10)
-    "q04_union_distinct_branches",  # freshness floor (evidence r10)
-    "q05_order_price_reconcile",  # freshness floor (evidence r10)
-    "q06_orderkey_gaps",  # freshness floor (evidence r10)
-    "q07_composite_key_join",  # freshness floor (evidence r10)
-    "q08_group_numbering",  # freshness floor (evidence r10)
+    "q160_streaming_engagement",  # round-affected
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
