@@ -172,44 +172,49 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. The
     signature array rides along the band explode and the bucket
-    join, so candidates are scored inline — no join back to a cached
+    fold, so candidates are scored inline — no join back to a cached
     signature table.
 
-    The band table is localCheckpointed before fan-out (round 14 —
-    the :func:`hash64_pairs` discipline): it feeds FOUR plan
-    subtrees (bucket sizing + probe, each side of the self-join),
-    and Catalyst does not share common subtrees, so unpinned the
-    whole tokenize → 8×md5 → min-agg signature pipeline plus the
-    band-key hashing executes four times (q26's before-plan:
-    11 scans of `documents`, zero reused exchanges). The pinned
-    frame is #docs × n_bands slim rows (signature array + 2 keys) —
-    the same size class hash64_pairs pins — and its blocks are
-    reclaimed by ContextCleaner with the result."""
-    bands = banded_minhash(
-        docs, id_col, text_col, n_seeds, band_size
-    ).localCheckpoint()
+    Single-pass bucket fold (round 15; replaces round 14's
+    localCheckpoint pin + bucket-count join + self-join): the bucket
+    cap means a bucket holds at most ``max_bucket`` members, so each
+    (band, band_key) group is collected into ONE bounded array and
+    the candidate pairs are generated by an array comb-explode —
+    the degenerate-bucket guard becomes a ``size(ds) <= max_bucket``
+    filter on the same aggregate (no separate sizing subtree), the
+    self-join disappears, and the tokenize → md5 → min-agg signature
+    pipeline executes exactly ONCE with no materialization barrier
+    (the pin traded 4× recompute for a barrier that measurably lost
+    at sf0.1 — VERDICT r14 item 2; this shape needs neither).
+    Per-bucket work is ≤ C(max_bucket, 2) slim pair structs."""
+    bands = banded_minhash(docs, id_col, text_col, n_seeds, band_size)
     # degenerate-bucket guard: boilerplate shingles put thousands of
     # docs in one bucket → quadratic pair blowup; cap and drop.
-    bucket_sizes = bands.groupBy("band", "band_key").agg(
-        F.count(F.lit(1)).alias("bucket_n")
+    # size >= 2 merely skips pair-less buckets (no output change).
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.collect_list(F.struct("doc_id", "minhashes")).alias("ds"))
+        .filter((F.size("ds") <= max_bucket) & (F.size("ds") >= 2))
     )
-    bands = bands.join(
-        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
-        ["band", "band_key"],
-    )
-    a, b = bands.alias("a"), bands.alias("b")
+    # all i < j array pairs; collect_list order is arbitrary, so the
+    # (doc_a, doc_b) orientation is normalized by doc id below — the
+    # agreement score is symmetric in the two signature arrays.
+    exploded = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                " y -> struct(x.doc_id AS da, y.doc_id AS db,"
+                " x.minhashes AS ma, y.minhashes AS mb))))"
+            )
+        ).alias("e")
+    ).select("e.da", "e.db", "e.ma", "e.mb")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        exploded.select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
             signature_agreement(
-                F.col("a.minhashes"), F.col("b.minhashes"), n_seeds
+                F.col("ma"), F.col("mb"), n_seeds
             ).alias("est_jaccard"),
         )
         .distinct()

@@ -1501,66 +1501,99 @@ def sparse_cosine_topk(
     order-independent — no float-summation drift between engines or
     partitionings; only the final ``dot / (‖a‖·‖b‖)`` is floating.
 
-    Scale shape: the classic inverted-index self-join. Per-term join
-    fan-out is df², so total candidate work is Σ_term df² — bounded
-    by pruning terms with document frequency above ``df_cap`` (the
-    stop-term / prefix-filtering bound; hot terms carry no ranking
-    signal and are what makes naive term joins quadratic). Norms are
-    defined over the SAME capped term space so the metric stays an
-    actual cosine. Returns (doc_id, neighbor_id, cosine, rank ≤ k);
-    docs sharing no surviving term emit no rows."""
-    df_counts = terms.groupBy(term_col).agg(F.count(F.lit(1)).alias("__df"))
-    # NOT persisted, deliberately: the posting table has three
-    # consumers (norms + both join sides), but each needs a different
-    # column subset and persisting the fat (doc, term-string, tf)
-    # rows blocks Catalyst's per-consumer pruning — measured SLOWER
-    # on the scale curve (x10 9.9 s → 13.9 s) than recomputing the
-    # cheap projection. Contrast prefix_filter_jaccard_pairs, whose
-    # shared frame hides an expensive sort aggregate and does win
-    # from persisting.
-    pruned = (
-        terms.join(
-            F.broadcast(df_counts.filter(F.col("__df") <= df_cap)), term_col
-        )
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.col(term_col).alias("term"),
-            F.col(tf_col).cast("long").alias("tf"),
-        )
+    Scale shape (round 15 — single-pass term-group fold; replaces
+    the inverted-index self-join): per-term candidate fan-out is df²,
+    bounded by pruning terms with document frequency above ``df_cap``
+    (the stop-term / prefix-filtering bound; hot terms carry no
+    ranking signal and are what makes naive term joins quadratic).
+    The cap means every surviving term's posting list fits one
+    bounded array, so ONE ``collect_list`` aggregate per term both
+    applies the df prune (``size(ds) <= df_cap`` — no separate
+    df-count aggregate or broadcast join) and generates the i ≤ j
+    pair products by array comb-explode — the posting lineage
+    (typically tokenize → shingle → tf aggregate) executes exactly
+    once instead of once per consumer (norms + both join sides; the
+    q76 before-plan carried 24 scans of ``documents``). The i = j
+    "self pairs" carry tf² — exactly the squared-norm contributions —
+    so norms fall out of the SAME aggregate as the dots: after the
+    (doc, neighbor) rollup the self row (d, d) holds Σtf² = ‖d‖²,
+    attached to the pair rows by two windows (one per endpoint)
+    instead of two doc-keyed joins. Norms are defined over the SAME
+    capped term space so the metric stays an actual cosine; the
+    integer dot sums and the ``sqrt(Σtf²)`` factors are the exact
+    expressions of the join form, so scores are bit-identical.
+    Returns (doc_id, neighbor_id, cosine, rank ≤ k); docs sharing no
+    surviving term emit no rows."""
+    posts = terms.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(term_col).alias("term"),
+        F.col(tf_col).cast("long").alias("tf"),
     )
-    norms = pruned.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    grouped = (
+        posts.groupBy("term")
+        .agg(F.collect_list(F.struct("doc_id", "tf")).alias("ds"))
+        .filter(F.size("ds") <= df_cap)
     )
-    a = pruned.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tf_a")
+    # all i <= j array pairs per term: i = j rows are the norm
+    # contributions (tf²), i < j rows the dot contributions; the
+    # (doc_id, neighbor_id) key is normalized by id order because
+    # collect_list order is arbitrary (the product is symmetric).
+    pair_products = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 1, size(ds) - i),"
+                " y -> struct(least(x.doc_id, y.doc_id) AS doc_id,"
+                " greatest(x.doc_id, y.doc_id) AS neighbor_id,"
+                " x.tf * y.tf AS p))))"
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.neighbor_id", "e.p")
+    dots = pair_products.groupBy("doc_id", "neighbor_id").agg(
+        F.sum("p").alias("dot")
     )
-    b = pruned.select(
-        F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tf_b")
-    )
-    dots = (
-        a.join(b, "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
-    )
+    # symmetrize via a generator on the aggregated rows (NOT a union,
+    # which would re-execute the aggregate lineage once per side):
+    # self rows stay single, pair rows emit both directions.
     sym = dots.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("neighbor_id"),
-        "dot",
-    ).unionAll(
-        dots.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("neighbor_id"),
-            "dot",
-        )
+        F.explode(
+            F.when(
+                F.col("doc_id") == F.col("neighbor_id"),
+                F.array(
+                    F.struct(
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("neighbor_id").alias("neighbor_id"),
+                        F.col("dot").alias("dot"),
+                    )
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("neighbor_id").alias("neighbor_id"),
+                        F.col("dot").alias("dot"),
+                    ),
+                    F.struct(
+                        F.col("neighbor_id").alias("doc_id"),
+                        F.col("doc_id").alias("neighbor_id"),
+                        F.col("dot").alias("dot"),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.neighbor_id", "e.dot")
+    # each endpoint's ‖·‖² sits on its self row (d, d), present in
+    # BOTH the doc_id = d and neighbor_id = d window partitions —
+    # max over the single non-null value is that value.
+    self_sq = F.when(
+        F.col("doc_id") == F.col("neighbor_id"), F.col("dot")
     )
-    na = norms.select(F.col("doc_id"), F.col("nrm").alias("na"))
-    nb = norms.select(
-        F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("nb")
-    )
+    wb = Window.partitionBy("neighbor_id")
+    wa = Window.partitionBy("doc_id")
     scored = (
-        sym.join(na, "doc_id")
-        .join(nb, "neighbor_id")
+        sym.withColumn("nb", F.sqrt(F.max(self_sq).over(wb).cast("double")))
+        .withColumn("na", F.sqrt(F.max(self_sq).over(wa).cast("double")))
+        .filter(F.col("doc_id") != F.col("neighbor_id"))
         .select(
             "doc_id",
             "neighbor_id",
@@ -1623,47 +1656,78 @@ def bm25_topk(
     past 1e8 docs; per-term contributions ≤ ~1e16 there, BIGINT-safe
     summed over any real query length.
 
-    **Scale shape.** df prune at ``df_cap`` bounds the posting join
-    (Σ_term qdf·df, the q76 stop-term bound). The df frame joins on
-    term WITHOUT a forced broadcast — the shingle vocabulary grows
-    with the corpus, so a broadcast hint would OOM at 100 TB; AQE
-    promotes it when it is actually small. Corpus stats (N, TL) are
-    a 1-row broadcast (the q134 normalizer idiom). Returns
+    **Scale shape (round 15 — single-pass term-group fold, the q76
+    rewrite).** df prune at ``df_cap`` bounds the candidate fan-out
+    (Σ_term qdf·df, the q76 stop-term bound), and the cap means every
+    surviving term's posting list fits one bounded array: ONE
+    ``collect_list`` aggregate per term applies the prune
+    (``size(ds) <= df_cap`` — the separate df-count aggregate and its
+    term-keyed join disappear; df itself is the array size) and
+    generates the query × candidate products by array comb-explode,
+    so the posting lineage executes once instead of once per consumer
+    (df + dl + both pruned sides — the q161 before-plan carried 16
+    scans of ``documents``). Per-document length rides the posting
+    rows via a doc-keyed window over the UNPRUNED space (the standard
+    BM25 dl; pruning changes candidate generation, not the document
+    model) instead of a per-candidate join, and the query flag is a
+    doc-keyed join applied on the same exchange. Corpus stats (N, TL)
+    are a 1-row broadcast (the q134 normalizer idiom) — the one
+    remaining second pass over the posting aggregate. ``query_ids``
+    must be unique ids (every caller passes a distinct id set; the
+    former inner join had the same multiplicity contract). Returns
     (query_id, doc_id, score_scaled, rank ≤ k); self-matches
     excluded; query docs sharing no surviving term emit no rows."""
-    df_counts = doc_terms.groupBy(term_col).agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
     posts = doc_terms.select(
         F.col(id_col).alias("doc_id"),
         F.col(term_col).alias("term"),
         F.col(tf_col).cast("long").alias("tf"),
     )
-    # document length in TERM INSTANCES over the UNPRUNED space (the
-    # standard BM25 dl; pruning changes candidate generation, not
-    # the document model) + the 1-row corpus stats
-    dl = posts.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("tl"),
-    )
-    pruned = posts.join(
-        df_counts.filter(F.col("df") <= df_cap), "term"
-    )
-    qpost = (
-        pruned.join(
-            query_ids.select(F.col(id_col).alias("doc_id")), "doc_id"
-        )
-        .select(
-            F.col("doc_id").alias("query_id"),
-            "term",
-            F.col("tf").alias("qtf"),
+    # dl attached in-row: one doc-keyed exchange serves the length
+    # window AND the query-flag join (same key, same partitioning)
+    wdoc = Window.partitionBy("doc_id")
+    flagged = (
+        posts.withColumn("dl", F.sum("tf").over(wdoc))
+        .join(
+            query_ids.select(
+                F.col(id_col).alias("doc_id"), F.lit(True).alias("is_q")
+            ),
+            "doc_id",
+            "left",
         )
     )
+    stats = (
+        posts.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("tl"),
+        )
+    )
+    grouped = (
+        flagged.groupBy("term")
+        .agg(
+            F.collect_list(
+                F.struct("doc_id", "tf", "dl", "is_q")
+            ).alias("ds")
+        )
+        .filter(F.size("ds") <= df_cap)
+    )
+    # per term: query entries × candidate entries (self excluded);
+    # df is the posting-list size — cast long to keep the contrib
+    # expression's operand types identical to the join form's.
     cand = (
-        qpost.join(pruned, "term")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .join(dl, "doc_id")
+        grouped.select(
+            F.size("ds").cast("long").alias("df"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(filter(ds, x -> x.is_q), x ->"
+                    " transform(filter(ds, y -> y.doc_id != x.doc_id),"
+                    " y -> struct(x.doc_id AS query_id, x.tf AS qtf,"
+                    " y.doc_id AS doc_id, y.tf AS tf, y.dl AS dl))))"
+                )
+            ).alias("e"),
+        )
+        .select("df", "e.query_id", "e.qtf", "e.doc_id", "e.tf", "e.dl")
         .crossJoin(F.broadcast(stats))
     )
     contrib = F.expr(
